@@ -1,0 +1,60 @@
+"""Headline benchmark — prints ONE JSON line the driver records.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Each query is materialized with a count-only
+action (driver-side collect of results is not part of engine cost).
+One warm-up pass amortizes JVM/codegen startup, mirroring how
+BASELINE.md measured (warm, post-JIT single runs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "agg_pricing_summary",  # TPC-H Q1 shape: scan → hash agg (BASELINE.md row 1)
+    "join_multiway",        # Q3 shape: multi-join → agg (BASELINE.md row 3)
+    "win_topk_group",       # window rank
+    "txt_tfidf_topk",       # text featurization pipeline
+    "dedup_exact",          # LLM-pipeline dedup
+    "sim_cosine_topk",      # similarity search
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from systematic_review_classification_spark import all_queries, get_session
+
+    spark = get_session(app_name="systematic-review-classification-spark-bench")
+    queries = all_queries()
+    keys = [k for k in HEADLINE if k in queries]
+
+    # warm-up: JVM JIT, codegen cache, parquet footer cache
+    for k in keys:
+        queries[k](spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for k in keys:
+        t0 = time.perf_counter()
+        queries[k](spark, sf_dir).count()
+        times[k] = round(time.perf_counter() - t0, 4)
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(times.values()), 4),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

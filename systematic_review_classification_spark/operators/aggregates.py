@@ -1,0 +1,303 @@
+"""Category D — aggregations (SURVEY.md §2.D).
+
+The reference's pipeline aggregates with pandas groupby/describe
+(implementation not locally retrievable — /root/reference/README.md:6;
+see SURVEY.md §0). Here every aggregate is a declarative
+``groupBy(...).agg(...)`` so Catalyst plans partial (map-side) + final
+aggregation around a single hash-partitioned exchange — the plan shape
+that scales linearly with executors at 100 TB.
+
+Float convention (SURVEY.md §1.4.3): every floating aggregate is
+wrapped ``round(expr, n)`` identically in the Spark query and the
+DuckDB oracle so cross-engine partial-sum ordering can't flip the
+value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from systematic_review_classification_spark.registry import query
+from systematic_review_classification_spark.sources.tables import load
+
+
+# --- flagship -----------------------------------------------------------
+
+PRICING_SUMMARY_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                           AS sum_qty,
+       round(sum(l_extendedprice), 2)                                      AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                   AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)     AS sum_charge,
+       round(avg(l_quantity), 2)                                           AS avg_qty,
+       round(avg(l_extendedprice), 2)                                      AS avg_price,
+       round(avg(l_discount), 2)                                           AS avg_disc,
+       count(*)                                                            AS count_order
+FROM lineitem
+WHERE l_shipdate <= timestamp '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("agg_pricing_summary", oracle=PRICING_SUMMARY_ORACLE)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1-shaped scan → filter → hash aggregate.
+
+    Plan: parquet scan with pushed shipdate filter and 7-column pruned
+    ReadSchema → partial HashAggregate → Exchange on the two group
+    keys → final HashAggregate, all inside whole-stage codegen.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 2).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_partkey)               AS nd_part,
+       count(DISTINCT (l_partkey, l_suppkey))  AS nd_part_supp,
+       count(DISTINCT l_orderkey)              AS nd_order
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (Catalyst expands to two-phase agg)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("nd_part"),
+        F.countDistinct("l_partkey", "l_suppkey").alias("nd_part_supp"),
+        F.countDistinct("l_orderkey").alias("nd_order"),
+    )
+
+
+@query("agg_approx_distinct")  # rows-only: HLL estimate is engine-specific
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100 TB path for
+    distinct counts: one pass, fixed-size sketch, no distinct shuffle.
+    Local tests assert the estimate is within rsd of the exact count.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_nd_part"),
+        F.countDistinct("l_partkey").alias("exact_nd_part"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*)                  AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
+       round(sum(o_totalprice), 2) AS sum_price,
+       count(*)                    AS n
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_gsets",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       round(sum(o_totalprice), 2) AS sum_price,
+       count(*)                    AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def agg_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spent, count(*) AS n_orders
+FROM orders GROUP BY o_custkey
+HAVING sum(o_totalprice) > 1500000 AND count(*) >= 5
+""",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING): filter composes on the agg plan."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("_raw_total"),
+        )
+        .filter((F.col("_raw_total") > 1500000) & (F.col("n_orders") >= 5))
+        .drop("_raw_total")
+    )
+
+
+@query(
+    "agg_filtered",
+    oracle="""
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice END), 2) AS disc_rev,
+       count(*) FILTER (WHERE l_quantity > 25)                             AS n_bulk,
+       round(avg(CASE WHEN l_tax = 0 THEN l_extendedprice END), 2)         AS avg_notax_price
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation — sum(when(...)), count_if."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))), 2).alias("disc_rev"),
+        F.count_if(F.col("l_quantity") > 25).alias("n_bulk"),
+        F.round(F.avg(F.when(F.col("l_tax") == 0, F.col("l_extendedprice"))), 2).alias("avg_notax_price"),
+    )
+
+
+@query(
+    "agg_collect",
+    oracle="""
+SELECT c_nationkey, list_sort(array_agg(c_custkey)) AS custkeys, count(*) AS n
+FROM customer WHERE c_acctbal > 9000
+GROUP BY c_nationkey
+""",
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation — sorted for cross-engine determinism."""
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.filter(F.col("c_acctbal") > 9000)
+        .groupBy("c_nationkey")
+        .agg(
+            F.sort_array(F.collect_list("c_custkey")).alias("custkeys"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 4)                 AS sd_qty,
+       round(stddev_pop(l_quantity), 4)                  AS sdp_qty,
+       round(var_samp(l_extendedprice), 2)               AS var_price,
+       round(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
+       round(covar_pop(l_quantity, l_discount), 6)       AS covp_qty_disc
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (reference evaluates score distributions
+    with pandas describe-level stats [PUB]; here distributed)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.stddev_pop("l_quantity"), 4).alias("sdp_qty"),
+        F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_qty_price"),
+        F.round(F.covar_pop("l_quantity", "l_discount"), 6).alias("covp_qty_disc"),
+    )
+
+
+@query(
+    "agg_minmax_by",
+    oracle="""
+SELECT c_mktsegment,
+       arg_max(c_custkey, c_acctbal) AS richest_cust,
+       arg_min(c_custkey, c_acctbal) AS poorest_cust,
+       round(max(c_acctbal), 2)      AS max_bal,
+       round(min(c_acctbal), 2)      AS min_bal
+FROM customer GROUP BY c_mktsegment
+""",
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-extremum aggregates (max_by/min_by ↔ DuckDB arg_max/arg_min).
+
+    c_acctbal is a continuous random double — tie probability ~0; a
+    local test asserts distinctness so engine tie-break never matters.
+    """
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.max_by("c_custkey", "c_acctbal").alias("richest_cust"),
+        F.min_by("c_custkey", "c_acctbal").alias("poorest_cust"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+    )
+
+
+@query(
+    "agg_median_pct",
+    oracle="""
+SELECT l_returnflag,
+       round(median(l_quantity), 3)                    AS med_qty,
+       round(quantile_cont(l_extendedprice, 0.95), 3)  AS p95_price,
+       round(quantile_cont(l_extendedprice, 0.5), 3)   AS p50_price
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_median_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (F.percentile == continuous interpolation ==
+    DuckDB quantile_cont). The 100 TB variant is approx_percentile —
+    covered rows-only via agg_approx_distinct's pattern.
+
+    round(,3) not (,2): the true median of 2-decimal prices is a
+    midpoint with exactly 3 decimals — round(,2) sits on a half-up
+    boundary the two engines resolve differently, round(,3) is exact.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 3).alias("med_qty"),
+        F.round(F.percentile("l_extendedprice", 0.95), 3).alias("p95_price"),
+        F.round(F.percentile("l_extendedprice", 0.5), 3).alias("p50_price"),
+    )

@@ -1,0 +1,63 @@
+"""SparkSession factory and per-session config hygiene.
+
+Two situations:
+
+* Our own harness (tests, bench) builds the session with
+  :func:`get_session` — all mandatory configs applied at build time.
+* The driver hands us *its* session. :func:`ensure_confs` is called by
+  every table loader to apply the runtime-settable configs the engine
+  depends on (nanos-as-long parquet reads, UTC session timezone).
+
+Config rationale (SURVEY.md §1.4, §6):
+
+* ``spark.sql.legacy.parquet.nanosAsLong=true`` — events.ts is parquet
+  TIMESTAMP(NANOS); Spark 4.x otherwise throws PARQUET_TYPE_ILLEGAL.
+* ``spark.sql.session.timeZone=UTC`` — makes TIMESTAMP_LTZ → NTZ casts
+  identity so event timestamps hash-match DuckDB's naive reading.
+* shuffle partitions sized to cores, AQE on — at bench scale (600k
+  rows) 200 shuffle partitions is pure scheduling overhead; at cluster
+  scale AQE coalesces/splits at runtime anyway.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def ensure_confs(spark: SparkSession) -> None:
+    """Apply runtime-settable mandatory configs to an existing session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            spark.conf.set(k, v)
+
+
+def get_session(app_name: str = "systematic-review-classification-spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    ensure_confs(spark)
+    return spark

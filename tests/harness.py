@@ -1,0 +1,91 @@
+"""Local differential-oracle harness.
+
+Mirrors the driver's t2 check (SURVEY.md §5.2.1): run the Spark query
+and the DuckDB oracle SQL on the same parquet tables, compare
+row-count + column names + order-insensitive canonicalized values.
+Strict on purpose — anything that fails here would fail the driver.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import decimal
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from systematic_review_classification_spark.sources.tables import TABLES
+
+NULL = "␀NULL"
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm_cell(v):
+    if v is None:
+        return NULL
+    if isinstance(v, (np.ndarray, list, tuple)):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{_norm_cell(x)}" for k, x in sorted(v.items())) + "}"
+    if isinstance(v, (bool, np.bool_)):
+        return "T" if v else "F"
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, decimal.Decimal):
+        return repr(float(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return NULL
+        return repr(f)
+    if isinstance(v, pd.Timestamp):
+        if v is pd.NaT:
+            return NULL
+        return v.isoformat()
+    if isinstance(v, (dt.datetime, dt.date)):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    try:
+        if pd.isna(v):
+            return NULL
+    except (TypeError, ValueError):
+        pass
+    return str(v)
+
+
+def canonical_rows(df: pd.DataFrame) -> list[tuple[str, ...]]:
+    df = df[sorted(df.columns)]
+    rows = [tuple(_norm_cell(v) for v in row) for row in df.itertuples(index=False)]
+    rows.sort()
+    return rows
+
+
+def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, key: str = "?") -> None:
+    sp = spark_df.toPandas()
+    du = con.execute(sql).df()
+    assert sorted(sp.columns) == sorted(du.columns), (
+        f"[{key}] column mismatch: spark={sorted(sp.columns)} duckdb={sorted(du.columns)}"
+    )
+    assert len(sp) == len(du), f"[{key}] row count: spark={len(sp)} duckdb={len(du)}"
+    srows, drows = canonical_rows(sp), canonical_rows(du)
+    if srows != drows:
+        diffs = [
+            (i, a, b) for i, (a, b) in enumerate(zip(srows, drows)) if a != b
+        ][:5]
+        cols = sorted(sp.columns)
+        msg = "\n".join(
+            f"  row {i}:\n    spark : {dict(zip(cols, a))}\n    duckdb: {dict(zip(cols, b))}"
+            for i, a, b in diffs
+        )
+        raise AssertionError(f"[{key}] value mismatch ({len(diffs)}+ rows differ):\n{msg}")
