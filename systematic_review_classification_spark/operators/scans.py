@@ -1,0 +1,202 @@
+"""Category A — scans, sources, sinks (SURVEY.md §2.A).
+
+The reference ingests CSV/Excel bibliographic exports with pandas
+(implementation not locally retrievable — /root/reference/README.md:6).
+Here every source is a Spark DataSource read: vectorized parquet with
+predicate pushdown / column pruning, schema-enforced reads, CSV and
+JSON-lines round-trips, a parquet sink with hive partitioning, and a
+Structured Streaming file source replay.
+
+Scale notes: the parquet scan is the 100 TB workhorse — filters and
+projections reach the scan (`PushedFilters` / pruned `ReadSchema`,
+asserted in tests/test_plans.py); sinks write hive-partitioned so
+downstream reads get partition pruning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from systematic_review_classification_spark.registry import query
+from systematic_review_classification_spark.session import ensure_confs
+from systematic_review_classification_spark.sources.tables import load
+
+IO_ROOT = "/tmp/systematic_review_classification_spark_io"
+
+
+def _io_dir(sf_dir: str, name: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(IO_ROOT, tag, name)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    return path
+
+
+@query(
+    "scan_parquet",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, round(l_extendedprice, 2) AS price
+FROM lineitem WHERE l_quantity > 45
+""",
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized parquet scan with pushed filter + pruned columns."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_quantity") > 45).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.round("l_extendedprice", 2).alias("price"),
+    )
+
+
+@query(
+    "scan_events_ns",
+    oracle="""
+SELECT event_id, ts, user_id, event_type
+FROM events WHERE event_type = 'purchase'
+""",
+)
+def scan_events_ns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP(NANOS) parquet scan — nanosAsLong + truncating µs cast
+    matches DuckDB's native ns→µs truncation (SURVEY.md §1.4.1)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+
+
+@query(
+    "scan_schema_enforce",
+    oracle="SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_acctbal >= 0",
+)
+def scan_schema_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-schema read: schema-on-read control + column pruning at
+    the reader level (only 3 of 5 columns declared)."""
+    ensure_confs(spark)
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+        ]
+    )
+    df = spark.read.schema(schema).parquet(f"{sf_dir}/customer.parquet")
+    return df.filter(F.col("c_acctbal") >= 0)
+
+
+@query("src_csv", oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation")
+def src_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source (the reference's bibliographic-ingest shape): write
+    nation to CSV, read back with an explicit schema — round-trip must
+    equal the original table."""
+    out = _io_dir(sf_dir, "nation_csv")
+    load(spark, sf_dir, "nation").write.mode("overwrite").option("header", True).csv(out)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    return spark.read.schema(schema).option("header", True).csv(out)
+
+
+@query("src_jsonl", oracle="SELECT r_regionkey, r_name FROM region")
+def src_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source with schema inference, round-tripped."""
+    out = _io_dir(sf_dir, "region_jsonl")
+    load(spark, sf_dir, "region").write.mode("overwrite").json(out)
+    return spark.read.json(out).select("r_regionkey", "r_name")
+
+
+@query(
+    "sink_parquet",
+    oracle="""
+SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS revenue
+FROM lineitem WHERE l_quantity > 30
+GROUP BY l_returnflag
+""",
+)
+def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet sink with hive partitioning (partitionBy → partition
+    pruning for downstream readers), verified by read-back aggregation."""
+    out = _io_dir(sf_dir, "lineitem_sink")
+    (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 30)
+        .write.mode("overwrite")
+        .partitionBy("l_returnflag")
+        .parquet(out)
+    )
+    return (
+        spark.read.parquet(out)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "src_stream_file",
+    oracle="""
+SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+FROM events WHERE event_type IN ('click', 'purchase')
+GROUP BY event_type
+""",
+)
+def src_stream_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming file source: replay events.parquet through readStream
+    with Trigger.AvailableNow into a parquet sink, then verify the
+    final state against the batch oracle. This is the real streaming
+    execution path (micro-batches, checkpointing), not a batch alias.
+    """
+    ensure_confs(spark)
+    out = _io_dir(sf_dir, "events_streamed")
+    ckpt = _io_dir(sf_dir, "events_streamed_ckpt")
+    src = _io_dir(sf_dir, "events_stream_src")
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    # file-stream sources take a directory; stage the table into one
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src)
+    os.symlink(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # raw ns (nanosAsLong)
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_id", "user_id", "event_type")
+    )
+    (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
