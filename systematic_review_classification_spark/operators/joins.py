@@ -1,0 +1,352 @@
+"""Category C — joins (SURVEY.md §2.C).
+
+Join-strategy policy for 100 TB (SURVEY.md §4.2): tiny dims broadcast
+(explicit ``F.broadcast`` hints — customer⋈nation⋈region never
+shuffles the fact side on dim keys), equal-size fact-fact joins go
+sort-merge on the shuffle key, and AQE converts to broadcast / splits
+skewed partitions at runtime. The as-of join is expressed as a
+union + running-window rewrite — one shuffle on (user_id), no
+point-in-time loop; the range join constrains with an equi key so
+Spark plans SMJ + band filter instead of a nested-loop product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from systematic_review_classification_spark.registry import query
+from systematic_review_classification_spark.sources.tables import load
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) / count(*) AS avg_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast hash equi-join: dim ships to every executor, fact side
+    never shuffles for the join.
+
+    avg is expressed round(sum,2)/count, not round(avg,2): small groups
+    of 2-decimal values put the true mean exactly on .xx5 boundaries;
+    rounding the sum first recovers the exact decimal sum in both
+    engines, and the division of identical doubles is bitwise equal.
+    """
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            (F.round(F.sum("c_acctbal"), 2) / F.count(F.lit(1))).alias("avg_bal"),
+        )
+    )
+
+
+@query(
+    "join_multiway",
+    oracle="""
+SELECT r_name, n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderstatus = 'O'
+GROUP BY r_name, n_name
+""",
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-table join chain (BASELINE.md Q3 shape): fact ⋈ broadcast dims —
+    a single fact scan, zero fact-side shuffles before the final agg."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "join_sortmerge",
+    oracle="""
+SELECT o_orderpriority, count(*) AS n, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+""",
+)
+def join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact sort-merge join (hint("merge")): both sides shuffle on
+    the key, sorted merge — the strategy that scales when neither side
+    broadcasts. Result identical to any other strategy."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        li.hint("merge")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "join_shuffle_hash",
+    oracle="""
+SELECT p_type, count(*) AS n, round(avg(l_quantity), 2) AS avg_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_type
+""",
+)
+def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffled hash join (hint("shuffle_hash")): shuffle both sides,
+    build hash on the smaller — avoids the sort when one side is
+    modest but over the broadcast threshold."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    return (
+        li.join(p.hint("shuffle_hash"), li.l_partkey == p.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+        )
+    )
+
+
+@query(
+    "join_left",
+    oracle="""
+SELECT c_custkey, count(o_orderkey) AS n_orders,
+       round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+""",
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with null-padding → count(col) skips nulls, so
+    order-less customers show n_orders = 0."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0)), 2).alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "join_full",
+    oracle="""
+WITH c AS (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer GROUP BY c_nationkey),
+     s AS (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY s_nationkey)
+SELECT coalesce(c.k, s.k) AS nationkey, c.n_cust AS n_cust, s.n_supp AS n_supp
+FROM c FULL JOIN s ON c.k = s.k
+""",
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two pre-aggregated sides (nulls where a
+    nation has only customers or only suppliers)."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return c.join(s, c.k == s.k, "full").select(
+        F.coalesce(c.k, s.k).alias("nationkey"), "n_cust", "n_supp"
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+""",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join — EXISTS. Emits each left row at most once."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join — NOT EXISTS; also the dedup-against-corpus shape
+    (new docs anti-joined against an existing fingerprint set)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
+    "join_cross",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product (bounded: dims only — a cross join of facts is
+    never acceptable at scale; similarity ops block/LSH instead)."""
+    r = load(spark, sf_dir, "region").select("r_name")
+    n = load(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+@query(
+    "join_theta",
+    oracle="""
+SELECT p_partkey, count(*) AS n_near, round(avg(l_quantity), 2) AS avg_qty
+FROM part JOIN lineitem
+  ON p_brand = 'Brand#1' AND l_extendedprice BETWEEN p_retailprice AND p_retailprice + 40
+GROUP BY p_partkey
+""",
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta) band join → BroadcastNestedLoopJoin with the
+    small filtered side broadcast. The filter on the broadcast side is
+    what keeps the pair count bounded."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        F.broadcast(p)
+        .join(
+            li,
+            (F.col("l_extendedprice") >= F.col("p_retailprice"))
+            & (F.col("l_extendedprice") <= F.col("p_retailprice") + 40),
+        )
+        .groupBy("p_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_near"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+        )
+    )
+
+
+@query(
+    "join_range_time",
+    oracle="""
+SELECT e1.user_id AS user_id, e1.event_id AS id1, e2.event_id AS id2,
+       e1.event_type AS type1, e2.event_type AS type2
+FROM events e1 JOIN events e2
+  ON e1.user_id = e2.user_id
+ AND e2.ts > e1.ts
+ AND e2.ts <= e1.ts + INTERVAL 10 MINUTE
+""",
+)
+def join_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: event pairs of the same user within 10 minutes.
+    The equi key (user_id) bounds the pair space — Spark shuffles on
+    user_id and applies the time band as a join residual, never a full
+    cross product."""
+    ev = load(spark, sf_dir, "events")
+    e1 = ev.alias("e1")
+    e2 = ev.alias("e2")
+    return e1.join(
+        e2,
+        (F.col("e1.user_id") == F.col("e2.user_id"))
+        & (F.col("e2.ts") > F.col("e1.ts"))
+        & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select(
+        F.col("e1.user_id").alias("user_id"),
+        F.col("e1.event_id").alias("id1"),
+        F.col("e2.event_id").alias("id2"),
+        F.col("e1.event_type").alias("type1"),
+        F.col("e2.event_type").alias("type2"),
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+SELECT p.event_id AS event_id, p.ts AS purchase_ts,
+       (SELECT max(c.ts) FROM events c
+         WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts) AS last_click_ts
+FROM events p WHERE p.event_type = 'purchase'
+""",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (latest click at-or-before each purchase, per user).
+
+    Spark-first rewrite: instead of a per-row point-in-time lookup,
+    union click+purchase rows, sort once within each user partition,
+    and carry the latest click timestamp forward with a running-window
+    max — one shuffle on user_id, linear work, no correlated subquery.
+    Equal-timestamp ties order clicks first (prio 0) to get inclusive
+    '<=' semantics matching the oracle.
+    """
+    ev = load(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("prio"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "prio", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = tagged.withColumn(
+        "last_click_ts", F.max(F.when(F.col("prio") == 0, F.col("ts"))).over(w)
+    )
+    return carried.filter(F.col("prio") == 1).select(
+        "event_id", F.col("ts").alias("purchase_ts"), "last_click_ts"
+    )
+
+
+@query(
+    "join_self",
+    oracle="""
+SELECT e1.user_id AS user_id, e1.event_id AS id1, e2.event_id AS id2,
+       e1.event_type AS t1, e2.event_type AS t2
+FROM events e1 JOIN events e2
+  ON e2.event_id = e1.event_id + 1 AND e1.user_id = e2.user_id
+""",
+)
+def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self equi-join on adjacent event ids of the same user."""
+    ev = load(spark, sf_dir, "events")
+    e1 = ev.alias("e1")
+    e2 = ev.alias("e2")
+    return e1.join(
+        e2,
+        (F.col("e2.event_id") == F.col("e1.event_id") + 1)
+        & (F.col("e1.user_id") == F.col("e2.user_id")),
+    ).select(
+        F.col("e1.user_id").alias("user_id"),
+        F.col("e1.event_id").alias("id1"),
+        F.col("e2.event_id").alias("id2"),
+        F.col("e1.event_type").alias("t1"),
+        F.col("e2.event_type").alias("t2"),
+    )

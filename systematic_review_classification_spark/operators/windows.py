@@ -1,0 +1,206 @@
+"""Category E — window functions (SURVEY.md §2.E).
+
+Every window partitions on a key before ordering, so at scale the sort
+is per-partition (one shuffle on the partition key), never global.
+Tie-breaking rule (SURVEY.md §1.4.4): every ORDER BY ends with a
+unique key so ranking is total and cross-engine deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from systematic_review_classification_spark.registry import query
+from systematic_review_classification_spark.sources.tables import load, load_events_raw
+
+
+@query(
+    "win_rank",
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+       row_number()   OVER w AS rn,
+       rank()         OVER w AS rnk,
+       dense_rank()   OVER w AS drnk,
+       ntile(4)       OVER w AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist()    OVER w AS cdist
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+""",
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family over a keyed, totally-ordered window."""
+    c = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle="""
+SELECT event_id, user_id, event_type,
+       lag(event_type)  OVER w AS prev_type,
+       lead(event_type) OVER w AS next_type,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+       lag(epoch_us(ts), 2, CAST(-1 AS BIGINT)) OVER w AS ts2_back_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset functions with defaults — inter-event gaps per user.
+    Works on raw ns-epoch (div 1000 = µs) to match DuckDB epoch_us."""
+    ev = load_events_raw(spark, sf_dir).withColumn("ts_us", F.expr("ts div 1000"))
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us"),
+        F.lag("ts_us", 2, -1).over(w).cast("bigint").alias("ts2_back_us"),
+    )
+
+
+@query(
+    "win_running",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+       count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS order_seq
+FROM orders
+""",
+)
+def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running totals per customer over order history."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        F.count(F.lit(1)).over(w).alias("order_seq"),
+    )
+
+
+@query(
+    "win_moving",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_suppkey,
+       round(avg(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS mov_avg_qty
+FROM lineitem
+""",
+)
+def win_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving aggregate over a 3-row sliding frame."""
+    li = load(spark, sf_dir, "lineitem")
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-2, W.currentRow)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        F.round(F.avg("l_quantity").over(w), 2).alias("mov_avg_qty"),
+    )
+
+
+@query(
+    "win_range_frame",
+    oracle="""
+SELECT o_orderkey, o_orderstatus,
+       count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                      RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW) AS n_in_band,
+       round(max(o_totalprice) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                      RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW), 2) AS band_max
+FROM orders
+""",
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame on a numeric ordering — value-based neighborhoods
+    (orders within $5000 below the current price)."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice").rangeBetween(-5000, 0)
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.count(F.lit(1)).over(w).alias("n_in_band"),
+        F.round(F.max("o_totalprice").over(w), 2).alias("band_max"),
+    )
+
+
+@query(
+    "win_first_last",
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+       first_value(c_custkey) OVER w AS seg_richest,
+       last_value(c_custkey)  OVER w AS seg_poorest,
+       first_value(nullif(c_name, 'Customer#000000000') IGNORE NULLS) OVER w AS first_named
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-edge values incl. ignorenulls over a full-partition frame."""
+    c = load(spark, sf_dir, "customer")
+    w = (
+        W.partitionBy("c_mktsegment")
+        .orderBy(F.col("c_acctbal").desc(), "c_custkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    nullable_name = F.nullif(F.col("c_name"), F.lit("Customer#000000000"))
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.first("c_custkey").over(w).alias("seg_richest"),
+        F.last("c_custkey").over(w).alias("seg_poorest"),
+        F.first(nullable_name, ignorenulls=True).over(w).alias("first_named"),
+    )
+
+
+@query(
+    "win_topk_group",
+    oracle="""
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+)
+def win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via rank filter — the distributed grouped top-k
+    (per-partition heaps after one shuffle on the group key; at 100 TB
+    this is the only sane grouped-top-k plan)."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
