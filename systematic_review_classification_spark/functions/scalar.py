@@ -1,0 +1,392 @@
+"""Category H — scalar function surface (SURVEY.md §2.H).
+
+One query per function family, each a wide projection exercising many
+built-ins. Everything stays JVM-side (whole-stage codegen) — no Python
+in any of these paths.
+
+This module doubles as the Spark↔DuckDB dialect mapping table
+(SURVEY.md M3): every oracle documents the translation.
+
+  Spark                      DuckDB 1.0
+  ------------------------   ----------------------------------
+  split(s, ' ')              string_split(s, ' ')
+  rlike(re)                  regexp_matches(s, re)
+  regexp_replace (all)       regexp_replace(s, re, r, 'g')  -- 'g'!
+  regexp_count(s, re)        len(regexp_extract_all(s, re))
+  instr / locate             strpos
+  dayofweek (Sun=1)          dayofweek(x) + 1 (Sun=0)
+  weekday (Mon=0)            isodow(x) - 1 (Mon=1)
+  datediff(end, start)       date_diff('day', start, end) -- arg order!
+  unix_timestamp(ts)         epoch_us(ts) // 1000000
+  date_trunc → timestamp     date_trunc → DATE (cast to string both)
+  bround(x, n)               roundbankers(x, n)
+  pmod(a, b)                 ((a % b) + b) % b
+  size(arr)                  len(l)
+  array_contains             list_contains
+  array_distinct (ordered)   list_distinct (UNORDERED — sort both!)
+  array_position (0 if ∅)    list_position (0 if ∅)
+  slice(a, start, length)    list_slice(a, start, start+length-1)
+  transform/filter           list_transform / list_filter
+  aggregate(a, 0D, +)        list_reduce(a, +)   (0+x == x exactly)
+  zip_with(a, b, f)          list_transform(list_zip(a,b), p -> f(p[1],p[2]))
+  explode/posexplode         unnest(...) [+ zipped unnest(range(...))]
+  get_json_object(j,'$.k')   j ->> '$.k'
+  sha2(s, 256)               sha256(s)
+  (no initcap/btrim in DuckDB 1.0 — excluded from oracled columns)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from systematic_review_classification_spark.registry import query
+from systematic_review_classification_spark.sources.tables import load
+
+
+@query(
+    "fn_string",
+    oracle="""
+SELECT doc_id,
+       lower(source)                      AS src_lower,
+       upper(lang)                        AS lang_upper,
+       trim(concat('  ', lang, '  '))     AS lang_trim,
+       lpad(lang, 5, '*')                 AS lang_pad,
+       substring(text, 1, 10)             AS text_head,
+       length(text)                       AS text_len,
+       concat_ws('|', lang, source)       AS lang_src,
+       replace(source, 'src', 'S')        AS src_short,
+       reverse(lang)                      AS lang_rev,
+       left(text, 5)                      AS l5,
+       right(source, 2)                   AS r2,
+       repeat(lang, 2)                    AS lang2,
+       strpos(text, 'spark')              AS spark_at,
+       translate(lang, 'en', 'EN')        AS lang_tr
+FROM documents
+""",
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core string functions over documents.text."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.lower("source").alias("src_lower"),
+        F.upper("lang").alias("lang_upper"),
+        F.trim(F.concat(F.lit("  "), F.col("lang"), F.lit("  "))).alias("lang_trim"),
+        F.lpad("lang", 5, "*").alias("lang_pad"),
+        F.substring("text", 1, 10).alias("text_head"),
+        F.length("text").alias("text_len"),
+        F.concat_ws("|", "lang", "source").alias("lang_src"),
+        F.replace(F.col("source"), F.lit("src"), F.lit("S")).alias("src_short"),
+        F.reverse("lang").alias("lang_rev"),
+        F.left(F.col("text"), F.lit(5)).alias("l5"),
+        F.right(F.col("source"), F.lit(2)).alias("r2"),
+        F.repeat(F.col("lang"), 2).alias("lang2"),
+        F.instr(F.col("text"), "spark").alias("spark_at"),
+        F.translate(F.col("lang"), "en", "EN").alias("lang_tr"),
+    )
+
+
+@query(
+    "fn_regex",
+    oracle="""
+SELECT doc_id,
+       regexp_extract(text, '(sp)(ark)', 2)              AS ark,
+       regexp_replace(text, '[aeiou]', '_', 'g')         AS devoweled_head,
+       len(regexp_extract_all(text, 'join'))             AS n_join,
+       regexp_matches(text, 'spark.*join|join.*spark')   AS has_both,
+       string_split(lang, '')[1]                         AS lang_first
+FROM documents WHERE doc_id < 100
+""",
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex family. DuckDB regexp_replace needs the 'g' flag to match
+    Spark's replace-all; no-match regexp_extract is '' in both."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", "(sp)(ark)", 2).alias("ark"),
+        F.regexp_replace(F.col("text"), "[aeiou]", "_").alias("devoweled_head"),
+        F.regexp_count(F.col("text"), F.lit("join")).cast("bigint").alias("n_join"),
+        F.col("text").rlike("spark.*join|join.*spark").alias("has_both"),
+        F.split(F.col("lang"), "").getItem(0).alias("lang_first"),
+    )
+
+
+@query(
+    "fn_editdist",
+    oracle="""
+SELECT doc_id,
+       levenshtein(lang, 'en')              AS d_en,
+       levenshtein(source, 'src1')          AS d_src,
+       levenshtein(left(text, 8), 'the fast') AS d_head
+FROM documents
+""",
+)
+def fn_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit distance — near-duplicate keys for fuzzy dedup."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.levenshtein("lang", F.lit("en")).alias("d_en"),
+        F.levenshtein("source", F.lit("src1")).alias("d_src"),
+        F.levenshtein(F.left(F.col("text"), F.lit(8)), F.lit("the fast")).alias("d_head"),
+    )
+
+
+@query(
+    "fn_date",
+    oracle="""
+SELECT o_orderkey,
+       year(o_orderdate)                                        AS yr,
+       month(o_orderdate)                                       AS mo,
+       day(o_orderdate)                                         AS dy,
+       dayofweek(o_orderdate) + 1                               AS dow,
+       isodow(o_orderdate) - 1                                  AS wkday,
+       CAST(date_trunc('month', o_orderdate) AS VARCHAR)        AS month_start,
+       date_diff('day', o_orderdate, timestamp '2000-01-01')    AS days_to_y2k,
+       CAST(CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS VARCHAR) AS plus2mo,
+       CAST(last_day(o_orderdate) AS VARCHAR)                   AS month_end,
+       CAST(make_date(year(o_orderdate), month(o_orderdate), 1) AS VARCHAR) AS first_of_month,
+       epoch_us(o_orderdate) // 1000000                         AS epoch_sec
+FROM orders WHERE o_orderkey < 1000
+""",
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time parts. Dialect traps documented in the module header:
+    dayofweek origin, datediff arg order, date_trunc return type."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.dayofmonth(d).alias("dy"),
+        F.dayofweek(d).alias("dow"),
+        F.weekday(d).alias("wkday"),
+        F.date_trunc("month", d).cast("date").cast("string").alias("month_start"),
+        F.datediff(F.lit("2000-01-01").cast("timestamp_ntz"), d).alias("days_to_y2k"),
+        F.add_months(d.cast("date"), 2).cast("string").alias("plus2mo"),
+        F.last_day(d.cast("date")).cast("string").alias("month_end"),
+        F.make_date(F.year(d), F.month(d), F.lit(1)).cast("string").alias("first_of_month"),
+        F.unix_timestamp(d).alias("epoch_sec"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+SELECT o_orderkey,
+       round(o_totalprice / 7, 3)             AS div7,
+       roundbankers(o_totalprice / 7, 3)      AS div7_be,
+       CAST(floor(o_totalprice / 1000) AS BIGINT) AS kfloor,
+       CAST(ceil(o_totalprice / 1000) AS BIGINT)  AS kceil,
+       abs(o_totalprice - 250000)             AS dist_mid,
+       CAST(sign(o_totalprice - 250000) AS INTEGER) AS side,
+       ((o_orderkey % 7) + 7) % 7             AS key_mod,
+       (((0 - o_orderkey) % 7) + 7) % 7       AS negkey_mod,
+       round(sqrt(o_totalprice), 6)           AS root,
+       round(ln(o_totalprice), 6)             AS log_e,
+       round(log10(o_totalprice), 6)          AS log_10,
+       round(pow(o_totalprice / 100000, 3), 6) AS cubed,
+       greatest(o_orderkey % 5, o_orderkey % 3) AS g,
+       least(o_orderkey % 5, o_orderkey % 3)    AS l
+FROM orders WHERE o_orderkey < 2000
+""",
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math functions. Transcendentals (ln/log10/pow) are rounded to 6
+    decimals — JVM Math and C libm may differ in the last ulp; sqrt is
+    IEEE-correctly-rounded so exact. Divisions by 7 keep round inputs
+    off decimal half-boundaries."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    p = F.col("o_totalprice")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.round(p / 7, 3).alias("div7"),
+        F.bround(p / 7, 3).alias("div7_be"),
+        F.floor(p / 1000).alias("kfloor"),
+        F.ceil(p / 1000).alias("kceil"),
+        F.abs(p - 250000).alias("dist_mid"),
+        F.signum(p - 250000).cast("int").alias("side"),
+        F.pmod(k, F.lit(7)).alias("key_mod"),
+        F.pmod(-k, F.lit(7)).alias("negkey_mod"),
+        F.round(F.sqrt(p), 6).alias("root"),
+        F.round(F.ln(p), 6).alias("log_e"),
+        F.round(F.log10(p), 6).alias("log_10"),
+        F.round(F.pow(p / 100000, 3), 6).alias("cubed"),
+        F.greatest(k % 5, k % 3).alias("g"),
+        F.least(k % 5, k % 3).alias("l"),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' '))                                    AS n_tokens,
+       list_contains(string_split(text, ' '), 'spark')                 AS has_spark,
+       list_sort(list_distinct(string_split(text, ' ')))               AS vocab,
+       list_position(string_split(text, ' '), 'spark')                 AS spark_pos,
+       list_slice(string_split(text, ' '), 1, 5)                       AS head5,
+       list_sort(list_slice(string_split(text, ' '), 1, 5))            AS head5_sorted,
+       flatten([list_slice(string_split(text, ' '), 1, 2),
+                list_slice(string_split(text, ' '), 3, 4)])            AS head4_via_flatten
+FROM documents WHERE doc_id < 200
+""",
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions over tokenized text. array_distinct keeps
+    first-occurrence order in Spark but is unordered in DuckDB —
+    both sides sort for a canonical value."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.sort_array(F.array_distinct(toks)).alias("vocab"),
+        F.array_position(toks, "spark").cast("int").alias("spark_pos"),
+        F.slice(toks, 1, 5).alias("head5"),
+        F.sort_array(F.slice(toks, 1, 5)).alias("head5_sorted"),
+        F.flatten(F.array(F.slice(toks, 1, 2), F.slice(toks, 3, 2))).alias("head4_via_flatten"),
+    )
+
+
+@query(
+    "fn_array_hof",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+SELECT vec_id,
+       round(sqrt(list_reduce(list_transform(emb, x -> x * x), (a, b) -> a + b)), 6) AS l2_norm,
+       len(list_filter(emb, x -> x > 0))                                             AS n_pos,
+       len(list_filter(emb, x -> abs(x) > 2.0)) > 0                                  AS has_big,
+       round(list_reduce(list_transform(list_zip(emb, emb), p -> p[1] * p[2]),
+                         (a, b) -> a + b), 6)                                        AS self_dot
+FROM e
+""",
+)
+def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order functions on the embedding column — the multimodal
+    vector-math backbone (all JVM-side, no UDF). Floats are widened to
+    double first so both engines square/accumulate identically;
+    Spark's aggregate(0D, +) == DuckDB list_reduce because 0.0 + x
+    is exact."""
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sq_sum = F.aggregate(
+        F.transform(emb, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    dot_self = F.aggregate(
+        F.zip_with(emb, emb, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+    )
+    return e.select(
+        "vec_id",
+        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_pos"),
+        F.exists(emb, lambda x: F.abs(x) > 2.0).alias("has_big"),
+        F.round(dot_self, 6).alias("self_dot"),
+    )
+
+
+@query(
+    "fn_explode",
+    oracle="""
+SELECT doc_id,
+       unnest(string_split(text, ' '))                                AS token,
+       unnest(range(0, len(string_split(text, ' '))))                 AS pos
+FROM documents WHERE doc_id < 100
+""",
+)
+def fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-generating functions — the tokenization backbone.
+    posexplode ↔ DuckDB's zipped parallel unnest with a 0-based range."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token")
+    )
+
+
+@query(
+    "fn_map",
+    oracle="""
+SELECT event_id,
+       CAST(props ->> '$.k' AS INTEGER)     AS k_val,
+       len(json_keys(props))                AS n_keys,
+       list_sort(json_keys(props))          AS key_list
+FROM events WHERE event_id < 500
+""",
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map functions: parse the JSON props column into map<string,int>
+    and operate on it (element_at / map_keys / size). Oracle reads the
+    same values through DuckDB's JSON path functions."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    m = F.from_json(F.col("props"), "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_val"),
+        F.size(F.map_keys(m)).cast("bigint").alias("n_keys"),
+        F.sort_array(F.map_keys(m)).alias("key_list"),
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+SELECT event_id,
+       props ->> '$.k'                          AS k_str,
+       CAST(props ->> '$.k' AS INTEGER)         AS k_int,
+       CAST(props ->> '$.missing' AS VARCHAR)   AS absent,
+       CAST(props ->> '$.k' AS INTEGER) % 10    AS k_bucket
+FROM events WHERE event_id < 500
+""",
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction: get_json_object / from_json-to-struct paths."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    k_struct = F.from_json(F.col("props"), "struct<k:int>")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        k_struct.getField("k").alias("k_int"),
+        F.get_json_object("props", "$.missing").alias("absent"),
+        (k_struct.getField("k") % 10).alias("k_bucket"),
+    )
+
+
+@query(
+    "fn_hash",
+    oracle="""
+SELECT doc_id,
+       md5(text)                                AS text_md5,
+       sha256(concat_ws('|', lang, source))     AS meta_sha,
+       left(md5(concat(source, text)), 8)       AS bucket_hex
+FROM documents WHERE doc_id < 500
+""",
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable hashes (md5 / sha256 agree across engines) — stable
+    dedup keys and ids."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2(F.concat_ws("|", "lang", "source"), 256).alias("meta_sha"),
+        F.left(F.md5(F.concat("source", "text")), F.lit(8)).alias("bucket_hex"),
+    )
+
+
+@query("fn_hash_engine")  # rows-only: xxhash64/crc32 are engine-specific
+def fn_hash_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-native hashes (xxhash64, crc32, murmur3) — the fast
+    shuffle/dedup keys at 100 TB scale. No cross-engine oracle exists;
+    local tests assert determinism across runs."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.xxhash64("text").alias("text_xx64"),
+        F.crc32(F.col("text").cast("binary")).alias("text_crc"),
+        F.hash("text").alias("text_murmur"),
+    )
