@@ -61,10 +61,11 @@ def test_topk_is_take_ordered(spark, sf_dir):
 
 
 def test_codegen_engaged(spark, sf_dir):
-    # whole-stage-codegen stars only show in simple explain mode
+    # codegen stars appear once AQE finalizes — run, then read the plan
     df = QUERIES["agg_pricing_summary"](spark, sf_dir)
+    df.count()
     plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
-    assert "*(" in plan, plan
+    assert "*(" in plan and "isFinalPlan=true" in plan, plan
 
 
 def test_partial_aggregation(spark, sf_dir):
