@@ -1,0 +1,168 @@
+"""Category J (similarity half) — vector similarity search
+(SURVEY.md §2.J).
+
+The embedding column stays ``array<float>`` at the SQL boundary
+(widened to double for math); MLlib VectorUDT appears only inside the
+LSH estimator. Brute-force cosine is always blocked (label block here;
+IVF-style centroid assignment at scale) — an unblocked cross join of
+embeddings is never planned. All vector math is JVM higher-order
+functions, not UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from systematic_review_classification_spark.registry import query
+from systematic_review_classification_spark.sources.tables import load
+
+
+def _dbl(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+
+
+@query(
+    "sim_cosine_topk",
+    oracle="""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+probes AS (SELECT * FROM e WHERE vec_id < 100),
+pairs AS (
+  SELECT p.vec_id AS id1, c.vec_id AS id2,
+         round(list_reduce(list_transform(list_zip(p.v, c.v), q -> q[1] * q[2]), (a, b) -> a + b)
+               / (sqrt(list_reduce(list_transform(p.v, x -> x * x), (a, b) -> a + b))
+                  * sqrt(list_reduce(list_transform(c.v, x -> x * x), (a, b) -> a + b))), 6) AS cos_sim
+  FROM probes p JOIN e c ON p.label = c.label AND p.vec_id <> c.vec_id)
+SELECT id1, id2, cos_sim, rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY id1 ORDER BY cos_sim DESC, id2) AS rn
+  FROM pairs)
+WHERE rn <= 3
+""",
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked brute-force cosine top-k: probe set ⋈ candidates within
+    the same label block, zip_with dot product, windowed top-3.
+    Ranking uses the rounded similarity + id tie-break → deterministic."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _dbl(F.col("embedding")).alias("v")
+    )
+    probes = e.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("id1"), F.col("label").alias("l1"), F.col("v").alias("v1")
+    )
+    cand = e.select(
+        F.col("vec_id").alias("id2"), F.col("label").alias("l2"), F.col("v").alias("v2")
+    )
+    pairs = probes.join(
+        cand, (F.col("l1") == F.col("l2")) & (F.col("id1") != F.col("id2"))
+    ).select(
+        "id1",
+        "id2",
+        F.round(
+            _dot(F.col("v1"), F.col("v2")) / (_norm(F.col("v1")) * _norm(F.col("v2"))), 6
+        ).alias("cos_sim"),
+    )
+    w = W.partitionBy("id1").orderBy(F.col("cos_sim").desc(), "id2")
+    return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+
+
+@query("sim_ann_lsh")  # rows-only: approximate by construction
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-projection LSH (seeded): bucketed
+    candidate join instead of the full cross product — the scale path
+    when blocks don't exist naturally. Local tests assert recall
+    against the exact blocked result."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", array_to_vector(_dbl(F.col("embedding"))).alias("vec"))
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="vec", outputCol="buckets", bucketLength=2.0, numHashTables=4, seed=42
+    ).fit(e)
+    probes = e.filter(F.col("vec_id") < 50)
+    pairs = lsh.approxSimilarityJoin(probes, e, 6.0, distCol="l2_dist")
+    return pairs.select(
+        F.col("datasetA.vec_id").alias("id1"),
+        F.col("datasetB.vec_id").alias("id2"),
+        F.round("l2_dist", 6).alias("l2_dist"),
+    ).filter(F.col("id1") != F.col("id2"))
+
+
+@query(
+    "sim_centroid",
+    oracle="""
+WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+x AS (SELECT label, unnest(v) AS val, unnest(range(0, len(v))) AS pos FROM e)
+SELECT label, pos, round(avg(val), 6) AS centroid_val
+FROM x GROUP BY label, pos
+""",
+)
+def sim_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids in long form (label, dimension, mean):
+    posexplode → (label, pos) hash aggregate — elementwise mean without
+    ever holding a vector per group in driver memory."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode(_dbl(F.col("embedding"))).alias("pos", "val")
+    )
+    return e.groupBy("label", "pos").agg(F.round(F.avg("val"), 6).alias("centroid_val"))
+
+
+@query(
+    "mm_vector_norm",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT vec_id,
+       round(sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)), 6) AS l2,
+       round(v[1] / sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)), 6) AS unit_first,
+       round(v[1] * 2 + 1, 6)  AS scaled_first,
+       round(list_reduce(v, (a, b) -> a + b), 6) AS comp_sum
+FROM e
+""",
+)
+def mm_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column math: L2 norm, normalization, affine scale,
+    component sum — all higher-order functions, zero Python."""
+    e = load(spark, sf_dir, "embeddings")
+    v = _dbl(F.col("embedding"))
+    n = _norm(v)
+    return e.select(
+        "vec_id",
+        F.round(n, 6).alias("l2"),
+        F.round(F.element_at(v, 1) / n, 6).alias("unit_first"),
+        F.round(F.element_at(v, 1) * 2 + 1, 6).alias("scaled_first"),
+        F.round(F.aggregate(v, F.lit(0.0), lambda s, x: s + x), 6).alias("comp_sum"),
+    )
+
+
+@query(
+    "grp_pandas_normalize",
+    oracle="""
+SELECT c_custkey,
+       round((c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_mktsegment))
+             / stddev_samp(c_acctbal) OVER (PARTITION BY c_mktsegment), 6) AS z
+FROM customer
+""",
+)
+def grp_pandas_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map transform: z-score per market segment via
+    applyInPandas — the Arrow-batched escape hatch for semantics the
+    built-ins can't express (here they can, which is exactly why it is
+    oracle-checkable against the window formulation)."""
+    import pandas as pd
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        z = (pdf["c_acctbal"] - pdf["c_acctbal"].mean()) / pdf["c_acctbal"].std(ddof=1)
+        return pd.DataFrame({"c_custkey": pdf["c_custkey"], "z": z.round(6)})
+
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").applyInPandas(zscore, "c_custkey long, z double")
