@@ -1,0 +1,375 @@
+"""Category I (ML half) — MLlib pipeline + evaluation suite
+(SURVEY.md §2.I).
+
+The reference is a systematic-review screening pipeline: featurize
+title/abstract text, train classical classifiers, rank documents by
+relevance score, and report recall-oriented metrics, headlined by
+WSS@95 (Work Saved over Sampling at 95% recall)
+[PUB — paper named in /root/reference/README.md:1; implementation not
+locally retrievable, see SURVEY.md §0].
+
+Design split:
+
+* Model TRAINING (ml_lr/nb/svm/rf/cv) is seeded MLlib — rows-only by
+  nature (float reductions vary with partition order across engines).
+* EVALUATION is pure relational math over a materialized scores table
+  — confusion, precision/recall/F1, exact Mann-Whitney AUC with tied
+  ranks, WSS@95, screening curve — all DuckDB-oracled. The scored
+  relation used by the oracle checks is a deterministic function of
+  the embeddings table so both engines see identical inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from systematic_review_classification_spark.registry import query
+from systematic_review_classification_spark.sources.tables import load
+
+# Deterministic "scored classifier output" twin used by the eval suite:
+# truth = (label >= 5), score = rounded component sum of the embedding.
+# (Metric math is exercised identically regardless of model quality.)
+_SCORED_SQL = """
+scored AS (
+  SELECT vec_id,
+         CAST(label >= 5 AS INTEGER) AS y,
+         round(list_reduce(embedding::DOUBLE[], (a, b) -> a + b), 6) AS score
+  FROM embeddings
+)
+"""
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        (F.col("label") >= 5).cast("int").alias("y"),
+        F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + x), 6).alias("score"),
+    )
+
+
+# --- featurization for the MLlib paths ------------------------------------
+
+
+def _featurized(spark: SparkSession, sf_dir: str):
+    """documents → (doc_id, label, features): hashed-TF vectors with a
+    content-derived binary label (text mentions 'spark')."""
+    from pyspark.ml.feature import HashingTF, RegexTokenizer
+
+    d = load(spark, sf_dir, "documents")
+    d = d.withColumn(
+        "label",
+        F.array_contains(F.split(F.col("text"), " "), "spark").cast("double"),
+    )
+    toks = RegexTokenizer(inputCol="text", outputCol="toks", pattern="\\s+").transform(d)
+    return HashingTF(inputCol="toks", outputCol="features", numFeatures=256).transform(
+        toks
+    )
+
+
+@query(
+    "ml_label_index",
+    oracle="""
+WITH freq AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang)
+SELECT d.doc_id, d.lang,
+       dense_rank() OVER (ORDER BY f.n DESC, f.lang) - 1 AS lang_idx
+FROM documents d JOIN freq f ON d.lang = f.lang
+""",
+)
+def ml_label_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label indexing, relational path: StringIndexer(frequencyDesc)
+    semantics — index by descending frequency, alphabetical tie-break —
+    expressed as a dense_rank so it is oracle-checkable."""
+    d = load(spark, sf_dir, "documents")
+    freq = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    joined = d.select("doc_id", "lang").join(F.broadcast(freq), "lang")
+    w = W.orderBy(F.col("n").desc(), "lang")
+    return joined.select(
+        "doc_id", "lang", (F.dense_rank().over(w) - 1).alias("lang_idx")
+    )
+
+
+@query(
+    "ml_split",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'c'
+            THEN 'train' ELSE 'test' END AS split
+FROM documents
+""",
+)
+def ml_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/test split (~81/19): portable
+    (md5 agrees across engines), reproducible, and — unlike
+    randomSplit — stable under repartitioning, which is what you want
+    when the corpus is 100 TB and the split must be recomputable."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) <= "c", "train"
+        )
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# --- seeded MLlib classifiers (rows-only by nature) ------------------------
+
+
+@query("ml_lr")
+def ml_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression on hashed-TF vectors (seeded). Returns the
+    scored table (id, label, prediction, probability of class 1)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import vector_to_array
+
+    feat = _featurized(spark, sf_dir)
+    model = LogisticRegression(maxIter=20, regParam=0.01).fit(feat)
+    return model.transform(feat).select(
+        "doc_id",
+        "label",
+        "prediction",
+        F.round(vector_to_array("probability").getItem(1), 4).alias("p1"),
+    )
+
+
+@query("ml_nb")
+def ml_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes — the classical-classifier family the
+    reference's paper compares [PUB]."""
+    from pyspark.ml.classification import NaiveBayes
+
+    feat = _featurized(spark, sf_dir)
+    model = NaiveBayes(modelType="multinomial", smoothing=1.0).fit(feat)
+    return model.transform(feat).select("doc_id", "label", "prediction")
+
+
+@query("ml_svm")
+def ml_svm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear SVM (hinge loss)."""
+    from pyspark.ml.classification import LinearSVC
+
+    feat = _featurized(spark, sf_dir)
+    model = LinearSVC(maxIter=15, regParam=0.05).fit(feat)
+    return model.transform(feat).select("doc_id", "label", "prediction")
+
+
+@query("ml_rf")
+def ml_rf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random forest (seeded) on hashed-TF features."""
+    from pyspark.ml.classification import RandomForestClassifier
+
+    feat = _featurized(spark, sf_dir)
+    model = RandomForestClassifier(numTrees=10, maxDepth=4, seed=42).fit(feat)
+    return model.transform(feat).select("doc_id", "label", "prediction")
+
+
+@query("ml_cv")
+def ml_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-fold cross-validation with a parameter grid (seeded) — the
+    reference's evaluation protocol [PUB]. Returns one row per grid
+    point with its mean CV metric."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    feat = _featurized(spark, sf_dir)
+    lr = LogisticRegression(maxIter=10)
+    grid = ParamGridBuilder().addGrid(lr.regParam, [0.01, 0.1]).build()
+    cv = CrossValidator(
+        estimator=lr,
+        estimatorParamMaps=grid,
+        evaluator=BinaryClassificationEvaluator(),
+        numFolds=3,
+        seed=42,
+        parallelism=2,
+    )
+    model = cv.fit(feat)
+    rows = [
+        (float(pm[lr.regParam]), float(m))
+        for pm, m in zip(grid, model.avgMetrics)
+    ]
+    return spark.createDataFrame(rows, "reg_param double, avg_auc double")
+
+
+# --- evaluation suite: pure SQL over the deterministic scores --------------
+
+
+@query(
+    "ml_eval_confusion",
+    oracle=f"""
+WITH {_SCORED_SQL}
+SELECT y, CAST(score > 0 AS INTEGER) AS pred, count(*) AS n
+FROM scored GROUP BY y, CAST(score > 0 AS INTEGER)
+""",
+)
+def ml_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of a thresholded scorer — a 4-row groupBy."""
+    s = _scored(spark, sf_dir)
+    return s.groupBy("y", (F.col("score") > 0).cast("int").alias("pred")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "ml_eval_prf",
+    oracle=f"""
+WITH {_SCORED_SQL},
+conf AS (
+  SELECT sum(CASE WHEN y = 1 AND score > 0 THEN 1 ELSE 0 END) AS tp,
+         sum(CASE WHEN y = 0 AND score > 0 THEN 1 ELSE 0 END) AS fp,
+         sum(CASE WHEN y = 1 AND score <= 0 THEN 1 ELSE 0 END) AS fn,
+         sum(CASE WHEN y = 0 AND score <= 0 THEN 1 ELSE 0 END) AS tn
+  FROM scored)
+SELECT round(CAST(tp AS DOUBLE) / (tp + fp), 6)            AS precision_,
+       round(CAST(tp AS DOUBLE) / (tp + fn), 6)            AS recall_,
+       round(CAST(tn AS DOUBLE) / (tn + fp), 6)            AS specificity,
+       round(2.0 * tp / (2.0 * tp + fp + fn), 6)           AS f1
+FROM conf
+""",
+)
+def ml_eval_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision / recall / specificity / F1 from confusion counts —
+    integer-ratio arithmetic, exact across engines."""
+    s = _scored(spark, sf_dir)
+    pred = (F.col("score") > 0).cast("int")
+    conf = s.agg(
+        F.sum(((F.col("y") == 1) & (pred == 1)).cast("int")).alias("tp"),
+        F.sum(((F.col("y") == 0) & (pred == 1)).cast("int")).alias("fp"),
+        F.sum(((F.col("y") == 1) & (pred == 0)).cast("int")).alias("fn"),
+        F.sum(((F.col("y") == 0) & (pred == 0)).cast("int")).alias("tn"),
+    )
+    tp, fp, fn, tn = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
+    return conf.select(
+        F.round(tp.cast("double") / (tp + fp), 6).alias("precision_"),
+        F.round(tp.cast("double") / (tp + fn), 6).alias("recall_"),
+        F.round(tn.cast("double") / (tn + fp), 6).alias("specificity"),
+        F.round(2.0 * tp / (2.0 * tp + fp + fn), 6).alias("f1"),
+    )
+
+
+@query(
+    "ml_eval_auc",
+    oracle=f"""
+WITH {_SCORED_SQL},
+ranked AS (
+  SELECT y,
+         rank() OVER (ORDER BY score)
+           + (count(*) OVER (PARTITION BY score) - 1) / 2.0 AS r_avg
+  FROM scored),
+agg AS (
+  SELECT sum(CASE WHEN y = 1 THEN r_avg ELSE 0 END) AS rank_sum,
+         sum(y) AS p, count(*) - sum(y) AS n
+  FROM ranked)
+SELECT round((rank_sum - p * (p + 1) / 2.0) / (p * n), 6) AS auc
+FROM agg
+""",
+)
+def ml_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC via the Mann-Whitney U statistic with midrank tie
+    handling — rank window + one aggregate, no quadratic pair join.
+    This is the 100 TB AUC: O(n log n) in the sort, not O(n²)."""
+    s = _scored(spark, sf_dir)
+    r_avg = F.rank().over(W.orderBy("score")) + (
+        F.count(F.lit(1)).over(W.partitionBy("score")) - 1
+    ) / 2.0
+    ranked = s.select("y", r_avg.alias("r_avg"))
+    agg = ranked.agg(
+        F.sum(F.when(F.col("y") == 1, F.col("r_avg")).otherwise(0.0)).alias("rank_sum"),
+        F.sum("y").alias("p"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("n"),
+    )
+    return agg.select(
+        F.round(
+            (F.col("rank_sum") - F.col("p") * (F.col("p") + 1) / 2.0)
+            / (F.col("p") * F.col("n")),
+            6,
+        ).alias("auc")
+    )
+
+
+@query(
+    "ml_eval_wss95",
+    oracle=f"""
+WITH {_SCORED_SQL},
+curve AS (
+  SELECT row_number() OVER (ORDER BY score DESC, vec_id) AS k,
+         sum(y) OVER (ORDER BY score DESC, vec_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+  FROM scored),
+tot AS (SELECT count(*) AS n_total, CAST(sum(y) AS BIGINT) AS n_pos FROM scored),
+hit AS (SELECT min(k) AS k_star FROM curve, tot
+        WHERE CAST(cum_pos AS DOUBLE) / n_pos >= 0.95)
+SELECT k_star,
+       round(CAST(n_total - k_star AS DOUBLE) / n_total - 0.05, 6) AS wss95
+FROM hit, tot
+""",
+)
+def ml_eval_wss95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WSS@95 — the reference field's headline metric [PUB]: rank by
+    score descending, find the smallest screening depth k* reaching
+    95% recall; WSS = (docs saved)/N − 5%. Pure window math."""
+    s = _scored(spark, sf_dir)
+    w_ord = W.orderBy(F.col("score").desc(), "vec_id")
+    curve = s.select(
+        F.row_number().over(w_ord).alias("k"),
+        F.sum("y").over(w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cum_pos"),
+    )
+    tot = s.agg(
+        F.count(F.lit(1)).alias("n_total"), F.sum("y").cast("bigint").alias("n_pos")
+    )
+    hit = (
+        curve.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum_pos").cast("double") / F.col("n_pos") >= 0.95)
+        .agg(F.min("k").alias("k_star"))
+    )
+    return hit.crossJoin(F.broadcast(tot)).select(
+        "k_star",
+        F.round(
+            (F.col("n_total") - F.col("k_star")).cast("double") / F.col("n_total") - 0.05,
+            6,
+        ).alias("wss95"),
+    )
+
+
+@query(
+    "ml_rank_screen",
+    oracle=f"""
+WITH {_SCORED_SQL},
+tot AS (SELECT CAST(sum(y) AS BIGINT) AS n_pos FROM scored),
+curve AS (
+  SELECT vec_id, y, score,
+         row_number() OVER (ORDER BY score DESC, vec_id) AS rank,
+         sum(y) OVER (ORDER BY score DESC, vec_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+  FROM scored)
+SELECT vec_id, rank, score, round(CAST(cum_pos AS DOUBLE) / n_pos, 6) AS cum_recall
+FROM curve, tot WHERE rank <= 100
+""",
+)
+def ml_rank_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Screening prioritization — the reference's user-facing output:
+    documents ranked by relevance score with the running recall curve
+    (read the top of the list first; stop at the recall target)."""
+    s = _scored(spark, sf_dir)
+    w_ord = W.orderBy(F.col("score").desc(), "vec_id")
+    tot = s.agg(F.sum("y").cast("bigint").alias("n_pos"))
+    curve = s.select(
+        "vec_id",
+        "score",
+        F.row_number().over(w_ord).alias("rank"),
+        F.sum("y").over(w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cum_pos"),
+    )
+    return (
+        curve.filter(F.col("rank") <= 100)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "vec_id",
+            "rank",
+            "score",
+            F.round(F.col("cum_pos").cast("double") / F.col("n_pos"), 6).alias("cum_recall"),
+        )
+    )
