@@ -1,0 +1,247 @@
+"""Category K — Structured Streaming operators (SURVEY.md §2.K).
+
+Each operator REALLY executes through the streaming engine
+(micro-batches, checkpoints, state store) via Trigger.AvailableNow
+over a staged file-source replay of the events table. Where the final
+state is a deterministic function of the input — tumbling/sliding
+windows in complete mode, watermark-exact dedup, single-batch stateful
+counts, foreachBatch merge — the result is DuckDB-oracled; only
+genuinely order/watermark-dependent behavior (late-data drop) is
+rows-only.
+
+Scale notes: windowed aggregations carry per-window state in the state
+store keyed by (window, group) — linear in open windows, not in input;
+the production sink is update-mode into a replayable log (the memory
+sink here is the test harness). Session windows merge state per key;
+dedup state is bounded by the watermark horizon.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from systematic_review_classification_spark.registry import query
+from systematic_review_classification_spark.streaming.helpers import (
+    read_events_stream,
+    run_to_memory,
+    stage_events_dir,
+    work_dir,
+)
+
+
+@query(
+    "stream_tumbling",
+    oracle="""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY bucket, event_type
+""",
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation, executed as a real stream (file
+    replay → window() agg → complete-mode memory sink)."""
+    src = stage_events_dir(sf_dir, "tumbling_src")
+    stream = read_events_stream(spark, src)
+    agg = stream.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value")
+    )
+    out = agg.select(
+        F.col("window.start").alias("bucket"), "event_type", "n", "total_value"
+    )
+    qname = run_to_memory(out, sf_dir, "tumbling", "complete")
+    return spark.table(qname)
+
+
+@query(
+    "stream_sliding",
+    oracle="""
+WITH shifted AS (
+  SELECT time_bucket(INTERVAL '15 minutes', ts) - j * INTERVAL '15 minutes' AS bucket,
+         event_type
+  FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS j)
+)
+SELECT bucket, event_type, count(*) AS n
+FROM shifted GROUP BY bucket, event_type
+""",
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h window, 15 min slide): every event lands in
+    exactly 4 overlapping windows. Oracle reconstructs the window set
+    arithmetically (bucket − j·slide for j ∈ 0..3)."""
+    src = stage_events_dir(sf_dir, "sliding_src")
+    stream = read_events_stream(spark, src)
+    agg = stream.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    out = agg.select(F.col("window.start").alias("bucket"), "event_type", "n")
+    qname = run_to_memory(out, sf_dir, "sliding", "complete")
+    return spark.table(qname)
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+SELECT event_type, count(*) AS n_unique
+FROM events GROUP BY event_type
+""",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup: the source replays every event TWICE (two
+    staged copies); dropDuplicatesWithinWatermark on event_id with a
+    watermark horizon covering the whole replay collapses them back to
+    the exact distinct set — verified against the batch distinct."""
+    import os
+
+    src = work_dir(sf_dir, "dedup_src")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src}/a.parquet")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src}/b.parquet")
+    stream = read_events_stream(spark, src, as_ntz=False)
+    deduped = stream.withWatermark("ts", "45 days").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique"))
+    qname = run_to_memory(agg, sf_dir, "dedup", "complete")
+    return spark.table(qname)
+
+
+@query("stream_watermark_late")  # rows-only: drop set depends on batch order
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark / late-data semantics: the replay is split into three
+    chronological thirds plus a final file that re-injects the oldest
+    events; with maxFilesPerTrigger=1 the watermark (1 hour behind
+    max ts) has advanced past them, so the append-mode output drops
+    them. Asserted locally: late rows do NOT appear in the sink."""
+    import os
+
+    from systematic_review_classification_spark.sources.tables import load
+
+    ev = load(spark, sf_dir, "events").orderBy("ts")
+    src = work_dir(sf_dir, "late_src")
+    parts = work_dir(sf_dir, "late_parts")
+    # three chronological thirds, then the oldest 5% replayed late
+    ev.withColumn("bucket", F.ntile(3).over(W.orderBy("ts", "event_id"))).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(parts)
+    late = ev.limit(max(ev.count() // 20, 1))
+    for i in (1, 2, 3):
+        os.makedirs(f"{src}/f{i}", exist_ok=True)
+        spark.read.parquet(f"{parts}/bucket={i}").write.mode("overwrite").parquet(
+            f"{src}/f{i}"
+        )
+    late.write.mode("overwrite").parquet(f"{src}/f4")
+    # flatten staged files with increasing mtimes for deterministic order
+    flat = work_dir(sf_dir, "late_flat")
+    t0 = 1_700_000_000
+    n = 0
+    for i in (1, 2, 3, 4):
+        for f in sorted(os.listdir(f"{src}/f{i}")):
+            if f.endswith(".parquet"):
+                dst = f"{flat}/{i:02d}_{f}"
+                os.link(f"{src}/f{i}/{f}", dst)
+                os.utime(dst, (t0 + n, t0 + n))
+                n += 1
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(flat).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+        .withColumn("ts", F.col("ts").cast("timestamp"))  # watermark needs ltz
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").cast("timestamp_ntz").alias("bucket"), "n")
+    )
+    sink = work_dir(sf_dir, "late_sink")
+    ckpt = work_dir(sf_dir, "late_ckpt")
+    (
+        agg.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(sink)
+
+
+_STATE_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+_STATE = T.StructType(
+    [T.StructField("n", T.LongType()), T.StructField("v", T.DoubleType())]
+)
+
+
+@query(
+    "stream_stateful",
+    oracle="""
+SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events GROUP BY user_id
+""",
+)
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful processing (applyInPandasWithState): running
+    per-user counters in the state store, update-mode emission. The
+    single-batch replay makes the final emission equal the batch
+    aggregate, so even this user-code path is oracle-checked."""
+
+    def track(key, pdfs, state):
+        n, v = (state.get if state.exists else (lambda: (0, 0.0)))()
+        for pdf in pdfs:
+            n += len(pdf)
+            v += float(pdf["value"].sum())
+        state.update((n, v))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(v, 2)]}
+        )
+
+    src = stage_events_dir(sf_dir, "stateful_src")
+    stream = read_events_stream(spark, src)
+    updated = stream.groupBy("user_id").applyInPandasWithState(
+        track, _STATE_OUT, _STATE, "update", "NoTimeout"
+    )
+    qname = run_to_memory(updated, sf_dir, "stateful", "update")
+    return spark.table(qname)
+
+
+@query(
+    "stream_foreachbatch",
+    oracle="""
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY event_type
+""",
+)
+def stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: each micro-batch appends to a parquet table
+    (the merge-into-lakehouse shape); the final table re-aggregated
+    equals the batch answer."""
+    src = stage_events_dir(sf_dir, "feb_src")
+    sink = work_dir(sf_dir, "feb_sink")
+    ckpt = work_dir(sf_dir, "feb_ckpt")
+    stream = read_events_stream(spark, src).select("event_id", "event_type", "value")
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(sink)
+
+    (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return (
+        spark.read.parquet(sink)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
