@@ -33,6 +33,8 @@ _OPERATOR_MODULES = [
     "systematic_review_classification_spark.operators.windows",
     "systematic_review_classification_spark.functions.scalar",
     "systematic_review_classification_spark.operators.text",
+    "systematic_review_classification_spark.operators.text_analysis",
+    "systematic_review_classification_spark.operators.multimodal",
     "systematic_review_classification_spark.operators.ml",
     "systematic_review_classification_spark.operators.dedup",
     "systematic_review_classification_spark.operators.similarity",

@@ -109,3 +109,146 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("id1") < F.col("id2"))
     )
+
+
+@query(
+    "dedup_simhash",
+    oracle="""
+WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+             FROM documents),
+b AS (
+  SELECT doc_id, pos,
+         CASE WHEN sum(CASE WHEN (strpos('0123456789abcdef',
+                                          substring(md5(token), pos, 1)) - 1) % 2 = 1
+                            THEN 1 ELSE -1 END) >= 0
+              THEN 1 ELSE 0 END AS bit
+  FROM tok CROSS JOIN (SELECT unnest(range(1, 17)) AS pos) AS p
+  GROUP BY doc_id, pos)
+SELECT doc_id,
+       CAST(sum(bit * CAST(power(2, pos - 1) AS BIGINT)) AS BIGINT) AS simhash
+FROM b GROUP BY doc_id
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document signatures (16-bit here; 64-bit is the same
+    plan wider): per distinct token take md5-derived bit votes, sign of
+    the per-position vote is the signature bit. One explode + two hash
+    aggregates - linear, shuffle-partitioned by doc, no pairwise work.
+    Near-dup candidates then hamming-band on the signature."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("token")
+    )
+    votes = tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.lit(16))).alias("pos"),
+        F.expr(
+            "CASE WHEN (instr('0123456789abcdef', substring(md5(token), pos, 1)) - 1) % 2 = 1 "
+            "THEN 1 ELSE -1 END"
+        ).alias("vote"),
+    )
+    bits = votes.groupBy("doc_id", "pos").agg(
+        (F.sum("vote") >= 0).cast("int").alias("bit")
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(F.col("bit") * F.pow(F.lit(2), F.col("pos") - 1).cast("bigint"))
+        .cast("bigint")
+        .alias("simhash")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+WITH g AS (
+  SELECT doc_id, source,
+         list_distinct(list_filter(
+           list_transform(list_zip(t, list_slice(t, 2, len(t))),
+                          p -> CASE WHEN p[2] IS NULL THEN NULL
+                                    ELSE p[1] || '_' || p[2] END),
+           x -> x IS NOT NULL)) AS grams
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents)),
+pairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         len(list_intersect(a.grams, b.grams)) AS nc,
+         len(a.grams) AS n1, len(b.grams) AS n2
+  FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id)
+SELECT id1, id2, round(CAST(nc AS DOUBLE) / (n1 + n2 - nc), 6) AS jaccard
+FROM pairs WHERE CAST(nc AS DOUBLE) / (n1 + n2 - nc) >= 0.08
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram (bigram shingle) Jaccard near-dup on blocked pairs -
+    shingles catch reordered-token near-dups that token-set Jaccard
+    misses. Same integer-ratio arithmetic, same blocking discipline."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = F.array_distinct(
+        F.filter(
+            F.zip_with(
+                toks,
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(1))),
+                lambda a, b: F.when(b.isNull(), None).otherwise(
+                    F.concat(a, F.lit("_"), b)
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    g = d.select("doc_id", "source", grams.alias("grams"))
+    a, b = g.alias("a"), g.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id1"),
+        F.col("b.doc_id").alias("id2"),
+        F.size(F.array_intersect("a.grams", "b.grams")).alias("nc"),
+        F.size("a.grams").alias("n1"),
+        F.size("b.grams").alias("n2"),
+    )
+    jac = F.col("nc").cast("double") / (F.col("n1") + F.col("n2") - F.col("nc"))
+    return pairs.filter(jac >= 0.08).select("id1", "id2", F.round(jac, 6).alias("jaccard"))
+
+
+@query(
+    "dedup_embed_cos",
+    oracle="""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         round(list_reduce(list_transform(list_zip(a.v, b.v), q -> q[1] * q[2]), (x, y) -> x + y)
+               / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
+                  * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y))), 6) AS cos_sim
+  FROM e a JOIN e b
+    ON a.label = b.label AND a.vec_id < b.vec_id AND a.vec_id % 10 = 0)
+SELECT id1, id2, cos_sim FROM pairs WHERE cos_sim >= 0.3
+""",
+)
+def dedup_embed_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: semantic dedup - blocked
+    (label block + probe stride) pairwise cosine with a similarity
+    floor. At 100 TB the block comes from LSH buckets (sim_ann_lsh) or
+    IVF cells; the pairwise core is this exact plan."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v")
+    )
+    a = e.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("id1"), F.col("label").alias("l1"), F.col("v").alias("v1")
+    )
+    b = e.select(
+        F.col("vec_id").alias("id2"), F.col("label").alias("l2"), F.col("v").alias("v2")
+    )
+    dot = F.aggregate(
+        F.zip_with("v1", "v2", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+    norm1 = F.sqrt(
+        F.aggregate(F.transform("v1", lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+    )
+    norm2 = F.sqrt(
+        F.aggregate(F.transform("v2", lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+    )
+    pairs = a.join(
+        b, (F.col("l1") == F.col("l2")) & (F.col("id1") < F.col("id2"))
+    ).select("id1", "id2", F.round(dot / (norm1 * norm2), 6).alias("cos_sim"))
+    return pairs.filter(F.col("cos_sim") >= 0.3)

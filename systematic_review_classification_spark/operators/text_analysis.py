@@ -1,0 +1,152 @@
+"""Task-brief text-analysis operators beyond the reference surface:
+language-ID heuristic, quality scoring, BPE-ish token counting,
+rolling-hash document fingerprinting (all relational, all oracled).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from systematic_review_classification_spark.registry import query
+from systematic_review_classification_spark.sources.tables import load
+
+_EN_STOP = ("the", "a", "of", "and", "to", "in", "is")
+_EN_STOP_SQL = ", ".join(f"'{w}'" for w in _EN_STOP)
+
+
+@query(
+    "txt_langid",
+    oracle=f"""
+WITH feats AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(text, ' '), t -> t IN ({_EN_STOP_SQL}))) AS stop_hits,
+         len(string_split(text, ' ')) AS n_tok,
+         CAST(len(regexp_extract_all(text, '[aeiou]')) AS DOUBLE) / length(text) AS vowel_ratio
+  FROM documents)
+SELECT doc_id, lang, stop_hits, round(vowel_ratio, 6) AS vowel_ratio,
+       CASE WHEN CAST(stop_hits AS DOUBLE) / n_tok >= 0.05 THEN 'en' ELSE 'unk' END AS pred_lang
+FROM feats
+""",
+)
+def txt_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-hit rate + vowel ratio →
+    threshold rule. (A real n-gram profile model drops into the same
+    shape: per-language feature columns + argmax.)"""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*_EN_STOP)))
+    vowel_ratio = F.regexp_count(F.col("text"), F.lit("[aeiou]")).cast("double") / F.length("text")
+    return d.select(
+        "doc_id",
+        "lang",
+        stop_hits.alias("stop_hits"),
+        F.round(vowel_ratio, 6).alias("vowel_ratio"),
+        F.when(stop_hits.cast("double") / F.size(toks) >= 0.05, "en")
+        .otherwise("unk")
+        .alias("pred_lang"),
+    )
+
+
+@query(
+    "txt_quality_score",
+    oracle=f"""
+WITH f AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tok,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS ttr,
+         CAST(len(list_filter(string_split(text, ' '), t -> t IN ({_EN_STOP_SQL}))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS stop_ratio,
+         CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_tok
+  FROM documents)
+SELECT doc_id, n_tok, round(ttr, 6) AS ttr, round(stop_ratio, 6) AS stop_ratio,
+       round(chars_per_tok, 6) AS chars_per_tok,
+       round(0.4 * least(ttr / 0.6, 1.0) + 0.3 * least(stop_ratio / 0.1, 1.0)
+             + 0.3 * least(n_tok / 50.0, 1.0), 6) AS quality
+FROM f
+""",
+)
+def txt_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (type-token ratio, stopword ratio,
+    length) — the continuous counterpart of txt_quality_filter's
+    hard gate; integer-ratio arithmetic so engines agree exactly."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(*_EN_STOP))).cast("double") / n_tok
+    )
+    cpt = F.length("text").cast("double") / n_tok
+    quality = F.round(
+        0.4 * F.least(ttr / 0.6, F.lit(1.0))
+        + 0.3 * F.least(stop_ratio / 0.1, F.lit(1.0))
+        + 0.3 * F.least(n_tok / 50.0, F.lit(1.0)),
+        6,
+    )
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        F.round(ttr, 6).alias("ttr"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(cpt, 6).alias("chars_per_tok"),
+        quality.alias("quality"),
+    )
+
+
+@query(
+    "txt_token_count_bpe",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_words,
+       CAST(list_reduce(list_prepend(0, list_transform(toks, w -> CAST(ceil(length(w) / 4.0) AS INTEGER))),
+                        (a, b) -> a + b) AS BIGINT) AS n_bpe_est,
+       CAST(len(toks) - 1 AS BIGINT) AS n_spaces
+FROM t
+""",
+)
+def txt_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace words + a BPE-ish estimate
+    (ceil(len/4) subwords per word — the usual chars-per-token rule of
+    thumb), computed with a higher-order fold, no tokenizer UDF."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bpe = F.aggregate(
+        F.transform(toks, lambda w: F.ceil(F.length(w) / 4.0).cast("int")),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_words"),
+        bpe.cast("bigint").alias("n_bpe_est"),
+        (F.size(toks) - 1).cast("bigint").alias("n_spaces"),
+    )
+
+
+@query(
+    "txt_fingerprint",
+    oracle="""
+WITH c AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT)) AS codes
+  FROM documents)
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+                   (h, x) -> (h * 31 + x) % 1000000007) AS fp
+FROM c
+""",
+)
+def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: classic polynomial rolling hash
+    (h = h·31 + byte mod 1e9+7) as a sequential higher-order fold —
+    exact integer arithmetic, identical in both engines. The content-
+    defined-chunking fingerprint for incremental dedup at scale."""
+    d = load(spark, sf_dir, "documents")
+    codes = F.transform(F.split(F.col("text"), ""), lambda ch: F.ascii(ch).cast("bigint"))
+    fp = F.aggregate(
+        codes, F.lit(0).cast("bigint"), lambda h, x: (h * 31 + x) % 1000000007
+    )
+    return d.select("doc_id", fp.alias("fp"))
