@@ -32,7 +32,10 @@ def main() -> None:
 
     from systematic_review_classification_spark import all_queries, get_session
 
-    spark = get_session(app_name="systematic-review-classification-spark-bench")
+    spark = get_session(
+        app_name="systematic-review-classification-spark-bench",
+        cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    )
     queries = all_queries()
     keys = [k for k in HEADLINE if k in queries]
 

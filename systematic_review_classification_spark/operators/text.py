@@ -208,9 +208,12 @@ def txt_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # df derives from tf (distinct doc-token pairs), not from a second
+    # explode — the tf exchange is shared via ReuseExchange, so the
+    # corpus is tokenized and shuffled exactly once
     idf = (
-        tok.groupBy("token")
-        .agg(F.countDistinct("doc_id").alias("df"))
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
         .crossJoin(F.broadcast(n))
         .select(
             "token",
