@@ -1,0 +1,96 @@
+"""Self-consistency assertions for rows-only operators (SURVEY.md
+§5.2.2): approx sketches bounded against exact answers, LSH candidate
+sets covering ground truth, engine hashes deterministic, streaming
+late-data actually dropped, seeded ML reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from systematic_review_classification_spark import all_queries
+from systematic_review_classification_spark.sources.tables import load
+
+QUERIES = all_queries()
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    rows = QUERIES["agg_approx_distinct"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        rel_err = abs(r.approx_nd_part - r.exact_nd_part) / max(r.exact_nd_part, 1)
+        assert rel_err < 0.1, f"{r}: HLL estimate off by {rel_err:.2%}"
+
+
+def test_minhash_covers_exact_duplicates(spark, sf_dir):
+    """Any two docs with identical text must appear as a candidate
+    pair (distance 0 always survives LSH banding)."""
+    d = load(spark, sf_dir, "documents")
+    exact = (
+        d.groupBy("text")
+        .agg(F.min("doc_id").alias("a"), F.max("doc_id").alias("b"), F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("a", "b")
+        .collect()
+    )
+    cands = {
+        (r.id1, r.id2) for r in QUERIES["dedup_minhash"](spark, sf_dir).collect()
+    }
+    for r in exact:
+        assert (min(r.a, r.b), max(r.a, r.b)) in cands
+
+
+def test_ann_lsh_recall_against_exact(spark, sf_dir):
+    """LSH neighbor pairs at L2 < 6 must be a subset of the true
+    (unfiltered) pair distances; spot-check a sample for distance
+    correctness."""
+    got = QUERIES["sim_ann_lsh"](spark, sf_dir).limit(20).collect()
+    assert got
+    e = {
+        r.vec_id: r.embedding
+        for r in load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200).collect()
+    }
+    import math
+
+    for r in got:
+        if r.id1 in e and r.id2 in e:
+            true = math.sqrt(sum((a - b) ** 2 for a, b in zip(e[r.id1], e[r.id2])))
+            assert abs(true - r.l2_dist) < 1e-4
+            assert r.l2_dist < 6.0
+
+
+def test_engine_hashes_deterministic(spark, sf_dir):
+    a = {(r.doc_id, r.text_xx64) for r in QUERIES["fn_hash_engine"](spark, sf_dir).collect()}
+    b = {(r.doc_id, r.text_xx64) for r in QUERIES["fn_hash_engine"](spark, sf_dir).collect()}
+    assert a == b and a
+
+
+def test_watermark_drops_late_rows(spark, sf_dir):
+    """The late-replayed oldest 5% must NOT be double counted: the
+    append-mode sink's total must not exceed the true event count, and
+    the oldest window must not include the replayed duplicates."""
+    sink = QUERIES["stream_watermark_late"](spark, sf_dir)
+    total_events = load(spark, sf_dir, "events").count()
+    emitted = sink.agg(F.sum("n")).collect()[0][0] or 0
+    assert emitted <= total_events, "late rows were double counted"
+    assert sink.count() > 0
+
+
+def test_ml_models_reproducible(spark, sf_dir):
+    p1 = {(r.doc_id, r.prediction) for r in QUERIES["ml_rf"](spark, sf_dir).collect()}
+    p2 = {(r.doc_id, r.prediction) for r in QUERIES["ml_rf"](spark, sf_dir).collect()}
+    assert p1 == p2 and p1
+
+
+def test_simhash_identical_docs_same_signature(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    dups = (
+        d.groupBy("text")
+        .agg(F.collect_list("doc_id").alias("ids"), F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .collect()
+    )
+    sig = {r.doc_id: r.simhash for r in QUERIES["dedup_simhash"](spark, sf_dir).collect()}
+    for r in dups:
+        sigs = {sig[i] for i in r.ids}
+        assert len(sigs) == 1, f"identical texts got different simhashes: {r.ids}"
