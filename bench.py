@@ -19,6 +19,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "agg_pricing_summary",  # TPC-H Q1 shape: scan → hash agg (BASELINE.md row 1)
     "join_multiway",        # Q3 shape: multi-join → agg (BASELINE.md row 3)
+    "wl_q6",                # pure scan-agg throughput probe
+    "wl_q3",                # join + agg + top-k workload
     "win_topk_group",       # window rank
     "txt_tfidf_topk",       # text featurization pipeline
     "dedup_exact",          # LLM-pipeline dedup

@@ -101,7 +101,11 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
                 px = np.frombuffer(blob, dtype=np.uint8)
-                rows.append((doc_id, len(px), round(float(px.mean()), 6)))
+                # half-away rounding to match SQL round(): Python's
+                # round() is banker's, and power-of-two pixel counts
+                # put the true mean exactly on 1e-6 midpoints
+                mean = float(np.floor(px.mean() * 1e6 + 0.5) / 1e6)
+                rows.append((doc_id, len(px), mean))
             yield pd.DataFrame(rows, columns=["doc_id", "n_px", "mean_px"])
 
     b = _with_blob(spark, sf_dir).select("doc_id", "blob")

@@ -1,0 +1,239 @@
+"""Composite workload queries + explicit scale techniques.
+
+wl_q3/q5/q6/q10 are TPC-H-shaped composite queries (adapted to the
+test schema's columns) — multi-join + agg + top-k workloads that
+exercise the planner end-to-end and anchor the benchmark.
+
+agg_skew_salted and join_bucketed demonstrate the two 100 TB shuffle
+techniques that don't appear anywhere else: salt-and-merge for skewed
+keys, and bucketed co-located joins that eliminate the shuffle
+entirely. Both are oracle-checked for result equality with their
+naive formulations.
+
+Revenue sums round at 4 decimals: the per-row revenue is an exact
+4-decimal value (2-dec price × 2-dec discount factor), so the true
+sum is 4-decimal and round(,4) recovers it exactly in both engines —
+a rounded-to-2 sum can sit on a .xx5 boundary and flip top-k
+membership across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from systematic_review_classification_spark.registry import query
+from systematic_review_classification_spark.sources.tables import load
+from systematic_review_classification_spark.streaming.helpers import sf_tag
+
+def _rev():
+    # built lazily: Column expressions need an active SparkContext
+    return F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+
+
+@query(
+    "wl_q3",
+    oracle="""
+SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       o_orderdate
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < timestamp '1998-01-01'
+  AND l_shipdate  > timestamp '1998-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+""",
+)
+def wl_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment filter → 3-way join → agg → top-10.
+    Customer (filtered) broadcasts; lineitem never shuffles pre-agg."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(_rev().alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .limit(10)
+    )
+
+
+@query(
+    "wl_q5",
+    oracle="""
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND o_orderdate >= timestamp '1996-01-01'
+GROUP BY n_name
+""",
+)
+def wl_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table local-supplier-volume join."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_rev().alias("revenue"))
+    )
+
+
+@query(
+    "wl_q6",
+    oracle="""
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+       count(*) AS n
+FROM lineitem
+WHERE l_shipdate >= timestamp '1997-01-01' AND l_shipdate < timestamp '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""",
+)
+def wl_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-aggregate with fully-pushed
+    predicates — the raw throughput probe."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "wl_q10",
+    oracle="""
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= timestamp '1996-01-01' AND o_orderdate < timestamp '1996-07-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+""",
+)
+def wl_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item report, top-20 customers."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_rev().alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "agg_skew_salted",
+    oracle="""
+SELECT l_suppkey, CAST(sum(l_quantity) AS DOUBLE) AS total_qty, count(*) AS n
+FROM lineitem GROUP BY l_suppkey
+""",
+)
+def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted aggregation: phase 1 aggregates on (key, salt) so a
+    hot key spreads over 8 reducers; phase 2 merges the partials on the
+    key. Result provably equals the naive single-phase groupBy (the
+    oracle). AQE's skew handling does this automatically for joins;
+    the explicit salt is the pattern for aggregations."""
+    li = load(spark, sf_dir, "lineitem")
+    salted = li.withColumn("salt", F.pmod(F.xxhash64("l_orderkey"), F.lit(8)))
+    partial = salted.groupBy("l_suppkey", "salt").agg(
+        F.sum("l_quantity").alias("part_qty"), F.count(F.lit(1)).alias("part_n")
+    )
+    return partial.groupBy("l_suppkey").agg(
+        F.sum("part_qty").alias("total_qty"), F.sum("part_n").alias("n")
+    )
+
+
+@query(
+    "join_bucketed",
+    oracle="""
+SELECT o_orderpriority, count(*) AS n, round(sum(l_quantity), 2) AS total_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both fact tables written bucketBy(8)
+    on the join key, then joined — the sort-merge join consumes bucket
+    layout directly, with NO Exchange on either side (asserted in
+    tests/test_plans.py). At 100 TB, pre-bucketing the two biggest
+    facts on their join key removes the dominant shuffle entirely."""
+    import shutil
+    from urllib.parse import urlparse
+
+    tag = sf_tag(sf_dir)
+    li_t, o_t = f"li_bucketed_{tag}", f"orders_bucketed_{tag}"
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in (li_t, o_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # the in-memory catalog forgets tables between sessions but the
+        # warehouse dir persists - clear stale locations
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable(li_t)
+    )
+    (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .saveAsTable(o_t)
+    )
+    li, o = spark.table(li_t), spark.table(o_t)
+    # merge hint: at test scale Spark would broadcast instead and never
+    # exercise the bucket layout; at 100 TB SMJ is what it picks anyway
+    return (
+        li.hint("merge").join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+    )

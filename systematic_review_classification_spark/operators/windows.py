@@ -104,17 +104,24 @@ def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_moving",
     oracle="""
 SELECT l_orderkey, l_linenumber, l_suppkey,
-       round(avg(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+       round(avg(l_quantity) OVER (PARTITION BY l_suppkey
+                                   ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS mov_avg_qty
 FROM lineitem
 """,
 )
 def win_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Moving aggregate over a 3-row sliding frame."""
+    """Moving aggregate over a 3-row sliding frame.
+
+    Ordering ends with l_quantity: (l_orderkey, l_linenumber) is NOT
+    unique in this data (143k duplicate pairs at sf0.1) — the averaged
+    measure itself completes a total order whose ties are
+    interchangeable for the output.
+    """
     li = load(spark, sf_dir, "lineitem")
     w = (
         W.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(-2, W.currentRow)
     )
     return li.select(

@@ -70,3 +70,14 @@ def test_partial_aggregation(spark, sf_dir):
     plan = plan_of(QUERIES["agg_pricing_summary"](spark, sf_dir))
     # partial (map-side) agg before the exchange, final after
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir):
+    df = QUERIES["join_bucketed"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "SortMergeJoin" in plan, plan
+    # bucket layout feeds the join directly: no Exchange below the join
+    join_part = plan.split("SortMergeJoin")[0]
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    assert "SelectedBucketsCount" in plan, plan
