@@ -373,3 +373,31 @@ def ml_rank_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cum_pos").cast("double") / F.col("n_pos"), 6).alias("cum_recall"),
         )
     )
+
+
+@query("ml_kmeans")
+def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMeans clustering (seeded) over the embedding vectors - the
+    IVF-coarse-quantizer building block for similarity search at
+    scale: cluster assignment = candidate cell."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        array_to_vector(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).alias("features"),
+    )
+    model = KMeans(k=5, seed=42, maxIter=20).fit(e)
+    return model.transform(e).select("vec_id", F.col("prediction").alias("cluster"))
+
+
+@query("ml_gbt")
+def ml_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient-boosted trees (seeded) on hashed text features."""
+    from pyspark.ml.classification import GBTClassifier
+
+    feat = _featurized(spark, sf_dir)
+    model = GBTClassifier(maxIter=5, maxDepth=3, seed=42).fit(feat)
+    return model.transform(feat).select("doc_id", "label", "prediction")

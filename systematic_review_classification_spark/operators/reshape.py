@@ -1,0 +1,134 @@
+"""Reshaping + source/frontend coverage: pivot/unpivot, range source,
+union-by-name with missing columns, seeded sampling, and the SQL
+string frontend (dual-frontend parity with the DataFrame API —
+SURVEY.md §3.4: both compile to the same Catalyst IR).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from systematic_review_classification_spark.registry import query
+from systematic_review_classification_spark.sources.tables import load
+
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+@query(
+    "pivot_wide",
+    oracle=f"""
+SELECT c_nationkey,
+       {", ".join(f"CAST(sum(CASE WHEN c_mktsegment = '{s}' THEN 1 END) AS BIGINT) AS {s}" for s in _SEGMENTS)}
+FROM customer GROUP BY c_nationkey
+""",
+)
+def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot long→wide with an explicit value list (never the
+    value-discovering form at scale — that's an extra pass + driver
+    collect of the distinct values)."""
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .pivot("c_mktsegment", _SEGMENTS)
+        .agg(F.count(F.lit(1)))
+    )
+
+
+@query(
+    "unpivot_long",
+    oracle="""
+SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
+""",
+)
+def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) wide→long — pure projection + generate, no
+    shuffle."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey", F.col("p_size").cast("double").alias("p_size"), "p_retailprice"
+    ).unpivot("p_partkey", ["p_size", "p_retailprice"], "metric", "value")
+
+
+@query(
+    "src_range",
+    oracle="""
+SELECT CAST(sum(r) AS BIGINT) AS total, count(*) AS n,
+       CAST(min(r) AS BIGINT) AS lo, CAST(max(r) AS BIGINT) AS hi
+FROM range(0, 100000, 7) t(r)
+""",
+)
+def src_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic range source — spark.range generates splits without
+    any input data (the backbone of generated benchmarks/backfills)."""
+    return spark.range(0, 100000, 7).agg(
+        F.sum("id").alias("total"),
+        F.count(F.lit(1)).alias("n"),
+        F.min("id").alias("lo"),
+        F.max("id").alias("hi"),
+    )
+
+
+@query(
+    "set_union_missing",
+    oracle="""
+SELECT r_regionkey AS key, r_name AS name, CAST(NULL AS INTEGER) AS parent FROM region
+UNION ALL
+SELECT n_nationkey AS key, n_name AS name, n_regionkey AS parent FROM nation
+""",
+)
+def set_union_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName(allowMissingColumns=True): schema-mismatched unions
+    null-fill the absent columns by NAME, not position."""
+    r = load(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("key"), F.col("r_name").alias("name")
+    )
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("key"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").alias("parent"),
+    )
+    return r.unionByName(n, allowMissingColumns=True)
+
+
+@query("sample_seeded")  # rows-only: Bernoulli sampling is engine-specific
+def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample — deterministic within Spark (same seed
+    + same partitioning), never cross-engine. The scale tool for
+    profiling a 100 TB table without reading it."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@query(
+    "sql_frontend",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n
+FROM lineitem
+WHERE l_shipdate <= timestamp '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-string frontend over direct parquet paths — proves the
+    spark.sql entry point compiles to the same Catalyst plan the
+    DataFrame API produces (SURVEY.md §3.4)."""
+    from systematic_review_classification_spark.session import ensure_confs
+
+    ensure_confs(spark)
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS n
+        FROM parquet.`{sf_dir}/lineitem.parquet`
+        WHERE l_shipdate <= timestamp_ntz'1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )

@@ -245,3 +245,31 @@ def stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
     )
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+SELECT c_mktsegment, count(*) AS n, CAST(sum(user_id) AS BIGINT) AS uid_sum
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the streaming side enriches against a
+    batch dimension (re-read every micro-batch, broadcast by the
+    planner) - the canonical streaming-enrichment shape. Final
+    aggregated state equals the batch join."""
+    from systematic_review_classification_spark.sources.tables import load
+
+    src = stage_events_dir(sf_dir, "ssj_src")
+    stream = read_events_stream(spark, src).select("event_id", "user_id")
+    dim = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = stream.join(F.broadcast(dim), stream.user_id == dim.c_custkey)
+    # streaming aggs don't support exact countDistinct — exact integer
+    # sum serves as the checksum instead
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("user_id").alias("uid_sum")
+    )
+    qname = run_to_memory(agg, sf_dir, "ssj", "complete")
+    return spark.table(qname)
