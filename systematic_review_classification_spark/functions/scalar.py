@@ -124,7 +124,12 @@ FROM documents
 """,
 )
 def fn_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit distance — near-duplicate keys for fuzzy dedup."""
+    """Edit distance — near-duplicate keys for fuzzy dedup.
+
+    Dialect caveat (tests/test_edge_values.py): DuckDB levenshtein
+    counts UTF-8 bytes, Spark counts characters — identical on ASCII
+    (all columns used here), divergent on multibyte text.
+    """
     d = load(spark, sf_dir, "documents")
     return d.select(
         "doc_id",

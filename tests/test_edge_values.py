@@ -1,0 +1,143 @@
+"""Property-style edge-value checks (SURVEY.md §5.2.5): scalar
+functions compared Spark-vs-DuckDB on adversarial inputs — empty
+strings, unicode (zh docs exist in the corpus), embedded quotes,
+whitespace, nulls, boundary timestamps — the places dialect drift
+breeds outside the happy path of the synthetic tables.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+EDGE_STRINGS = [
+    "",
+    " ",
+    "  leading and trailing  ",
+    "中文文本处理",
+    "mixed 中文 and ascii",
+    "it's \"quoted\"",
+    "tab\there",
+    "UPPER lower MiXeD",
+    "a",
+    "repeat repeat repeat",
+    "x" * 500,
+]
+
+
+@pytest.fixture(scope="module")
+def edge_pdf():
+    return pd.DataFrame({"id": range(len(EDGE_STRINGS)), "s": EDGE_STRINGS})
+
+
+@pytest.fixture(scope="module")
+def edge_duck(edge_pdf):
+    con = duckdb.connect()
+    con.register("edge", edge_pdf)
+    return con
+
+
+def _cmp(spark, edge_pdf, edge_duck, spark_expr: str, duck_expr: str):
+    sdf = spark.createDataFrame(edge_pdf)
+    sdf.createOrReplaceTempView("edge_v")
+    got = {
+        r.id: r.v
+        for r in spark.sql(f"SELECT id, {spark_expr} AS v FROM edge_v").collect()
+    }
+    want = {
+        r[0]: r[1]
+        for r in edge_duck.execute(f"SELECT id, {duck_expr} AS v FROM edge").fetchall()
+    }
+    assert got == want, f"{spark_expr!r}: {got} != {want}"
+
+
+PAIRS = [
+    ("length(s)", "length(s)"),
+    ("upper(s)", "upper(s)"),
+    ("lower(s)", "lower(s)"),
+    ("trim(s)", "trim(s)"),
+    ("reverse(s)", "reverse(s)"),
+    ("substring(s, 2, 3)", "substring(s, 2, 3)"),
+    ("concat_ws('-', s, s)", "concat_ws('-', s, s)"),
+    ("replace(s, 'repeat', 'r')", "replace(s, 'repeat', 'r')"),
+    ("instr(s, '中')", "strpos(s, '中')"),
+    ("md5(s)", "md5(s)"),
+    ("regexp_replace(s, '[aeiou]', '_')", "regexp_replace(s, '[aeiou]', '_', 'g')"),
+    ("size(split(s, ' '))", "len(string_split(s, ' '))"),
+    ("lpad(s, 5, '*')", "lpad(s, 5, '*')"),
+    ("startswith(s, 'a')", "starts_with(s, 'a')"),
+]
+
+
+@pytest.mark.parametrize("spark_expr,duck_expr", PAIRS, ids=[p[0] for p in PAIRS])
+def test_string_fn_edges(spark, edge_pdf, edge_duck, spark_expr, duck_expr):
+    _cmp(spark, edge_pdf, edge_duck, spark_expr, duck_expr)
+
+
+def test_levenshtein_unicode_divergence(spark, edge_pdf, edge_duck):
+    """Documented dialect divergence: DuckDB levenshtein counts UTF-8
+    BYTES, Spark counts CHARACTERS — equal on ASCII, different on
+    multibyte text. fn_editdist's oracle therefore only runs over
+    ASCII columns."""
+    sdf = spark.createDataFrame(edge_pdf)
+    sdf.createOrReplaceTempView("edge_lev")
+    got = {
+        r.id: r.v
+        for r in spark.sql(
+            "SELECT id, levenshtein(s, 'abc') AS v FROM edge_lev"
+        ).collect()
+    }
+    want = {
+        r[0]: r[1]
+        for r in edge_duck.execute(
+            "SELECT id, levenshtein(s, 'abc') FROM edge"
+        ).fetchall()
+    }
+    for i, s in enumerate(EDGE_STRINGS):
+        if s.isascii():
+            assert got[i] == want[i], f"ascii input {s!r} should agree"
+        else:
+            assert got[i] <= want[i], "Spark chars can never exceed DuckDB bytes"
+    assert got[3] == 6 and want[3] == 18  # 中文文本处理: 6 chars, 18 bytes
+
+
+def test_null_propagation(spark, edge_duck, edge_pdf):
+    _cmp(
+        spark,
+        edge_pdf,
+        edge_duck,
+        "coalesce(nullif(s, ''), 'EMPTY')",
+        "coalesce(nullif(s, ''), 'EMPTY')",
+    )
+    _cmp(
+        spark,
+        edge_pdf,
+        edge_duck,
+        "nullif(s, ' ') IS NULL",
+        "nullif(s, ' ') IS NULL",
+    )
+
+
+def test_boundary_timestamps(spark):
+    con = duckdb.connect()
+    cases = ["1970-01-01 00:00:00", "1969-12-31 23:59:59", "2262-04-11 00:00:00",
+             "2024-02-29 23:59:59"]
+    pdf = pd.DataFrame({"id": range(len(cases)), "t": pd.to_datetime(cases)})
+    con.register("ts_edge", pdf)
+    sdf = spark.createDataFrame(pdf)
+    sdf.createOrReplaceTempView("ts_edge_v")
+    got = {
+        r.id: (r.y, r.m, r.d, r.e)
+        for r in spark.sql(
+            "SELECT id, year(t) AS y, month(t) AS m, day(t) AS d, "
+            "unix_timestamp(t) AS e FROM ts_edge_v"
+        ).collect()
+    }
+    want = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(
+            "SELECT id, year(t), month(t), day(t), epoch_us(t) // 1000000 FROM ts_edge"
+        ).fetchall()
+    }
+    assert got == want
