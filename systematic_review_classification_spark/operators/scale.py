@@ -203,22 +203,23 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_plans.py). At 100 TB, pre-bucketing the two biggest
     facts on their join key removes the dominant shuffle entirely."""
     import shutil
-    from urllib.parse import urlparse
 
     tag = sf_tag(sf_dir)
     li_t, o_t = f"li_bucketed_{tag}", f"orders_bucketed_{tag}"
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    # external tables under /tmp: keeps the (cwd-relative) warehouse
+    # untouched, and clears stale locations the fresh in-memory catalog
+    # no longer knows about
+    base = f"/tmp/systematic_review_classification_spark_bucketed/{tag}"
     for t in (li_t, o_t):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
-        # the in-memory catalog forgets tables between sessions but the
-        # warehouse dir persists - clear stale locations
-        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+        shutil.rmtree(f"{base}/{t}", ignore_errors=True)
     (
         load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_quantity")
         .write.bucketBy(8, "l_orderkey")
         .sortBy("l_orderkey")
         .mode("overwrite")
+        .option("path", f"{base}/{li_t}")
         .saveAsTable(li_t)
     )
     (
@@ -227,6 +228,7 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.bucketBy(8, "o_orderkey")
         .sortBy("o_orderkey")
         .mode("overwrite")
+        .option("path", f"{base}/{o_t}")
         .saveAsTable(o_t)
     )
     li, o = spark.table(li_t), spark.table(o_t)
