@@ -166,3 +166,42 @@ def grp_pandas_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = load(spark, sf_dir, "customer")
     return c.groupBy("c_mktsegment").applyInPandas(zscore, "c_custkey long, z double")
+
+
+@query("sim_ivf_topk")  # rows-only: cell assignment is model-dependent
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a seeded KMeans coarse quantizer assigns every
+    vector to a cell; probes search only their own cell's inverted
+    list. This is the scale path when no natural block exists: the
+    pairwise work drops from O(n^2) to O(n^2/k) with recall controlled
+    by nprobe (1 here). Local tests check recall against the exact
+    scan. The inner pairwise core reuses the zip_with dot product -
+    all JVM, no UDF."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _dbl(F.col("embedding")).alias("v")
+    )
+    feat = e.withColumn("features", array_to_vector("v"))
+    model = KMeans(k=8, seed=42, maxIter=20).fit(feat)
+    cells = model.transform(feat).select(
+        "vec_id", "v", F.col("prediction").alias("cell")
+    )
+    probes = cells.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("id1"), F.col("v").alias("v1"), F.col("cell").alias("c1")
+    )
+    cand = cells.select(
+        F.col("vec_id").alias("id2"), F.col("v").alias("v2"), F.col("cell").alias("c2")
+    )
+    pairs = probes.join(
+        cand, (F.col("c1") == F.col("c2")) & (F.col("id1") != F.col("id2"))
+    ).select(
+        "id1",
+        "id2",
+        F.round(
+            _dot(F.col("v1"), F.col("v2")) / (_norm(F.col("v1")) * _norm(F.col("v2"))), 6
+        ).alias("cos_sim"),
+    )
+    w = W.partitionBy("id1").orderBy(F.col("cos_sim").desc(), "id2")
+    return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)

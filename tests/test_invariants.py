@@ -94,3 +94,35 @@ def test_simhash_identical_docs_same_signature(spark, sf_dir):
     for r in dups:
         sigs = {sig[i] for i in r.ids}
         assert len(sigs) == 1, f"identical texts got different simhashes: {r.ids}"
+
+def test_ivf_topk_recall_vs_exact(spark, sf_dir):
+    """IVF top-1 must be findable in the exact scan, and its cosine can
+    never exceed the exact global top-1 for the same probe."""
+    import math
+
+    ivf = QUERIES["sim_ivf_topk"](spark, sf_dir).collect()
+    assert ivf
+    best_ivf = {}
+    for r in ivf:
+        if r.rn == 1:
+            best_ivf[r.id1] = (r.id2, r.cos_sim)
+    vecs = {
+        r.vec_id: r.embedding
+        for r in load(spark, sf_dir, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    checked = 0
+    for pid, (nid, sim) in list(best_ivf.items())[:10]:
+        exact_best = max(
+            cos(vecs[pid], v) for k, v in vecs.items() if k != pid
+        )
+        assert sim <= exact_best + 1e-6, "IVF found better than exact?!"
+        assert abs(cos(vecs[pid], vecs[nid]) - sim) < 1e-4
+        checked += 1
+    assert checked > 0
