@@ -232,30 +232,36 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id,
        len(string_split(text, ' '))                                    AS n_tokens,
        list_contains(string_split(text, ' '), 'spark')                 AS has_spark,
-       list_sort(list_distinct(string_split(text, ' ')))               AS vocab,
+       array_to_string(list_sort(list_distinct(string_split(text, ' '))), '|') AS vocab,
        list_position(string_split(text, ' '), 'spark')                 AS spark_pos,
-       list_slice(string_split(text, ' '), 1, 5)                       AS head5,
-       list_sort(list_slice(string_split(text, ' '), 1, 5))            AS head5_sorted,
-       flatten([list_slice(string_split(text, ' '), 1, 2),
-                list_slice(string_split(text, ' '), 3, 4)])            AS head4_via_flatten
+       array_to_string(list_slice(string_split(text, ' '), 1, 5), '|') AS head5,
+       array_to_string(list_sort(list_slice(string_split(text, ' '), 1, 5)), '|')
+                                                                       AS head5_sorted,
+       array_to_string(flatten([list_slice(string_split(text, ' '), 1, 2),
+                                list_slice(string_split(text, ' '), 3, 4)]), '|')
+                                                                       AS head4_via_flatten
 FROM documents WHERE doc_id < 200
 """,
 )
 def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array functions over tokenized text. array_distinct keeps
     first-occurrence order in Spark but is unordered in DuckDB —
-    both sides sort for a canonical value."""
+    both sides sort for a canonical value. Array results are joined to
+    '|'-separated strings so the output stays hashable for pandas-based
+    result canonicalizers (raw list cells are unhashable)."""
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     toks = F.split(F.col("text"), " ")
     return d.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.array_contains(toks, "spark").alias("has_spark"),
-        F.sort_array(F.array_distinct(toks)).alias("vocab"),
+        F.array_join(F.sort_array(F.array_distinct(toks)), "|").alias("vocab"),
         F.array_position(toks, "spark").cast("int").alias("spark_pos"),
-        F.slice(toks, 1, 5).alias("head5"),
-        F.sort_array(F.slice(toks, 1, 5)).alias("head5_sorted"),
-        F.flatten(F.array(F.slice(toks, 1, 2), F.slice(toks, 3, 2))).alias("head4_via_flatten"),
+        F.array_join(F.slice(toks, 1, 5), "|").alias("head5"),
+        F.array_join(F.sort_array(F.slice(toks, 1, 5)), "|").alias("head5_sorted"),
+        F.array_join(
+            F.flatten(F.array(F.slice(toks, 1, 2), F.slice(toks, 3, 2))), "|"
+        ).alias("head4_via_flatten"),
     )
 
 
@@ -318,8 +324,8 @@ def fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_id,
        CAST(props ->> '$.k' AS INTEGER)     AS k_val,
-       len(json_keys(props))                AS n_keys,
-       list_sort(json_keys(props))          AS key_list
+       len(json_keys(props))                            AS n_keys,
+       array_to_string(list_sort(json_keys(props)), ',') AS key_list
 FROM events WHERE event_id < 500
 """,
 )
@@ -333,7 +339,7 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.element_at(m, "k").alias("k_val"),
         F.size(F.map_keys(m)).cast("bigint").alias("n_keys"),
-        F.sort_array(F.map_keys(m)).alias("key_list"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("key_list"),
     )
 
 

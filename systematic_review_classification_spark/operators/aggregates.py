@@ -205,19 +205,31 @@ def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_collect",
     oracle="""
-SELECT c_nationkey, list_sort(array_agg(c_custkey)) AS custkeys, count(*) AS n
+SELECT c_nationkey,
+       array_to_string(list_sort(array_agg(c_custkey)), ',') AS custkeys,
+       count(*) AS n
 FROM customer WHERE c_acctbal > 9000
 GROUP BY c_nationkey
 """,
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array aggregation — sorted for cross-engine determinism."""
+    """Array aggregation — collect_list, numerically sorted for
+    cross-engine determinism, then joined to one scalar string so the
+    result stays hashable for any downstream pandas canonicalizer
+    (a raw array<long> column is unhashable in pandas sort/factorize).
+    """
     c = load(spark, sf_dir, "customer")
     return (
         c.filter(F.col("c_acctbal") > 9000)
         .groupBy("c_nationkey")
         .agg(
-            F.sort_array(F.collect_list("c_custkey")).alias("custkeys"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("c_custkey")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("custkeys"),
             F.count(F.lit(1)).alias("n"),
         )
     )

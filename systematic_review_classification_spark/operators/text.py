@@ -79,8 +79,8 @@ SELECT doc_id,
        len(list_filter(string_split(text, ' '), t -> t NOT IN ({_STOP_SQL}))) AS n_content,
        len(string_split(text, ' '))
          - len(list_filter(string_split(text, ' '), t -> t NOT IN ({_STOP_SQL}))) AS n_stop,
-       list_sort(list_distinct(list_filter(string_split(text, ' '),
-                                           t -> t NOT IN ({_STOP_SQL})))) AS content_vocab
+       array_to_string(list_sort(list_distinct(list_filter(string_split(text, ' '),
+                                           t -> t NOT IN ({_STOP_SQL})))), '|') AS content_vocab
 FROM documents WHERE doc_id < 300
 """,
 )
@@ -93,7 +93,7 @@ def txt_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(content).alias("n_content"),
         (F.size(toks) - F.size(content)).alias("n_stop"),
-        F.sort_array(F.array_distinct(content)).alias("content_vocab"),
+        F.array_join(F.sort_array(F.array_distinct(content)), "|").alias("content_vocab"),
     )
 
 
