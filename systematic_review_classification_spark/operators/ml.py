@@ -81,13 +81,18 @@ FROM documents d JOIN freq f ON d.lang = f.lang
 def ml_label_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label indexing, relational path: StringIndexer(frequencyDesc)
     semantics — index by descending frequency, alphabetical tie-break —
-    expressed as a dense_rank so it is oracle-checkable."""
+    expressed as a dense_rank so it is oracle-checkable.
+
+    The rank window runs over the AGGREGATED label-frequency table
+    (one row per distinct label — bounded, never the corpus), and the
+    tiny indexed result broadcasts back onto the fact. The corpus
+    itself only pays one map-side-combined groupBy."""
     d = load(spark, sf_dir, "documents")
     freq = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
-    joined = d.select("doc_id", "lang").join(F.broadcast(freq), "lang")
     w = W.orderBy(F.col("n").desc(), "lang")
-    return joined.select(
-        "doc_id", "lang", (F.dense_rank().over(w) - 1).alias("lang_idx")
+    idx = freq.select("lang", (F.dense_rank().over(w) - 1).alias("lang_idx"))
+    return d.select("doc_id", "lang").join(F.broadcast(idx), "lang").select(
+        "doc_id", "lang", "lang_idx"
     )
 
 
@@ -198,6 +203,53 @@ def ml_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- evaluation suite: pure SQL over the deterministic scores --------------
 
 
+def _screen_curve(df: DataFrame):
+    """Distributed screening curve: global row_number ``k`` (by score
+    desc, vec_id) and running positive count ``cum_pos`` for every row,
+    WITHOUT a single-reducer global window.
+
+    Two-pass range rank: (1) repartitionByRange on the sort key, so
+    partition *i* holds a contiguous slice of the global order (equal
+    keys never split across partitions); (2) per-partition row/positive
+    counts — an n_shuffle_partitions-row table — become cumulative
+    offsets via a window over that bounded table; (3) each row adds its
+    partition's offset to its WITHIN-partition row_number/running sum.
+    Every window is either partitioned (by ``_pid``) or runs over the
+    bounded per-partition stats, so the plan scales with the cluster
+    instead of funneling the corpus through one reducer.
+
+    Returns ``(curve, totals)`` where curve = (vec_id, y, score, k,
+    cum_pos) and totals = 1-row (n_total, n_pos) derived from the same
+    per-partition stats (no second scan of the input).
+    """
+    d = df.repartitionByRange(F.col("score").desc(), "vec_id").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    pstats = d.groupBy("_pid").agg(
+        F.count(F.lit(1)).alias("_pcnt"), F.sum("y").alias("_ppos")
+    )
+    w_p = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    offs = pstats.select(
+        "_pid",
+        F.coalesce(F.sum("_pcnt").over(w_p), F.lit(0)).alias("_off_k"),
+        F.coalesce(F.sum("_ppos").over(w_p), F.lit(0)).alias("_off_pos"),
+    )
+    w_in = W.partitionBy("_pid").orderBy(F.col("score").desc(), "vec_id")
+    cum_in = F.sum("y").over(w_in.rowsBetween(W.unboundedPreceding, W.currentRow))
+    curve = d.join(F.broadcast(offs), "_pid").select(
+        "vec_id",
+        "y",
+        "score",
+        (F.row_number().over(w_in) + F.col("_off_k")).alias("k"),
+        (cum_in + F.col("_off_pos")).alias("cum_pos"),
+    )
+    totals = pstats.agg(
+        F.sum("_pcnt").alias("n_total"),
+        F.sum("_ppos").cast("bigint").alias("n_pos"),
+    )
+    return curve, totals
+
+
 @query(
     "ml_eval_confusion",
     oracle=f"""
@@ -270,17 +322,39 @@ FROM agg
 )
 def ml_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ROC AUC via the Mann-Whitney U statistic with midrank tie
-    handling — rank window + one aggregate, no quadratic pair join.
-    This is the 100 TB AUC: O(n log n) in the sort, not O(n²)."""
+    handling — O(n log n), no quadratic pair join, and no global
+    single-reducer window.
+
+    Distributed plan: pre-aggregate per distinct score (cnt, positives)
+    with a map-side-combined groupBy, then compute each score group's
+    global min-rank by the two-pass range trick (repartitionByRange on
+    score + per-partition counts → cumulative offsets over the bounded
+    stats table + within-partition running sum). A tie group's midrank
+    is min_rank + (cnt-1)/2, so rank_sum = Σ pos·(min_rank+(cnt-1)/2) —
+    exactly the oracle's rank()+midrank formula, row for row."""
     s = _scored(spark, sf_dir)
-    r_avg = F.rank().over(W.orderBy("score")) + (
-        F.count(F.lit(1)).over(W.partitionBy("score")) - 1
-    ) / 2.0
-    ranked = s.select("y", r_avg.alias("r_avg"))
+    g = s.groupBy("score").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
+    )
+    d = g.repartitionByRange("score").withColumn("_pid", F.spark_partition_id())
+    pstats = d.groupBy("_pid").agg(F.sum("cnt").alias("_pcnt"))
+    w_p = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    offs = pstats.select(
+        "_pid", F.coalesce(F.sum("_pcnt").over(w_p), F.lit(0)).alias("_off")
+    )
+    w_in = W.partitionBy("_pid").orderBy("score")
+    cum_before = F.coalesce(
+        F.sum("cnt").over(w_in.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+    )
+    ranked = d.join(F.broadcast(offs), "_pid").select(
+        "pos", "cnt", (cum_before + F.col("_off") + 1).alias("r_min")
+    )
     agg = ranked.agg(
-        F.sum(F.when(F.col("y") == 1, F.col("r_avg")).otherwise(0.0)).alias("rank_sum"),
-        F.sum("y").alias("p"),
-        (F.count(F.lit(1)) - F.sum("y")).alias("n"),
+        F.sum(
+            F.col("pos") * (F.col("r_min") + (F.col("cnt") - 1) / 2.0)
+        ).alias("rank_sum"),
+        F.sum("pos").alias("p"),
+        (F.sum("cnt") - F.sum("pos")).alias("n"),
     )
     return agg.select(
         F.round(
@@ -311,16 +385,13 @@ FROM hit, tot
 def ml_eval_wss95(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WSS@95 — the reference field's headline metric [PUB]: rank by
     score descending, find the smallest screening depth k* reaching
-    95% recall; WSS = (docs saved)/N − 5%. Pure window math."""
-    s = _scored(spark, sf_dir)
-    w_ord = W.orderBy(F.col("score").desc(), "vec_id")
-    curve = s.select(
-        F.row_number().over(w_ord).alias("k"),
-        F.sum("y").over(w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cum_pos"),
-    )
-    tot = s.agg(
-        F.count(F.lit(1)).alias("n_total"), F.sum("y").cast("bigint").alias("n_pos")
-    )
+    95% recall; WSS = (docs saved)/N − 5%.
+
+    The screening curve comes from the distributed two-pass rank in
+    :func:`_screen_curve` (range-repartitioned, per-partition offsets)
+    instead of a global single-partition window, so the metric stays a
+    fully parallel 2-shuffle plan at any corpus size."""
+    curve, tot = _screen_curve(_scored(spark, sf_dir))
     hit = (
         curve.crossJoin(F.broadcast(tot))
         .filter(F.col("cum_pos").cast("double") / F.col("n_pos") >= 0.95)
@@ -353,25 +424,29 @@ FROM curve, tot WHERE rank <= 100
 def ml_rank_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Screening prioritization — the reference's user-facing output:
     documents ranked by relevance score with the running recall curve
-    (read the top of the list first; stop at the recall target)."""
+    (read the top of the list first; stop at the recall target).
+
+    Only the top 100 rows are reported, so the global sort is a
+    ``orderBy().limit(100)`` — TakeOrderedAndProject, a per-partition
+    top-k merge that never materializes the full sort. The rank/recall
+    window then runs over those ≤100 rows (bounded input, scale-safe);
+    the unsorted corpus pays only one map-side-combined aggregate for
+    the positive total."""
     s = _scored(spark, sf_dir)
-    w_ord = W.orderBy(F.col("score").desc(), "vec_id")
     tot = s.agg(F.sum("y").cast("bigint").alias("n_pos"))
-    curve = s.select(
+    top = s.orderBy(F.col("score").desc(), "vec_id").limit(100)
+    w_ord = W.orderBy(F.col("score").desc(), "vec_id")
+    curve = top.select(
         "vec_id",
         "score",
         F.row_number().over(w_ord).alias("rank"),
         F.sum("y").over(w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cum_pos"),
     )
-    return (
-        curve.filter(F.col("rank") <= 100)
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "vec_id",
-            "rank",
-            "score",
-            F.round(F.col("cum_pos").cast("double") / F.col("n_pos"), 6).alias("cum_recall"),
-        )
+    return curve.crossJoin(F.broadcast(tot)).select(
+        "vec_id",
+        "rank",
+        "score",
+        F.round(F.col("cum_pos").cast("double") / F.col("n_pos"), 6).alias("cum_recall"),
     )
 
 

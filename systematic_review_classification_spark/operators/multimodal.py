@@ -66,6 +66,14 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Opt-in switch for a real codec (PIL/ffmpeg) decode path. The default
+# deterministic byte-stats decode ALWAYS runs regardless of which
+# libraries happen to be importable on the workers — query success must
+# depend on the data, never on environment packages. Flipping this in a
+# real deployment swaps in the codec branch below.
+REAL_DECODE = False
+
+
 @query(
     "mm_decode_stub",
     oracle="""
@@ -84,18 +92,17 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'Decode' an asset via Arrow-batched mapInPandas: bytes →
     numpy buffer → per-asset pixel stats. The deterministic fake
     decode (raw bytes AS pixels) keeps it oracle-able; the real codec
-    branch is the clearly-marked stub below."""
+    branch is the clearly-marked stub behind :data:`REAL_DECODE`.
+
+    Oracle note: the blob is utf8 bytes of `text` while the oracle
+    iterates characters — equivalent only because the fixture corpus is
+    ASCII (1 byte = 1 codepoint); a non-ASCII corpus needs the oracle
+    switched to octet-level stats."""
     import numpy as np
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:  # real codec path — not available in this container
-            import PIL.Image  # noqa: F401
-
-            have_codec = True
-        except ImportError:
-            have_codec = False
         for pdf in batches:
-            if have_codec:
+            if REAL_DECODE:
                 # STUB: PIL.Image.open(io.BytesIO(b)) → np.asarray(img)
                 raise NotImplementedError("real image decode not wired in this env")
             rows = []
@@ -131,12 +138,20 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     demuxer UDF replaces the fixed-width slicing."""
     d = load(spark, sf_dir, "documents")
     n_frames = F.floor(F.col("n_chars") / 16).cast("bigint")
+    # upper bound clamped to 0: a sub-16-char document has n_frames = 0
+    # and sequence(0, -1, 4) throws; the clamp emits a spurious frame 0
+    # that the frame_idx < n_frames filter drops (oracle's range(0,0,4)
+    # is empty for the same rows)
     frames = d.select(
         "doc_id",
         "text",
-        F.explode(F.sequence(F.lit(0).cast("bigint"), n_frames - 1, F.lit(4))).alias(
-            "frame_idx"
-        ),
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("bigint"),
+                F.greatest(n_frames - 1, F.lit(0).cast("bigint")),
+                F.lit(4),
+            )
+        ).alias("frame_idx"),
     ).filter(F.col("frame_idx") < n_frames)
     return frames.select(
         "doc_id",

@@ -48,7 +48,14 @@ ORDER BY revenue DESC, l_orderkey LIMIT 10
 )
 def wl_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: segment filter → 3-way join → agg → top-10.
-    Customer (filtered) broadcasts; lineitem never shuffles pre-agg."""
+
+    No table carries a broadcast hint: `orders` is a fact (~1/4 of
+    lineitem, and the date predicate keeps most of it) and `customer`
+    is unbounded too — forcing either to broadcast OOMs executors at
+    the 100 TB design point. The statistics/AQE layer still broadcasts
+    them at small SF where they fit; at scale both joins degrade
+    gracefully to shuffle (SMJ/shuffled-hash) on their keys.
+    """
     c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
@@ -57,8 +64,8 @@ def wl_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz")
     )
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(_rev().alias("revenue"))
         .orderBy(F.col("revenue").desc(), "l_orderkey")
@@ -82,7 +89,14 @@ GROUP BY n_name
 """,
 )
 def wl_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-table local-supplier-volume join."""
+    """TPC-H Q5 shape: 6-table local-supplier-volume join.
+
+    Broadcast hints go ONLY on the bounded-cardinality dims — nation
+    (25 rows) and region (5 rows) — which are safe at any scale.
+    customer / orders / supplier scale with the data, so they carry no
+    hint: stats/AQE broadcasts them while they fit and shuffles them
+    when they don't.
+    """
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz")
@@ -92,10 +106,10 @@ def wl_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -146,7 +160,12 @@ ORDER BY revenue DESC, c_custkey LIMIT 20
 """,
 )
 def wl_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10 shape: returned-item report, top-20 customers."""
+    """TPC-H Q10 shape: returned-item report, top-20 customers.
+
+    Only nation (25 rows) is hint-broadcast; orders and customer are
+    unbounded facts/dims left to stats/AQE so the plan stays valid at
+    the 100 TB design point (see wl_q3 docstring).
+    """
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
@@ -155,8 +174,8 @@ def wl_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = load(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(_rev().alias("revenue"))

@@ -141,3 +141,22 @@ def test_boundary_timestamps(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_frame_sample_short_document(spark, tmp_path):
+    """A document under 16 chars has zero frames: sequence upper bound
+    is clamped so the query must return no rows for it instead of
+    throwing sequence(0, -1) boundary errors (general corpora contain
+    short docs even though the shipped fixture does not)."""
+    from systematic_review_classification_spark.operators.multimodal import mm_frame_sample
+
+    docs = spark.createDataFrame(
+        [(1, "tiny", 4, "s", "en"), (2, "x" * 40, 40, "s", "en")],
+        "doc_id long, text string, n_chars long, source string, lang string",
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    rows = sorted(
+        (r.doc_id, r.frame_idx)
+        for r in mm_frame_sample(spark, str(tmp_path)).collect()
+    )
+    assert rows == [(2, 0)]

@@ -72,6 +72,70 @@ def test_partial_aggregation(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2, plan
 
 
+@pytest.mark.parametrize(
+    ("key", "n_hinted_dims"),
+    [("wl_q3", 0), ("wl_q5", 2), ("wl_q10", 1)],
+)
+def test_workload_no_fact_broadcast(spark, sf_dir, key, n_hinted_dims):
+    """No fact table may be FORCED to broadcast. With auto-broadcast
+    disabled, the only BroadcastExchanges left are the explicit hints,
+    which go exclusively on bounded dims (nation=25, region=5 rows) —
+    so at 100 TB nothing unbounded ever lands on the broadcast path.
+    lineitem⋈orders must fall back to a shuffle join, not ride a hint.
+    """
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(QUERIES[key](spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # formatted mode prints each node in tree + detail → 2x per node
+    n_bhj = plan.count("BroadcastHashJoin") // 2
+    assert n_bhj == n_hinted_dims, (
+        f"{key}: expected {n_hinted_dims} hint-broadcast dims, plan has "
+        f"{n_bhj} broadcast joins\n{plan}"
+    )
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, (
+        f"{key}: fact⋈fact must shuffle when broadcast is off\n{plan}"
+    )
+
+
+@pytest.mark.parametrize("key", ["ml_eval_auc", "ml_eval_wss95"])
+def test_ml_metrics_distributed_rank(spark, sf_dir, key):
+    """The ranking metrics must use the two-pass range rank: a
+    RangePartitioning exchange (contiguous score slices per partition)
+    with within-partition windows keyed on the partition id — never a
+    global all-rows-to-one-reducer sort window."""
+    plan = plan_of(QUERIES[key](spark, sf_dir))
+    assert "rangepartitioning" in plan.lower(), plan
+    assert "windowspecdefinition(_pid" in plan, (
+        "per-row windows must be partitioned by the range-partition id\n" + plan
+    )
+
+
+def test_rank_screen_topk_pre_limit(spark, sf_dir):
+    """ml_rank_screen must pre-select the global top-100 via
+    TakeOrderedAndProject (per-partition top-k merge) so the window
+    only ever sees a bounded input."""
+    plan = plan_of(QUERIES["ml_rank_screen"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_label_index_windows_aggregate_only(spark, sf_dir):
+    """ml_label_index's rank window runs over the aggregated label
+    table and broadcasts the tiny index back onto the corpus — the
+    Window node must sit above a HashAggregate, and the join must be a
+    broadcast."""
+    plan = plan_of(QUERIES["ml_label_index"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    tree = plan.split("\n\n")[0]
+    win_pos = tree.find("Window")
+    agg_pos = tree.find("HashAggregate", win_pos)
+    assert win_pos != -1 and agg_pos != -1, (
+        "rank window must consume the aggregated frequency table\n" + plan
+    )
+
+
 def test_bucketed_join_no_shuffle(spark, sf_dir):
     df = QUERIES["join_bucketed"](spark, sf_dir)
     plan = plan_of(df)
