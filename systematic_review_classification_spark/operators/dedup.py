@@ -158,6 +158,74 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_simhash64",
+    oracle="""
+WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+             FROM documents),
+v AS (
+  SELECT doc_id, nib, bio,
+         CASE WHEN sum(CASE WHEN ((strpos('0123456789abcdef',
+                                          substring(md5(token), nib + 1, 1)) - 1)
+                                  // CAST(power(2, bio) AS INTEGER)) % 2 = 1
+                            THEN 1 ELSE -1 END) >= 0
+              THEN 1 ELSE 0 END AS bit
+  FROM tok
+  CROSS JOIN (SELECT unnest(range(0, 16)) AS nib) n
+  CROSS JOIN (SELECT unnest(range(0, 4)) AS bio) b
+  GROUP BY doc_id, nib, bio),
+nibs AS (
+  SELECT doc_id, nib,
+         CAST(sum(bit * CAST(power(2, bio) AS INTEGER)) AS INTEGER) AS nv
+  FROM v GROUP BY doc_id, nib)
+SELECT doc_id,
+       string_agg(substring('0123456789abcdef', nv + 1, 1), '' ORDER BY nib)
+         AS simhash64
+FROM nibs GROUP BY doc_id
+""",
+)
+def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-width 64-bit SimHash: all 64 bits of the md5-derived
+    token hash vote (the 16-bit dedup_simhash is the teaching version).
+    Same linear plan — one token explode + two hash aggregates, no
+    pairwise work. The signature is emitted as a 16-hex-char string
+    because a packed int64 either overflows the signed top bit or loses
+    exactness through double-typed pow; the hex form is exact, hashable,
+    and bands directly into 4-char hamming blocks."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("token")
+    )
+    votes = tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("pos"),
+        F.expr(
+            "CASE WHEN ((instr('0123456789abcdef', "
+            "substring(md5(token), CAST(pos / 4 AS INT) + 1, 1)) - 1) "
+            "div CAST(power(2, pos % 4) AS INT)) % 2 = 1 THEN 1 ELSE -1 END"
+        ).alias("vote"),
+    )
+    bits = votes.groupBy("doc_id", "pos").agg(
+        (F.sum("vote") >= 0).cast("int").alias("bit")
+    )
+    nibs = bits.groupBy(
+        "doc_id", (F.col("pos") / 4).cast("int").alias("nib")
+    ).agg(
+        F.sum(F.col("bit") * F.pow(F.lit(2), F.col("pos") % 4).cast("int"))
+        .cast("int")
+        .alias("nv")
+    )
+    return nibs.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("nib", "nv"))),
+                lambda x: F.substring(F.lit("0123456789abcdef"), x["nv"] + 1, F.lit(1)),
+            ),
+            "",
+        ).alias("simhash64")
+    )
+
+
+@query(
     "dedup_ngram_jaccard",
     oracle="""
 WITH g AS (

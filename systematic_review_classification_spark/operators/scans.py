@@ -113,6 +113,95 @@ def src_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.json(out).select("r_regionkey", "r_name")
 
 
+# Pre-materialized fixtures the engine did NOT produce — they exercise
+# the parser against foreign files (the round-trip sources above only
+# ever see Spark's own serialization).
+_FIXTURE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests",
+    "fixtures",
+)
+
+
+@query(
+    "src_csv_quoted",
+    oracle="""
+SELECT review_id::INTEGER  AS review_id,
+       title,
+       authors,
+       year::INTEGER       AS year,
+       score::DOUBLE       AS score,
+       included::BOOLEAN   AS included
+FROM (VALUES
+  (1, 'Machine learning for screening, a review', 'Smith, J.; Doe, A.', 2019, 0.91, true),
+  (2, 'Deep learning - systematic update', 'O''Brien, "Pat"', 2020, 0.75, false),
+  (3, 'Plain title no quotes', NULL, 2021, NULL, true),
+  (4, 'Multi' || chr(10) || 'line title', 'Lee K.', 2018, 0.33, false)
+) AS t(review_id, title, authors, year, score, included)
+""",
+)
+def src_csv_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV parsing of a hand-authored bibliographic export
+    (tests/fixtures/reviews.csv): RFC-4180 quoted commas, doubled
+    embedded quotes, empty-string nulls, and a quoted multi-line field.
+    The oracle is the literal expected relation.
+
+    Scale note: ``multiLine=true`` makes a CSV file non-splittable (a
+    record may cross any byte boundary), so at 100 TB quoted-newline
+    exports must arrive as many files — parallelism then comes from the
+    file count, which is how bibliographic dumps ship anyway."""
+    schema = T.StructType(
+        [
+            T.StructField("review_id", T.IntegerType()),
+            T.StructField("title", T.StringType()),
+            T.StructField("authors", T.StringType()),
+            T.StructField("year", T.IntegerType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("included", T.BooleanType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .options(header=True, multiLine=True, escape='"')
+        .csv(os.path.join(_FIXTURE_DIR, "reviews.csv"))
+    )
+
+
+@query(
+    "src_jsonl_nested",
+    oracle="""
+SELECT paper_id::BIGINT  AS paper_id,
+       venue,
+       pages::BIGINT     AS pages,
+       n_tags::INTEGER   AS n_tags,
+       first_tag,
+       cited_by::BIGINT  AS cited_by
+FROM (VALUES
+  (1, 'JMIR', 12, 2, 'ml', 14),
+  (2, 'BMJ', NULL, 0, NULL, NULL),
+  (3, NULL, NULL, 1, 'nlp', NULL)
+) AS t(paper_id, venue, pages, n_tags, first_tag, cited_by)
+""",
+)
+def src_jsonl_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines schema inference over a foreign fixture
+    (tests/fixtures/papers.jsonl): nested struct promotion, fields
+    missing per-record, explicit nulls, empty arrays. Flattens to
+    scalars (struct access + array size/index) so every output column
+    is hashable."""
+    d = spark.read.json(os.path.join(_FIXTURE_DIR, "papers.jsonl"))
+    return d.select(
+        "paper_id",
+        F.col("meta.venue").alias("venue"),
+        F.col("meta.pages").alias("pages"),
+        F.size("tags").alias("n_tags"),
+        # get() not [0]: ANSI mode makes out-of-bounds indexing throw,
+        # and record 2 carries an empty tags array
+        F.get("tags", 0).alias("first_tag"),
+        "cited_by",
+    )
+
+
 @query(
     "sink_parquet",
     oracle="""

@@ -125,7 +125,11 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.withColumn("bucket", F.ntile(3).over(W.orderBy("ts", "event_id"))).write.mode(
         "overwrite"
     ).partitionBy("bucket").parquet(parts)
-    late = ev.limit(max(ev.count() // 20, 1))
+    # row count from the parquet footer — free metadata read, no Spark job
+    import pyarrow.parquet as pq
+
+    n_events = pq.ParquetFile(os.path.join(sf_dir, "events.parquet")).metadata.num_rows
+    late = ev.limit(max(n_events // 20, 1))
     for i in (1, 2, 3):
         os.makedirs(f"{src}/f{i}", exist_ok=True)
         spark.read.parquet(f"{parts}/bucket={i}").write.mode("overwrite").parquet(
