@@ -313,3 +313,30 @@ def agg_median_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_extendedprice", 0.95), 3).alias("p95_price"),
         F.round(F.percentile("l_extendedprice", 0.5), 3).alias("p50_price"),
     )
+
+
+@query(
+    "agg_bitwise_bool",
+    oracle="""
+SELECT l_returnflag,
+       CAST(bit_and(l_linenumber) AS INTEGER) AS lin_and,
+       CAST(bit_or(l_linenumber)  AS INTEGER) AS lin_or,
+       CAST(bit_xor(l_linenumber) AS INTEGER) AS lin_xor,
+       bool_and(l_quantity > 1)  AS all_multi,
+       bool_or(l_discount = 0)   AS any_nodisc
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_bitwise_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise (bit_and/or/xor) and boolean (bool_and/or) aggregates —
+    flag-mask folds and every/any predicates. All are associative +
+    commutative, so Spark runs them partial→final (map-side combine)
+    like any algebraic aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and("l_linenumber").cast("int").alias("lin_and"),
+        F.bit_or("l_linenumber").cast("int").alias("lin_or"),
+        F.bit_xor("l_linenumber").cast("int").alias("lin_xor"),
+        F.bool_and(F.col("l_quantity") > 1).alias("all_multi"),
+        F.bool_or(F.col("l_discount") == 0).alias("any_nodisc"),
+    )

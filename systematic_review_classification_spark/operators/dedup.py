@@ -157,11 +157,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_simhash64",
-    oracle="""
-WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
-             FROM documents),
+# 64-bit simhash signature as a DuckDB CTE ending in relation
+# sigs(doc_id, simhash64) — shared by the signature and banding oracles.
+_SIMHASH64_SQL = """
+tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        FROM documents),
 v AS (
   SELECT doc_id, nib, bio,
          CASE WHEN sum(CASE WHEN ((strpos('0123456789abcdef',
@@ -176,21 +176,17 @@ v AS (
 nibs AS (
   SELECT doc_id, nib,
          CAST(sum(bit * CAST(power(2, bio) AS INTEGER)) AS INTEGER) AS nv
-  FROM v GROUP BY doc_id, nib)
-SELECT doc_id,
-       string_agg(substring('0123456789abcdef', nv + 1, 1), '' ORDER BY nib)
-         AS simhash64
-FROM nibs GROUP BY doc_id
-""",
-)
-def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production-width 64-bit SimHash: all 64 bits of the md5-derived
-    token hash vote (the 16-bit dedup_simhash is the teaching version).
-    Same linear plan — one token explode + two hash aggregates, no
-    pairwise work. The signature is emitted as a 16-hex-char string
-    because a packed int64 either overflows the signed top bit or loses
-    exactness through double-typed pow; the hex form is exact, hashable,
-    and bands directly into 4-char hamming blocks."""
+  FROM v GROUP BY doc_id, nib),
+sigs AS (
+  SELECT doc_id,
+         string_agg(substring('0123456789abcdef', nv + 1, 1), '' ORDER BY nib)
+           AS simhash64
+  FROM nibs GROUP BY doc_id)
+"""
+
+
+def _simhash64_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash64 hex string) — see dedup_simhash64."""
     d = load(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("token")
@@ -222,6 +218,95 @@ def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "",
         ).alias("simhash64")
+    )
+
+
+@query("dedup_simhash64", oracle=f"WITH {_SIMHASH64_SQL} SELECT * FROM sigs")
+def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-width 64-bit SimHash: all 64 bits of the md5-derived
+    token hash vote (the 16-bit dedup_simhash is the teaching version).
+    Same linear plan — one token explode + two hash aggregates, no
+    pairwise work. The signature is emitted as a 16-hex-char string
+    because a packed int64 either overflows the signed top bit or loses
+    exactness through double-typed pow; the hex form is exact, hashable,
+    and bands directly into 4-char hamming blocks."""
+    return _simhash64_sigs(spark, sf_dir)
+
+
+# popcount of nibble value v = digit at index v+1 (portable across
+# engines — integer bit_count widths differ)
+_POPCOUNT_NIBBLE = "0112122312232334"
+
+
+@query(
+    "dedup_simhash_band",
+    oracle=f"""
+WITH {_SIMHASH64_SQL},
+bands AS (
+  SELECT doc_id, simhash64, band,
+         substring(simhash64, band * 4 + 1, 4) AS bv
+  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band) AS bb),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+         a.simhash64 AS s1, b.simhash64 AS s2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+scored AS (
+  SELECT id1, id2,
+         list_reduce(
+           list_transform(
+             list_zip(string_split(s1, ''), string_split(s2, '')),
+             p -> CAST(substring('{_POPCOUNT_NIBBLE}',
+                    xor(strpos('0123456789abcdef', p[1]) - 1,
+                        strpos('0123456789abcdef', p[2]) - 1) + 1, 1) AS INTEGER)),
+           (x, y) -> x + y) AS hamming
+  FROM cand)
+SELECT id1, id2, hamming FROM scored WHERE hamming <= 12
+""",
+)
+def dedup_simhash_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash LSH banding — the sub-quadratic candidate step that
+    makes simhash a 100 TB dedup: split the 64-bit signature into 4
+    16-bit bands, bucket-join on (band, value) so only docs sharing an
+    identical band ever pair (pigeonhole: any pair within hamming
+    distance 3 shares a band), then verify candidates with the exact
+    hamming distance (per-nibble XOR popcount via lookup string, a JVM
+    lambda chain). Work is O(n·bands + collisions), never O(n²)."""
+    sig = _simhash64_sigs(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        "simhash64",
+        F.posexplode(
+            F.array(*[F.substring("simhash64", i * 4 + 1, 4) for i in range(4)])
+        ).alias("band", "bv"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            F.col("a.simhash64").alias("s1"),
+            F.col("b.simhash64").alias("s2"),
+        )
+        .distinct()
+    )
+    hamming = F.expr(
+        "aggregate("
+        "  zip_with(split(s1, ''), split(s2, ''),"
+        "    (x, y) -> CAST(substring('" + _POPCOUNT_NIBBLE + "',"
+        "      CAST((instr('0123456789abcdef', x) - 1) "
+        "           ^ (instr('0123456789abcdef', y) - 1) AS INT) + 1, 1) AS INT)),"
+        "  0, (acc, v) -> acc + v)"
+    )
+    return (
+        cand.select("id1", "id2", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 12)
     )
 
 

@@ -289,3 +289,15 @@ def src_stream_file(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+@query("src_orc", oracle="SELECT s_suppkey, s_name, s_nationkey FROM supplier")
+def src_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round-trip (native vectorized ORC reader —
+    the other columnar format big warehouses hand over). Same pushdown
+    and pruning machinery as parquet."""
+    out = _io_dir(sf_dir, "supplier_orc")
+    load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    ).write.mode("overwrite").orc(out)
+    return spark.read.orc(out)
