@@ -340,3 +340,18 @@ def agg_bitwise_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("l_quantity") > 1).alias("all_multi"),
         F.bool_or(F.col("l_discount") == 0).alias("any_nodisc"),
     )
+
+
+@query("agg_approx_pct")  # rows-only: t-digest/KLL layouts are engine-specific
+def agg_approx_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile — the 100 TB quantile path: one pass, bounded
+    sketch per group, no sort. Exact percentile rides along so local
+    invariant tests can bound the approximation error (the sketch
+    itself is engine-specific, hence rows-only)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("approx_p95"),
+        F.round(F.percentile("l_extendedprice", 0.5), 4).alias("exact_p50"),
+        F.round(F.percentile("l_extendedprice", 0.95), 4).alias("exact_p95"),
+    )

@@ -132,3 +132,16 @@ def sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag, l_linestatus
         """
     )
+
+
+@query("sample_stratified")  # rows-only: per-stratum Bernoulli draws are engine-specific
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample (sampleBy): per-stratum fractions — keep all
+    of the rare 'F' flag, thin the common ones. The profiling tool when
+    strata are wildly imbalanced (exactly the label-imbalance shape of
+    the reference's screening corpora). Seeded and deterministic within
+    Spark; invariant tests bound each stratum's realized rate."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.sampleBy(
+        "l_returnflag", fractions={"A": 0.05, "N": 0.02, "R": 1.0}, seed=42
+    ).select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")

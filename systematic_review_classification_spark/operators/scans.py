@@ -301,3 +301,41 @@ def src_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey", "s_name", "s_nationkey"
     ).write.mode("overwrite").orc(out)
     return spark.read.orc(out)
+
+
+@query(
+    "sink_sorted_parquet",
+    oracle="""
+SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS total_qty
+FROM lineitem
+WHERE l_shipdate >= timestamp '1997-06-01' AND l_shipdate < timestamp '1997-09-01'
+GROUP BY l_returnflag
+""",
+)
+def sink_sorted_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered data layout: repartitionByRange + sortWithinPartitions
+    on l_shipdate before the parquet write, so every output file covers
+    a tight shipdate range and row-group min/max statistics prune
+    time-range scans — the poor man's z-order, and the single biggest
+    read-amplification lever for a 100 TB time-series fact. Verified by
+    a read-back range aggregation against the unsorted oracle."""
+    out = _io_dir(sf_dir, "lineitem_sorted")
+    (
+        load(spark, sf_dir, "lineitem")
+        .select("l_shipdate", "l_returnflag", "l_quantity")
+        .repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    lo = F.lit("1997-06-01").cast("timestamp_ntz")
+    hi = F.lit("1997-09-01").cast("timestamp_ntz")
+    return (
+        spark.read.parquet(out)
+        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+    )

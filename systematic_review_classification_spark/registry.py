@@ -83,6 +83,8 @@ _PRIORITY: list[str] = [
     "ml_gbt", "sim_ivf_topk", "fn_hash_engine", "txt_hashing_tf",
     "src_csv_quoted", "src_jsonl_nested", "dedup_simhash64",
     "dedup_simhash_band", "win_ntile_dist", "agg_bitwise_bool", "src_orc",
+    "stream_stream_join", "agg_approx_pct", "sample_stratified",
+    "sink_sorted_parquet",
     "pivot_wide", "unpivot_long", "src_range", "set_union_missing",
     "sample_seeded", "udf_python", "udf_pandas_scalar",
     "udf_pandas_iter", "udaf_pandas_agg", "udf_grouped_map",

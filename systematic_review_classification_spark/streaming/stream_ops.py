@@ -277,3 +277,60 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qname = run_to_memory(agg, sf_dir, "ssj", "complete")
     return spark.table(qname)
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+SELECT c.user_id                          AS user_id,
+       c.event_id                         AS click_id,
+       p.event_id                         AS purchase_id,
+       epoch_us(p.ts) - epoch_us(c.ts)    AS lag_us
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '1 hour'
+""",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time range condition: clicks
+    joined to purchases by the same user within the following hour.
+    Both sides carry watermarks, which is what BOUNDS the join state —
+    the state store only retains rows inside the watermark horizon, so
+    state is O(events per horizon), not O(stream length). The replay
+    runs as one availableNow micro-batch, so the final joined set is
+    the deterministic batch-join result the oracle computes."""
+    clicks = (
+        read_events_stream(spark, stage_events_dir(sf_dir, "ssj_clicks"), as_ntz=False)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        read_events_stream(spark, stage_events_dir(sf_dir, "ssj_purch"), as_ntz=False)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_us"),
+    )
+    qname = run_to_memory(joined, sf_dir, "ssjoin", "append")
+    return spark.table(qname)

@@ -126,3 +126,32 @@ def test_ivf_topk_recall_vs_exact(spark, sf_dir):
         assert abs(cos(vecs[pid], vecs[nid]) - sim) < 1e-4
         checked += 1
     assert checked > 0
+
+
+def test_approx_pct_brackets_exact(spark, sf_dir):
+    """percentile_approx with accuracy 10000 must sit within 2% of the
+    exact percentile on every group (and the exact columns are exact by
+    construction — they anchor the check)."""
+    rows = QUERIES["agg_approx_pct"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        for approx, exact in ((r.approx_p50, r.exact_p50), (r.approx_p95, r.exact_p95)):
+            assert abs(approx - exact) / max(abs(exact), 1e-9) < 0.02, r
+
+
+def test_stratified_sample_rates_and_subset(spark, sf_dir):
+    """sampleBy realized rates must track the requested per-stratum
+    fractions (exact for fraction=1.0), and every sampled row must come
+    from the source relation."""
+    li = load(spark, sf_dir, "lineitem")
+    totals = {r.l_returnflag: r.n for r in li.groupBy("l_returnflag").count().withColumnRenamed("count", "n").collect()}
+    got = QUERIES["sample_stratified"](spark, sf_dir)
+    counts = {r.l_returnflag: r.n for r in got.groupBy("l_returnflag").count().withColumnRenamed("count", "n").collect()}
+    assert counts.get("R") == totals["R"], "fraction=1.0 stratum must keep every row"
+    for flag, frac in (("A", 0.05), ("N", 0.02)):
+        rate = counts.get(flag, 0) / totals[flag]
+        assert abs(rate - frac) < frac, f"{flag}: realized {rate:.4f} vs requested {frac}"
+    # subset check on a sample of keys
+    src = {(r.l_orderkey, r.l_linenumber) for r in li.select("l_orderkey", "l_linenumber").collect()}
+    for r in got.limit(200).collect():
+        assert (r.l_orderkey, r.l_linenumber) in src
