@@ -145,3 +145,15 @@ def test_bucketed_join_no_shuffle(spark, sf_dir):
     assert "Exchange hashpartitioning(l_orderkey" not in plan
     assert "Exchange hashpartitioning(o_orderkey" not in plan
     assert "SelectedBucketsCount" in plan, plan
+
+
+@pytest.mark.parametrize("key", ["dedup_simhash_band", "dedup_minhash_portable"])
+def test_selfjoin_signature_reuse(spark, sf_dir, key):
+    """The LSH banding self-joins read the signature pipeline twice in
+    the logical plan; at runtime AQE must REUSE the shuffle output so
+    the expensive token-explode signature computation runs once."""
+    df = QUERIES[key](spark, sf_dir)
+    df.collect()  # finalize the adaptive plan
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
+    n_reuse = plan.count("ReusedExchange") + plan.count("ReusedQueryStage")
+    assert n_reuse >= 1, f"{key}: signature exchange not reused\n{plan}"
