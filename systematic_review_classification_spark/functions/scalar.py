@@ -337,7 +337,10 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = F.from_json(F.col("props"), "map<string,int>")
     return ev.select(
         "event_id",
-        F.element_at(m, "k").alias("k_val"),
+        # try_element_at: ANSI element_at throws on a missing map key,
+        # but the oracle's ->> returns NULL — and general corpora have
+        # heterogeneous props
+        F.try_element_at(m, F.lit("k")).alias("k_val"),
         F.size(F.map_keys(m)).cast("bigint").alias("n_keys"),
         F.array_join(F.sort_array(F.map_keys(m)), ",").alias("key_list"),
     )

@@ -160,3 +160,38 @@ def test_frame_sample_short_document(spark, tmp_path):
         for r in mm_frame_sample(spark, str(tmp_path)).collect()
     )
     assert rows == [(2, 0)]
+
+
+def test_document_operators_survive_empty_corpus(spark, tmp_path):
+    """Every documents/embeddings-driven operator must run (not throw)
+    on an EMPTY corpus — general pipelines hit empty partitions and
+    empty filter results constantly; ANSI mode turns latent indexing
+    and sequence assumptions into runtime errors only a test like this
+    catches."""
+    from systematic_review_classification_spark import all_queries
+
+    docs_schema = "doc_id long, text string, n_chars long, source string, lang string"
+    emb_schema = (
+        "vec_id long, embedding array<float>, label int"
+    )
+    spark.createDataFrame([], docs_schema).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    spark.createDataFrame([], emb_schema).write.mode("overwrite").parquet(
+        f"{tmp_path}/embeddings.parquet"
+    )
+    keys = [
+        "txt_normalize", "txt_tokenize", "txt_stopwords", "txt_ngram",
+        "txt_tf", "txt_df_idf", "txt_langid", "txt_quality_score",
+        "txt_token_count_bpe", "txt_fingerprint",
+        "dedup_exact", "dedup_near_jaccard", "dedup_simhash",
+        "dedup_simhash64", "dedup_simhash_band", "dedup_ngram_jaccard",
+        "dedup_minhash_portable", "dedup_embed_cos",
+        "mm_binary_meta", "mm_decode_stub", "mm_frame_sample",
+        "sim_cosine_topk", "sim_centroid", "mm_vector_norm",
+        "ml_eval_confusion", "ml_eval_auc", "ml_label_index", "ml_split",
+    ]
+    q = all_queries()
+    for key in keys:
+        n = q[key](spark, str(tmp_path)).count()
+        assert n >= 0  # ran without throwing; row count is key-specific
