@@ -404,3 +404,87 @@ def fn_hash_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.crc32(F.col("text").cast("binary")).alias("text_crc"),
         F.hash("text").alias("text_murmur"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_linenumber & 5        AS b_and,
+       l_linenumber | 9        AS b_or,
+       xor(l_linenumber, 3)    AS b_xor,
+       l_linenumber << 2       AS b_shl,
+       l_linenumber >> 1       AS b_shr,
+       ~l_linenumber           AS b_not
+FROM lineitem WHERE l_orderkey < 100
+""",
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar operators (&, |, ^, shifts, complement) — the
+    flag-mask toolkit (two's-complement semantics agree across
+    engines on INTEGER)."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    ln = F.col("l_linenumber")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        ln.bitwiseAND(F.lit(5)).alias("b_and"),
+        ln.bitwiseOR(F.lit(9)).alias("b_or"),
+        ln.bitwiseXOR(F.lit(3)).alias("b_xor"),
+        F.shiftleft(ln, 2).alias("b_shl"),
+        F.shiftright(ln, 1).alias("b_shr"),
+        F.bitwise_not(ln).alias("b_not"),
+    )
+
+
+@query(
+    "fn_explode_outer",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x LIKE 's%') AS stoks
+  FROM documents WHERE doc_id < 300)
+SELECT doc_id,
+       unnest(CASE WHEN len(stoks) = 0 THEN [CAST(NULL AS VARCHAR)]
+                   ELSE stoks END) AS stok
+FROM t
+""",
+)
+def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-preserving explode (explode_outer): documents with NO
+    matching tokens still emit one row with a NULL token — the shape
+    for 'keep every parent row' joins against token-level derivations.
+    DuckDB has no outer unnest; the oracle emulates it with a CASE that
+    substitutes [NULL] for the empty list."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    stoks = F.filter(
+        F.split(F.col("text"), " "), lambda x: x.startswith("s")
+    )
+    return d.select("doc_id", F.explode_outer(stoks).alias("stok"))
+
+
+@query(
+    "fn_try",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice / (l_linenumber - 3), 4) AS safe_div,
+       TRY_CAST(l_returnflag AS INTEGER)              AS flag_int,
+       TRY_CAST(l_quantity AS INTEGER)                AS qty_int
+FROM lineitem WHERE l_orderkey < 200
+""",
+)
+def fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_* error-safe functions — ANSI mode makes /0 and bad casts
+    runtime ERRORS, so general pipelines over dirty data need the try_
+    family (NULL instead of job abort). DuckDB's plain division already
+    yields NULL on /0, and TRY_CAST matches try_cast."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.try_divide(F.col("l_extendedprice"), F.col("l_linenumber") - 3), 4
+        ).alias("safe_div"),
+        F.col("l_returnflag").try_cast("int").alias("flag_int"),
+        F.col("l_quantity").try_cast("int").alias("qty_int"),
+    )

@@ -1,13 +1,21 @@
 """Category J (dedup half) — deduplication operators (SURVEY.md §2.J).
 
-Three tiers, matching how an LLM-data pipeline dedups at 100 TB:
+Tiered the way an LLM-data pipeline dedups at 100 TB:
 
-1. exact      — fingerprint hash + one groupBy. Linear, one shuffle.
-2. near/exact — token-set Jaccard, but ONLY on blocked candidate
-                pairs (same source block here; at scale: LSH buckets).
-                Never an unblocked O(n²) pairwise pass.
-3. minhash    — MLlib MinHashLSH banding: sub-quadratic candidate
-                generation; exact Jaccard re-check only on candidates.
+1. exact      — fingerprint hash + one groupBy. Linear, one shuffle
+                (dedup_exact).
+2. near/exact — token-set / shingle Jaccard and embedding cosine, but
+                ONLY on blocked candidate pairs (source block here; at
+                scale: LSH buckets / IVF cells). Never an unblocked
+                O(n²) pairwise pass (dedup_near_jaccard,
+                dedup_ngram_jaccard, dedup_embed_cos).
+3. signatures — linear sketches: 16/64-bit SimHash (dedup_simhash,
+                dedup_simhash64) — one explode + two hash aggregates.
+4. LSH        — sub-quadratic candidate generation + exact verify:
+                simhash band bucketing (dedup_simhash_band), MLlib
+                MinHashLSH (dedup_minhash, rows-only), and the
+                fully-oracled from-scratch portable MinHash
+                (dedup_minhash_portable).
 """
 
 from __future__ import annotations
@@ -244,8 +252,8 @@ _POPCOUNT_NIBBLE = "0112122312232334"
 WITH {_SIMHASH64_SQL},
 bands AS (
   SELECT doc_id, simhash64, band,
-         substring(simhash64, band * 4 + 1, 4) AS bv
-  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band) AS bb),
+         substring(simhash64, band * 8 + 1, 8) AS bv
+  FROM sigs CROSS JOIN (SELECT unnest(range(0, 2)) AS band) AS bb),
 cand AS (
   SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
          a.simhash64 AS s1, b.simhash64 AS s2
@@ -261,15 +269,17 @@ scored AS (
                         strpos('0123456789abcdef', p[2]) - 1) + 1, 1) AS INTEGER)),
            (x, y) -> x + y) AS hamming
   FROM cand)
-SELECT id1, id2, hamming FROM scored WHERE hamming <= 12
+SELECT id1, id2, hamming FROM scored WHERE hamming <= 6
 """,
 )
 def dedup_simhash_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash LSH banding — the sub-quadratic candidate step that
-    makes simhash a 100 TB dedup: split the 64-bit signature into 4
-    16-bit bands, bucket-join on (band, value) so only docs sharing an
+    makes simhash a 100 TB dedup: split the 64-bit signature into 2
+    32-bit bands, bucket-join on (band, value) so only docs sharing an
     identical band ever pair (pigeonhole: any pair within hamming
-    distance 3 shares a band), then verify candidates with the exact
+    distance 1 shares a band; wider bands = fewer false candidates,
+    tuned so the template-similar fixture corpus stays sub-quadratic),
+    then verify candidates with the exact
     hamming distance (per-nibble XOR popcount via lookup string, a JVM
     lambda chain). Work is O(n·bands + collisions), never O(n²)."""
     sig = _simhash64_sigs(spark, sf_dir)
@@ -277,7 +287,7 @@ def dedup_simhash_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "simhash64",
         F.posexplode(
-            F.array(*[F.substring("simhash64", i * 4 + 1, 4) for i in range(4)])
+            F.array(*[F.substring("simhash64", i * 8 + 1, 8) for i in range(2)])
         ).alias("band", "bv"),
     )
     a, b = bands.alias("a"), bands.alias("b")
@@ -306,7 +316,7 @@ def dedup_simhash_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cand.select("id1", "id2", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= 12)
+        .filter(F.col("hamming") <= 6)
     )
 
 
@@ -417,8 +427,8 @@ sig AS (
   FROM tok CROSS JOIN (SELECT unnest(range(0, 16)) AS i) AS hi
   GROUP BY doc_id, i),
 band AS (
-  SELECT doc_id, i // 4 AS band, md5(string_agg(mh, '|' ORDER BY i)) AS bkey
-  FROM sig GROUP BY doc_id, i // 4),
+  SELECT doc_id, i // 8 AS band, md5(string_agg(mh, '|' ORDER BY i)) AS bkey
+  FROM sig GROUP BY doc_id, i // 8),
 cand AS (
   SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
   FROM band a JOIN band b
@@ -430,7 +440,7 @@ verified AS (
          len(ta.toks) AS n1, len(tb.toks) AS n2
   FROM cand JOIN t ta ON ta.doc_id = id1 JOIN t tb ON tb.doc_id = id2)
 SELECT id1, id2, round(CAST(nc AS DOUBLE) / (n1 + n2 - nc), 6) AS jaccard
-FROM verified WHERE CAST(nc AS DOUBLE) / (n1 + n2 - nc) >= 0.5
+FROM verified WHERE CAST(nc AS DOUBLE) / (n1 + n2 - nc) >= 0.8
 """,
 )
 def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -442,10 +452,11 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
        i ∈ 0..15 — min over a uniform hash as *lexicographic* min of
        the hex string, identical in any engine (16 independent
        permutation approximations).
-    2. band key = md5 of 4 consecutive signature values; docs pair only
-       when an entire band matches (4 bands × 4 rows) — the standard
-       S-curve: P(candidate) = 1-(1-j^4)^4.
-    3. candidates verified with exact token-set Jaccard, keep ≥ 0.5.
+    2. band key = md5 of 8 consecutive signature values; docs pair only
+       when an entire band matches (2 bands × 8 rows) — the standard
+       S-curve P(candidate) = 1-(1-j^8)^2, steep enough that the
+       template-similar fixture corpus stays sub-quadratic.
+    3. candidates verified with exact token-set Jaccard, keep ≥ 0.8.
 
     Scale shape: signatures are one explode + hash agg (linear);
     banding is a bucket equi-join (sub-quadratic); the exact Jaccard
@@ -466,7 +477,7 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mh")
         )
     )
-    band = sig.groupBy("doc_id", (F.col("i") / 4).cast("int").alias("band")).agg(
+    band = sig.groupBy("doc_id", (F.col("i") / 8).cast("int").alias("band")).agg(
         F.md5(
             F.array_join(
                 F.transform(
@@ -503,6 +514,6 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     jac = F.col("nc").cast("double") / (F.col("n1") + F.col("n2") - F.col("nc"))
-    return verified.filter(jac >= 0.5).select(
+    return verified.filter(jac >= 0.8).select(
         "id1", "id2", F.round(jac, 6).alias("jaccard")
     )

@@ -145,3 +145,40 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.sampleBy(
         "l_returnflag", fractions={"A": 0.05, "N": 0.02, "R": 1.0}, seed=42
     ).select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+
+
+_SUBQUERY_SQL_BODY = """
+SELECT c_custkey, c_acctbal,
+       (SELECT count(*) FROM {orders} o
+         WHERE o.o_custkey = c.c_custkey)                 AS n_orders,
+       round((SELECT max(o_totalprice) FROM {orders} o
+               WHERE o.o_custkey = c.c_custkey), 2)       AS max_order
+FROM {customer} c
+WHERE EXISTS (SELECT 1 FROM {orders} o
+               WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+  AND c.c_custkey NOT IN (SELECT o_custkey FROM {orders}
+                           WHERE o_orderstatus = 'F' AND o_custkey IS NOT NULL
+                           AND o_totalprice < 10000)
+"""
+
+
+@query(
+    "sql_subqueries",
+    oracle=_SUBQUERY_SQL_BODY.format(orders="orders", customer="customer"),
+)
+def sql_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-frontend subquery surface: EXISTS (→ left-semi), NOT IN with
+    its three-valued-logic null trap (→ null-aware anti join), and
+    correlated scalar subqueries (→ aggregated left outer joins).
+    Catalyst de-correlates all of them into joins — the identical SQL
+    text runs on both engines, so this also proves dialect-portable
+    query text survives the frontend."""
+    from systematic_review_classification_spark.session import ensure_confs
+
+    ensure_confs(spark)
+    return spark.sql(
+        _SUBQUERY_SQL_BODY.format(
+            orders=f"parquet.`{sf_dir}/orders.parquet`",
+            customer=f"parquet.`{sf_dir}/customer.parquet`",
+        )
+    )
