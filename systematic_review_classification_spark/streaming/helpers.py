@@ -56,19 +56,42 @@ def read_events_stream(spark: SparkSession, src: str, as_ntz: bool = True) -> Da
     return spark.readStream.schema(EVENTS_SCHEMA).parquet(src).withColumn("ts", ts)
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def stream_shuffle_partitions(spark: SparkSession, n: int = 8):
+    """Bound the state-store partition count for a streaming execution.
+
+    A streaming query creates one state partition per shuffle
+    partition, fixed at first run by the checkpoint. An uncontrolled
+    caller session (e.g. a vanilla 200-partition default) pays 200
+    state-store instances per stateful operator per micro-batch — pure
+    overhead at test scale. Every streaming op here starts from a fresh
+    checkpoint, so scoping the conf around the run is safe; a real
+    deployment sizes this to the cluster once, at first launch."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def run_to_memory(df: DataFrame, sf_dir: str, name: str, mode: str) -> str:
     """Execute a streaming query into a memory sink with availableNow;
     returns the sink table name. (Memory sink = test harness only; the
     production path is update-mode into a replayable sink.)"""
     qname = f"mem_{name}_{sf_tag(sf_dir)}"
     ckpt = work_dir(sf_dir, f"{name}_ckpt")
-    (
-        df.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode(mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with stream_shuffle_partitions(df.sparkSession):
+        (
+            df.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     return qname

@@ -162,15 +162,20 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = work_dir(sf_dir, "late_sink")
     ckpt = work_dir(sf_dir, "late_ckpt")
-    (
-        agg.writeStream.format("parquet")
-        .outputMode("append")
-        .option("path", sink)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
+    from systematic_review_classification_spark.streaming.helpers import (
+        stream_shuffle_partitions,
     )
+
+    with stream_shuffle_partitions(spark):
+        (
+            agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     return spark.read.parquet(sink)
 
 
@@ -237,13 +242,18 @@ def stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(sink)
 
-    (
-        stream.writeStream.foreachBatch(merge)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
+    from systematic_review_classification_spark.streaming.helpers import (
+        stream_shuffle_partitions,
     )
+
+    with stream_shuffle_partitions(spark):
+        (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     return (
         spark.read.parquet(sink)
         .groupBy("event_type")
