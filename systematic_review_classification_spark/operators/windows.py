@@ -217,9 +217,9 @@ def win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_ntile_dist",
     oracle="""
 SELECT c_custkey, c_nationkey,
-       ntile(4)              OVER w AS quartile,
-       round(percent_rank()  OVER w, 6) AS pr,
-       round(cume_dist()     OVER w, 6) AS cd
+       ntile(4)             OVER w AS quartile,
+       percent_rank()       OVER w AS pr,
+       cume_dist()          OVER w AS cd
 FROM customer
 WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
 """,
@@ -228,15 +228,18 @@ def win_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions — ntile bucketing plus
     percent_rank/cume_dist (the quantile-assignment primitives for
     per-group score normalization). Partitioned on the group key, so
-    the plan is one shuffle + per-partition sorts. percent_rank is
-    (rank-1)/(n-1) — a ratio of small ints, bitwise-identical across
-    engines; round(,6) guards the display value only."""
+    the plan is one shuffle + per-partition sorts. percent_rank and
+    cume_dist are UNROUNDED on purpose: both are divisions of
+    identical small integers, so the doubles are bitwise-identical
+    across engines — while round(,6) would DIVERGE whenever k/n lands
+    exactly on a .5e-6 midpoint (e.g. n=640: 1/640=0.0015625; Spark
+    rounds half-up, DuckDB half-even)."""
     c = load(spark, sf_dir, "customer")
     w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
     return c.select(
         "c_custkey",
         "c_nationkey",
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
     )
