@@ -258,3 +258,41 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("total_qty"))
     )
+
+
+@query(
+    "wl_clean_corpus",
+    oracle="""
+WITH kept AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+clean AS (
+  SELECT d.* FROM documents d JOIN kept k ON d.doc_id = k.doc_id
+  WHERE d.n_chars BETWEEN 50 AND 1000),
+stats AS (
+  SELECT lang,
+         count(*) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         CAST(sum(n_chars) AS DOUBLE) / count(*)           AS avg_chars
+  FROM clean GROUP BY lang)
+SELECT lang, n_docs, n_tokens, avg_chars FROM stats
+""",
+)
+def wl_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data cleaning pipeline in one plan: exact
+    dedup (md5 fingerprint, keep-lowest-id) → length hygiene filter →
+    per-language corpus statistics. The shape every 100 TB pretraining
+    pipeline runs nightly; here it is one Catalyst plan — dedup's
+    groupBy and the stats groupBy are the only two shuffles, the
+    keep-set joins back semi-join-style, and nothing touches the
+    driver. avg_chars stays an unrounded sum/count: both engines
+    divide identical integers (see README determinism conventions)."""
+    d = load(spark, sf_dir, "documents")
+    kept = d.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    clean = d.join(kept.select("doc_id"), "doc_id", "left_semi").filter(
+        F.col("n_chars").between(50, 1000)
+    )
+    return clean.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+    )
