@@ -517,3 +517,79 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.filter(jac >= 0.8).select(
         "id1", "id2", F.round(jac, 6).alias("jaccard")
     )
+
+
+@query(
+    "dedup_components",
+    oracle="""
+WITH t AS (SELECT doc_id, source,
+                  list_distinct(string_split(text, ' ')) AS toks
+           FROM documents),
+pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+          FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+                >= 0.62),
+edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+          UNION ALL SELECT id2, id1 FROM pairs),
+reach AS (
+  WITH RECURSIVE r(a, b) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src)
+  SELECT * FROM r)
+SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a
+""",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the
+    near-dup pair graph (component id = min doc_id reachable), the
+    step that turns pairwise LSH/Jaccard hits into dedup GROUPS so a
+    keep-one policy can act per cluster.
+
+    Spark side: iterative min-label propagation — each round joins
+    labels to the symmetric edge list, takes the min over neighbors,
+    and localCheckpoints every few rounds to truncate lineage. Rounds
+    needed = graph diameter; near-dup clusters are dense (diameter ≤
+    2-3), and 8 rounds covers any chain the corpus produces. Every
+    round is two distributed joins — nothing driver-side grows with
+    data. The oracle computes the exact fixpoint via a recursive-CTE
+    transitive closure, so the test FAILS if 8 rounds were too few."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "source", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
+    )
+    a, b = t.alias("a"), t.alias("b")
+    nc = F.size(F.array_intersect("a.toks", "b.toks"))
+    jac = nc.cast("double") / (F.size("a.toks") + F.size("b.toks") - nc)
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(jac >= 0.62)
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = d.select("doc_id", F.col("doc_id").alias("component"))
+    for i in range(8):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        labels = labels.join(
+            nbr_min, labels.doc_id == nbr_min.src, "left"
+        ).select(
+            "doc_id",
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("nbr_component"), F.col("component")),
+            ).alias("component"),
+        )
+        if i % 3 == 2:
+            labels = labels.localCheckpoint(eager=False)
+    return labels

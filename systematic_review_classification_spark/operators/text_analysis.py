@@ -150,3 +150,50 @@ def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes, F.lit(0).cast("bigint"), lambda h, x: (h * 31 + x) % 1000000007
     )
     return d.select("doc_id", fp.alias("fp"))
+
+
+@query(
+    "txt_pii_scrub",
+    oracle="""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com call 555-01'
+              || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS raw
+  FROM documents WHERE doc_id < 300)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(raw,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')                  AS scrubbed,
+       len(regexp_extract_all(raw,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(raw, '[0-9]{3}-[0-9]{4}'))       AS n_phones
+FROM aug
+""",
+)
+def txt_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass every training-data pipeline
+    runs before anything else: regex-replace emails and phone-shaped
+    digit runs with typed placeholders, plus per-doc match counts for
+    audit metrics. PII is injected deterministically (doc_id-derived)
+    so the scrub provably fires on every row; patterns stay in the
+    RE2 ∩ Java-regex portable subset. JVM-side regexp_replace — at
+    100 TB this is a pure map stage, no shuffle at all."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com call 555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+    )
+    email_re = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    phone_re = "[0-9]{3}-[0-9]{4}"
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(raw, email_re, "<EMAIL>"), phone_re, "<PHONE>"
+        ).alias("scrubbed"),
+        F.regexp_count(raw, F.lit(email_re)).cast("bigint").alias("n_emails"),
+        F.regexp_count(raw, F.lit(phone_re)).cast("bigint").alias("n_phones"),
+    )
