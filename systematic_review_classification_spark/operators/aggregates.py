@@ -355,3 +355,29 @@ def agg_approx_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_extendedprice", 0.5), 4).alias("exact_p50"),
         F.round(F.percentile("l_extendedprice", 0.95), 4).alias("exact_p95"),
     )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+SELECT CAST(floor((l_extendedprice - 900) / 5000) AS INTEGER) AS bucket,
+       count(*)                        AS n,
+       round(min(l_extendedprice), 2)  AS lo,
+       round(max(l_extendedprice), 2)  AS hi
+FROM lineitem
+GROUP BY CAST(floor((l_extendedprice - 900) / 5000) AS INTEGER)
+""",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram — the data-profiling primitive for 100 TB
+    columns: bucket = floor((x - lo) / width), one map-side-combined
+    groupBy, O(buckets) output no matter the input size. floor of a
+    shared double expression is exact across engines (no rounding
+    boundary: floor is not round)."""
+    li = load(spark, sf_dir, "lineitem")
+    bucket = F.floor((F.col("l_extendedprice") - 900) / 5000).cast("int")
+    return li.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("l_extendedprice"), 2).alias("lo"),
+        F.round(F.max("l_extendedprice"), 2).alias("hi"),
+    )

@@ -86,7 +86,7 @@ _PRIORITY: list[str] = [
     "stream_stream_join", "agg_approx_pct", "sample_stratified",
     "sink_sorted_parquet", "dedup_minhash_portable", "fn_bitwise",
     "sql_subqueries", "fn_explode_outer", "fn_try", "wl_clean_corpus",
-    "dedup_components", "txt_pii_scrub",
+    "dedup_components", "txt_pii_scrub", "agg_histogram",
     "pivot_wide", "unpivot_long", "src_range", "set_union_missing",
     "sample_seeded", "udf_python", "udf_pandas_scalar",
     "udf_pandas_iter", "udaf_pandas_agg", "udf_grouped_map",

@@ -190,6 +190,8 @@ def test_document_operators_survive_empty_corpus(spark, tmp_path):
         "mm_binary_meta", "mm_decode_stub", "mm_frame_sample",
         "sim_cosine_topk", "sim_centroid", "mm_vector_norm",
         "ml_eval_confusion", "ml_eval_auc", "ml_label_index", "ml_split",
+        "dedup_components", "txt_pii_scrub", "wl_clean_corpus",
+        "dedup_minhash_portable",
     ]
     q = all_queries()
     for key in keys:

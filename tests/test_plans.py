@@ -157,3 +157,29 @@ def test_selfjoin_signature_reuse(spark, sf_dir, key):
     plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
     n_reuse = plan.count("ReusedExchange") + plan.count("ReusedQueryStage")
     assert n_reuse >= 1, f"{key}: signature exchange not reused\n{plan}"
+
+
+def test_partitioned_sink_readback_prunes(spark, sf_dir, tmp_path):
+    """A hive-partitioned parquet sink must give downstream readers
+    partition pruning: filtering on the partition column shows up as
+    PartitionFilters on the scan (whole directories skipped — the
+    layout lever that matters most at 100 TB), not a post-scan filter."""
+    from systematic_review_classification_spark.sources.tables import load
+    import pyspark.sql.functions as F
+
+    out = f"{tmp_path}/li_part"
+    (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+        .write.partitionBy("l_returnflag")
+        .parquet(out)
+    )
+    df = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+    plan = plan_of(df)
+    assert "PartitionFilters: [" in plan, plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "l_returnflag" in m.group(1), (
+        "partition-column filter must prune directories\n" + plan
+    )
