@@ -203,6 +203,70 @@ def src_jsonl_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "src_binaryfile",
+    oracle=f"""
+SELECT parse_filename(filename) AS fname,
+       size AS sz,
+       substring(hex(content), 1, 16) AS magic,
+       hex(content) AS content_hex
+FROM read_blob('{os.path.join(_FIXTURE_DIR, "blobs")}/*')
+""",
+)
+def src_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-file source — the multimodal ingestion path. Reads a
+    directory of opaque media blobs (PNG / WAV / text, fixtures the
+    engine did not produce) via Spark's ``binaryFile`` format into
+    (path, length, content: binary) rows; downstream decode /
+    feature-extraction runs as Arrow-batched ``mapInPandas`` over the
+    ``content`` column (see operators/multimodal.py).
+
+    The full content round-trips bit-exactly (hex(content) compared
+    against DuckDB's read_blob), plus the magic-number prefix that a
+    format dispatcher would switch on.
+
+    Scale note: binaryFile parallelizes by file; ``maxPartitionBytes``
+    groups small blobs per task. At 100 TB media blobs should be
+    packed many-per-parquet-row-group (see mm_binary_meta) rather than
+    left as millions of small files — this source is the on-ramp that
+    does that packing."""
+    df = spark.read.format("binaryFile").load(os.path.join(_FIXTURE_DIR, "blobs"))
+    return df.select(
+        F.element_at(F.split("path", "/"), -1).alias("fname"),
+        F.col("length").alias("sz"),
+        F.substring(F.hex("content"), 1, 16).alias("magic"),
+        F.hex("content").alias("content_hex"),
+    )
+
+
+@query(
+    "src_text",
+    oracle=f"""
+SELECT line, length(line) AS n_chars
+FROM (
+  SELECT unnest(string_split(content, chr(10))) AS line
+  FROM read_text('{os.path.join(_FIXTURE_DIR, "corpus.txt")}')
+)
+WHERE length(line) > 0
+""",
+)
+def src_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text source (``spark.read.text``) over a foreign
+    fixture — the raw-corpus on-ramp before any parsing. Blank lines
+    are dropped on both sides (Spark yields them as empty strings;
+    the oracle's trailing-newline split artifact disappears under the
+    same filter).
+
+    Scale note: uncompressed text splits by byte ranges, so one huge
+    file still fans out across tasks; gzipped corpora do NOT split —
+    at 100 TB shard the corpus into many .zst/.gz files so parallelism
+    comes from file count."""
+    df = spark.read.text(os.path.join(_FIXTURE_DIR, "corpus.txt"))
+    return df.filter(F.length("value") > 0).select(
+        F.col("value").alias("line"), F.length("value").alias("n_chars")
+    )
+
+
+@query(
     "sink_parquet",
     oracle="""
 SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS revenue

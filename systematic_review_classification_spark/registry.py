@@ -94,6 +94,9 @@ _PRIORITY: list[str] = [
     "stream_session", "batch_session_window", "stream_tumbling",
     "stream_sliding", "stream_dedup", "stream_watermark_late",
     "stream_stateful", "stream_foreachbatch", "stream_static_join",
+    "src_binaryfile", "src_text", "txt_chunk", "ml_calibration",
+    "wl_q4_late", "wl_q14_promo", "wl_q18_large", "agg_hll_sketch",
+    "sim_bruteforce_topk",
 ]
 
 
