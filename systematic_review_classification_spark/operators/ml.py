@@ -476,3 +476,35 @@ def ml_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
     feat = _featurized(spark, sf_dir)
     model = GBTClassifier(maxIter=5, maxDepth=3, seed=42).fit(feat)
     return model.transform(feat).select("doc_id", "label", "prediction")
+
+
+@query(
+    "ml_calibration",
+    oracle=f"""
+WITH {_SCORED_SQL}
+SELECT CAST(floor(score * 2) AS BIGINT) AS bin,
+       count(*) AS n,
+       round(avg(score), 6) AS mean_score,
+       round(avg(CAST(y AS DOUBLE)), 6) AS pos_rate
+FROM scored
+GROUP BY CAST(floor(score * 2) AS BIGINT)
+""",
+)
+def ml_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-calibration (reliability) table: fixed-width half-unit
+    score bins -> (mean score, empirical positive rate). The screening
+    pipeline reads this to pick an inclusion threshold with a known
+    expected recall.
+
+    Fixed-width binning (not ntile) on purpose: it needs no global
+    sort or single-reducer window - one hash aggregation with map-side
+    partials, the same plan at sf0.01 and at 100 TB. Quantile bins,
+    when wanted, come from approx_percentile cutpoints broadcast as a
+    literal array (see agg_median_pct), still sort-free."""
+    s = _scored(spark, sf_dir)
+    bin_col = F.floor(F.col("score") * 2).cast("bigint")
+    return s.groupBy(bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("score"), 6).alias("mean_score"),
+        F.round(F.avg(F.col("y").cast("double")), 6).alias("pos_rate"),
+    )

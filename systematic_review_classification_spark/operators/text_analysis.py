@@ -197,3 +197,44 @@ def txt_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(raw, F.lit(email_re)).cast("bigint").alias("n_emails"),
         F.regexp_count(raw, F.lit(phone_re)).cast("bigint").alias("n_phones"),
     )
+
+
+@query(
+    "txt_chunk",
+    oracle="""
+SELECT doc_id, cs AS chunk_start,
+       substring(text, cs, 256) AS chunk,
+       length(substring(text, cs, 256)) AS chunk_len
+FROM documents, unnest(range(1, greatest(n_chars - 56, 1) + 1, 200)) AS u(cs)
+""",
+)
+def txt_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window document chunking with overlap — the LLM
+    training-data shaping step (context-window packing). Windows of
+    256 chars at stride 200 (56-char overlap) so no boundary content
+    is lost; start offsets stop once the remaining tail is covered by
+    the previous window (``greatest(n_chars - 56, 1)`` keeps every
+    document, however short, producing at least one chunk).
+
+    Chunks are generated by ``explode(sequence(...))`` + ``substr`` —
+    a pure per-row map with no shuffle: at 100 TB this is a linear
+    scan whose output co-partitions with its input, and the chunk
+    relation inherits parquet pushdown on doc_id/lang filters. A
+    tokenizer-aware variant only swaps the offset expression; the
+    plan shape is identical."""
+    d = load(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(1).cast("long"),
+        F.greatest(F.col("n_chars") - 56, F.lit(1).cast("long")),
+        F.lit(200).cast("long"),
+    )
+    chunk = F.col("text").substr(F.col("chunk_start"), F.lit(256))
+    return (
+        d.select("doc_id", "text", F.explode(starts).alias("chunk_start"))
+        .select(
+            "doc_id",
+            "chunk_start",
+            chunk.alias("chunk"),
+            F.length(chunk).alias("chunk_len"),
+        )
+    )
