@@ -296,3 +296,123 @@ def wl_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
         (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
     )
+
+
+@query(
+    "wl_q4_late",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= timestamp '1997-07-01'
+  AND o_orderdate <  timestamp '1997-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+""",
+)
+def wl_q4_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): orders in a quarter
+    with at least one line shipped >30 days after the order date —
+    EXISTS decorrelated into a left-semi join, then a tiny
+    5-group aggregate.
+
+    Scale shape: the date filter prunes orders BEFORE the semi join
+    (predicate pushdown to the scan), and a semi join never widens
+    rows or duplicates matches — the shuffle carries only
+    (orderkey, dates). At 100 TB this is one pruned shuffle of the two
+    facts on orderkey; AQE picks SMJ/shuffled-hash since neither fact
+    broadcasts. (The reference's inclusion-criteria audit — "orders
+    with any late item" — is this exact decorrelation.)"""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp_ntz"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "wl_q14_promo",
+    oracle="""
+SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= timestamp '1997-09-01'
+  AND l_shipdate <  timestamp '1997-10-01'
+""",
+)
+def wl_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): one month of lineitem
+    joined to part, conditional-sum ratio in a single pass.
+
+    Scale shape: the month filter prunes lineitem at the scan (and
+    under sink_sorted_parquet's layout, prunes row groups); `part` is
+    the one genuinely joined dimension and scales ~1/7.5 of orders, so
+    no hint — AQE broadcasts it while small, shuffles when not. Both
+    CASE branches fold into the same partial aggregate: one join, one
+    1-row result, zero extra passes."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp_ntz"))
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), disc).otherwise(F.lit(0.0))
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(disc), 4).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "wl_q18_large",
+    oracle="""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       round(sum(l_quantity), 2) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+""",
+)
+def wl_q18_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): self-aggregate lineitem
+    to find orders with sum(quantity) > 300, semi-join orders down to
+    that tiny key set, then re-join lineitem for the detail rows.
+
+    Scale shape: the HAVING pre-aggregate reduces lineitem to one row
+    per orderkey BEFORE any join (map-side partials), and its
+    surviving key set is tiny (~0.3% of orders) — AQE broadcasts it,
+    so the big facts are never shuffled against each other unfiltered.
+    customer joins last, against already-filtered orders."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_sq"))
+        .filter(F.col("_sq") > 300)
+        .select("l_orderkey")
+    )
+    o = load(spark, sf_dir, "orders").join(
+        big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi"
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+    )

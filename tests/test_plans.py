@@ -74,7 +74,13 @@ def test_partial_aggregation(spark, sf_dir):
 
 @pytest.mark.parametrize(
     ("key", "n_hinted_dims"),
-    [("wl_q3", 0), ("wl_q5", 2), ("wl_q10", 1)],
+    [
+        ("wl_q3", 0),
+        ("wl_q5", 2),
+        ("wl_q10", 1),
+        ("wl_q4_late", 0),
+        ("wl_q14_promo", 0),
+    ],
 )
 def test_workload_no_fact_broadcast(spark, sf_dir, key, n_hinted_dims):
     """No fact table may be FORCED to broadcast. With auto-broadcast
