@@ -381,3 +381,36 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("l_extendedprice"), 2).alias("lo"),
         F.round(F.max("l_extendedprice"), 2).alias("hi"),
     )
+
+
+@query("agg_hll_sketch")  # rows-only: approximate by construction
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches via
+    hll_sketch_agg): per-group distinct-order estimates PLUS a global
+    estimate obtained by UNIONING the per-group sketches — no second
+    scan of the fact.
+
+    This is the 100 TB distinct-count architecture: sketches build in
+    the map-side partial aggregate (each executor ships ~KB, never the
+    keys), merge associatively across partitions/groups/days, and can
+    be persisted next to rollup tables so "distinct over any superset
+    of groups" becomes a sketch-merge, not a re-scan. Invariant-tested
+    against exact counts (tests/test_invariants.py)."""
+    li = load(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_orderkey").alias("sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    per = g.select(
+        "l_returnflag",
+        F.col("n_rows"),
+        F.hll_sketch_estimate("sk").alias("approx_orders"),
+    )
+    total = g.agg(
+        F.hll_union_agg("sk").alias("sk"), F.sum("n_rows").alias("n_rows")
+    ).select(
+        F.lit("ALL").alias("l_returnflag"),
+        F.col("n_rows"),
+        F.hll_sketch_estimate("sk").alias("approx_orders"),
+    )
+    return per.unionAll(total)

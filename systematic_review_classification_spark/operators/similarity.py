@@ -205,3 +205,90 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("id1").orderBy(F.col("cos_sim").desc(), "id2")
     return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+
+
+@query(
+    "sim_bruteforce_topk",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+probes AS (SELECT * FROM e WHERE vec_id < 100),
+pairs AS (
+  SELECT p.vec_id AS id1, c.vec_id AS id2,
+         round(list_reduce(list_transform(list_zip(p.v, c.v), q -> q[1] * q[2]), (a, b) -> a + b)
+               / (sqrt(list_reduce(list_transform(p.v, x -> x * x), (a, b) -> a + b))
+                  * sqrt(list_reduce(list_transform(c.v, x -> x * x), (a, b) -> a + b))), 6) AS cos_sim
+  FROM probes p JOIN e c ON p.vec_id <> c.vec_id)
+SELECT id1, id2, cos_sim, rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY id1 ORDER BY cos_sim DESC, id2) AS rn
+  FROM pairs)
+WHERE rn <= 3
+""",
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global cosine top-k with NO natural blocks: distributed
+    block-nested-loop. Candidates hash into B blocks; probes replicate
+    to every block; a cogrouped applyInPandas computes one numpy
+    matmul per (probe-slice x block) and keeps only the block-local
+    top-3 under the (rounded sim DESC, id2) total order; a final
+    window over the B x 3 survivors per probe yields the global top-3.
+
+    Scale shape: the only wide exchanges are two hash partitionings on
+    blk; per-task work is a dense GEMM (Arrow in, numpy, Arrow out);
+    the merge input is bounded at B*k rows per probe regardless of
+    corpus size. B scales with the corpus so each block fits a task —
+    compute is inherently O(probes x corpus) because exact top-k over
+    unstructured vectors IS that; when the budget won't pay it,
+    sim_ann_lsh / sim_ivf_topk are the approximate tiers. Block-local
+    top-3 loses nothing: the global top-3 under a total order is a
+    subset of the union of block top-3s."""
+    import numpy as np
+    import pandas as pd
+
+    B = 8
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _dbl(F.col("embedding")).alias("v")
+    )
+    probes = (
+        e.filter(F.col("vec_id") < 100)
+        .crossJoin(spark.range(B).select(F.col("id").cast("int").alias("blk")))
+        .select("blk", F.col("vec_id").alias("id1"), F.col("v").alias("v1"))
+    )
+    cands = e.select(
+        F.pmod(F.col("vec_id"), F.lit(B)).cast("int").alias("blk"),
+        F.col("vec_id").alias("id2"),
+        F.col("v").alias("v2"),
+    )
+
+    def block_topk(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame({"id1": [], "id2": [], "cos_sim": []}).astype(
+                {"id1": "int64", "id2": "int64", "cos_sim": "float64"}
+            )
+        Q = np.stack(left["v1"].to_numpy())
+        C = np.stack(right["v2"].to_numpy())
+        qid = left["id1"].to_numpy()
+        cid = right["id2"].to_numpy()
+        sims = (Q @ C.T) / np.outer(
+            np.linalg.norm(Q, axis=1), np.linalg.norm(C, axis=1)
+        )
+        sims = np.round(sims, 6)
+        out = []
+        for i in range(len(qid)):
+            row = sims[i]
+            mask = cid != qid[i]
+            order = np.lexsort((cid[mask], -row[mask]))[:3]
+            ids = cid[mask][order]
+            out.append(
+                pd.DataFrame(
+                    {"id1": qid[i], "id2": ids, "cos_sim": row[mask][order]}
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    local = (
+        probes.groupBy("blk")
+        .cogroup(cands.groupBy("blk"))
+        .applyInPandas(block_topk, "id1 long, id2 long, cos_sim double")
+    )
+    w = W.partitionBy("id1").orderBy(F.col("cos_sim").desc(), "id2")
+    return local.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)

