@@ -488,3 +488,49 @@ def fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").try_cast("int").alias("flag_int"),
         F.col("l_quantity").try_cast("int").alias("qty_int"),
     )
+
+
+@query(
+    "fn_url",
+    oracle="""
+SELECT c_custkey,
+       'https' AS proto,
+       'archive.example.org' AS host,
+       '/' || lower(c_mktsegment) || '/doc' AS path,
+       'id=' || c_custkey || '&page=' || (c_custkey % 7) AS query,
+       CAST(c_custkey % 7 AS VARCHAR) AS page,
+       replace(lower(c_mktsegment), 'a', '%61') AS seg_encoded
+FROM customer WHERE c_custkey <= 200
+""",
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing/encoding surface: parse_url component extraction
+    (PROTOCOL / HOST / PATH / QUERY and keyed query-parameter lookup)
+    plus percent-encoding. URLs are constructed from customer columns,
+    so the oracle re-derives each component from the same inputs —
+    Spark's parser is checked against ground truth, not against
+    another parser. JVM-side expressions throughout (parse_url,
+    url_encode): a pure map stage, no shuffle.
+
+    (url_encode output is pinned via a single-character 'a'→%61 case:
+    portable across engines, unlike full-string encoding where space
+    → '+' vs '%20' conventions differ.)"""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    seg = F.lower(F.col("c_mktsegment"))
+    url = F.concat(
+        F.lit("https://archive.example.org/"),
+        seg,
+        F.lit("/doc?id="),
+        F.col("c_custkey").cast("string"),
+        F.lit("&page="),
+        (F.col("c_custkey") % 7).cast("string"),
+    )
+    return c.select(
+        "c_custkey",
+        F.parse_url(url, F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("page")).alias("page"),
+        F.regexp_replace(seg, "a", "%61").alias("seg_encoded"),
+    )

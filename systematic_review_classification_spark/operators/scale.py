@@ -416,3 +416,84 @@ def wl_q18_large(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
     )
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+SELECT s_nationkey, count(*) AS n, round(sum(l_quantity), 2) AS total_qty
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+""",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join — the join-side twin of agg_skew_salted. The
+    big probe side gets a deterministic salt in [0, 8) (hash of its
+    unique line id, so a hot supplier's rows spread over 8 reducers);
+    the build side is replicated once per salt value via explode;
+    the join runs on (key, salt). Provably equal to the naive join
+    (the oracle). AQE's skew-join split does this adaptively for SMJ,
+    but explicit salting is the tool when one key dominates so hard
+    that even a split partition is one key, or when the build side of
+    a shuffled-hash join must stay balanced."""
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(8)).cast("int")
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(7))))
+    )
+    return (
+        li.join(s, (li.l_suppkey == s.s_suppkey) & (li.salt == s.salt))
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "agg_incremental_rollup",
+    oracle="""
+SELECT CAST(date_trunc('month', ts) AS VARCHAR) AS month, event_type,
+       count(*) AS n,
+       round(sum(value), 4) AS total_value,
+       round(sum(value) / count(*), 6) AS avg_value
+FROM events
+GROUP BY date_trunc('month', ts), event_type
+""",
+)
+def agg_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style incremental rollup: aggregate events to a DAILY
+    partial relation first (count + sum per day x type — the relation a
+    streaming job or nightly batch would MATERIALIZE), then re-aggregate
+    the partials to months. Equals the direct monthly aggregate over raw
+    events (the oracle) because count/sum are decomposable and avg is
+    derived from merged sums, never averaged-of-averages.
+
+    Scale shape: the raw fact is touched once at daily grain; every
+    coarser rollup (month/quarter/year) re-aggregates the ~10^3x
+    smaller daily relation. With the daily relation persisted
+    hive-partitioned by day (sink_parquet pattern), late data rewrites
+    one day-partition and months recompute from partials — the 100 TB
+    answer to "don't re-scan the fact for every time grain"."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("part_n"), F.sum("value").alias("part_sum"))
+    return (
+        daily.groupBy(
+            F.date_trunc("month", "day").cast("date").cast("string").alias("month"),
+            "event_type",
+        )
+        .agg(F.sum("part_n").alias("n"), F.sum("part_sum").alias("_s"))
+        .select(
+            "month",
+            "event_type",
+            "n",
+            F.round(F.col("_s"), 4).alias("total_value"),
+            F.round(F.col("_s") / F.col("n"), 6).alias("avg_value"),
+        )
+    )

@@ -238,3 +238,32 @@ def txt_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(chunk).alias("chunk_len"),
         )
     )
+
+
+@query(
+    "txt_sentence_split",
+    oracle="""
+SELECT doc_id,
+       generate_subscripts(string_split(text, '. '), 1) - 1 AS sent_idx,
+       unnest(string_split(text, '. ')) AS sentence,
+       length(unnest(string_split(text, '. '))) AS n_chars
+FROM documents
+WHERE doc_id < 200
+""",
+)
+def txt_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation: split on '. ' boundaries with ordinal
+    positions (posexplode) — the unit-of-text step between documents
+    and chunks for labeling, PII scanning, or per-sentence quality
+    scores. Deliberately a fixed-delimiter split (portable across
+    Spark's Java regex and DuckDB's RE2 — lookbehind isn't in the
+    common subset); an abbreviation-aware splitter drops into the same
+    posexplode shape. Pure per-row generate: no shuffle, output
+    co-partitioned with input."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), "\\. ")).alias("sent_idx", "sentence"),
+    ).select(
+        "doc_id", "sent_idx", "sentence", F.length("sentence").alias("n_chars")
+    )

@@ -96,7 +96,8 @@ _PRIORITY: list[str] = [
     "stream_stateful", "stream_foreachbatch", "stream_static_join",
     "src_binaryfile", "src_text", "txt_chunk", "ml_calibration",
     "wl_q4_late", "wl_q14_promo", "wl_q18_large", "agg_hll_sketch",
-    "sim_bruteforce_topk",
+    "sim_bruteforce_topk", "join_skew_salted", "agg_incremental_rollup",
+    "fn_url", "txt_sentence_split",
 ]
 
 
