@@ -414,3 +414,35 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("sk").alias("approx_orders"),
     )
     return per.unionAll(total)
+
+
+@query(
+    "agg_decimal_exact",
+    oracle="""
+SELECT l_returnflag,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS exact_revenue,
+       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS exact_disc_revenue,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decimal aggregation: money sums in DECIMAL, not DOUBLE.
+    Float sums are order-dependent (parallel partial aggregation makes
+    the addition order nondeterministic run to run — why every float
+    oracle in this repo rounds); decimal sums are associative and
+    EXACT, so the oracle needs no rounding and two runs of the same
+    query agree to the last cent. At 100 TB this is the difference
+    between a ledger and an estimate: Spark widens the accumulator
+    (DECIMAL(28,2) here) so ~10^10 row sums cannot overflow, and
+    Tungsten keeps fixed-precision decimals in unsafe rows, off-heap,
+    codegen-friendly."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("exact_revenue"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+        ).alias("exact_disc_revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -350,3 +350,52 @@ def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e1.event_type").alias("t1"),
         F.col("e2.event_type").alias("t2"),
     )
+
+
+@query(
+    "join_range_bucket",
+    oracle="""
+SELECT e1.event_id AS id1, e2.event_id AS id2,
+       e1.event_type AS type1, e2.event_type AS type2
+FROM events e1 JOIN events e2
+  ON e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 10 MINUTE
+""",
+)
+def join_range_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join with NO equi key — all event pairs within 10
+    minutes, across users. A naive theta join is a full cartesian
+    product; the scalable plan manufactures an equi key by bucketing
+    time into window-sized (600 s) buckets: a qualifying pair's
+    buckets can differ by at most 1, so the right side replicates into
+    (bucket, bucket-1) via explode and the join becomes an EQUI join
+    on bucket with the exact time band as a residual filter. Each pair
+    meets in exactly one bucket (floor difference is 0 or 1), so no
+    dedup pass is needed.
+
+    Scale shape: one shuffle of each side hash-partitioned on bucket;
+    per-bucket pair work is bounded by per-window event density, not
+    corpus size — the cartesian blowup a plain theta join would hit at
+    100 TB never materializes. Skewed hot windows split further by
+    salting the bucket (join_skew_salted pattern)."""
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    b = F.floor(F.unix_timestamp("ts") / 600)
+    e1 = ev.select(
+        F.col("event_id").alias("id1"),
+        F.col("ts").alias("ts1"),
+        F.col("event_type").alias("type1"),
+        b.alias("bkt"),
+    )
+    e2 = ev.select(
+        F.col("event_id").alias("id2"),
+        F.col("ts").alias("ts2"),
+        F.col("event_type").alias("type2"),
+        F.explode(F.array(b, b - 1)).alias("bkt"),
+    )
+    return (
+        e1.join(e2, "bkt")
+        .filter(
+            (F.col("ts2") > F.col("ts1"))
+            & (F.col("ts2") <= F.col("ts1") + F.expr("INTERVAL 10 MINUTES"))
+        )
+        .select("id1", "id2", "type1", "type2")
+    )

@@ -97,7 +97,7 @@ _PRIORITY: list[str] = [
     "src_binaryfile", "src_text", "txt_chunk", "ml_calibration",
     "wl_q4_late", "wl_q14_promo", "wl_q18_large", "agg_hll_sketch",
     "sim_bruteforce_topk", "join_skew_salted", "agg_incremental_rollup",
-    "fn_url", "txt_sentence_split",
+    "fn_url", "txt_sentence_split", "join_range_bucket", "agg_decimal_exact",
 ]
 
 
