@@ -344,3 +344,92 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qname = run_to_memory(joined, sf_dir, "ssjoin", "append")
     return spark.table(qname)
+
+
+@query(
+    "stream_rollup_merge",
+    oracle="""
+SELECT CAST(date_trunc('month', ts) AS VARCHAR) AS month, event_type,
+       count(*) AS n,
+       round(sum(value), 4) AS total_value
+FROM events
+GROUP BY date_trunc('month', ts), event_type
+""",
+)
+def stream_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming side of agg_incremental_rollup: the source replays as
+    THREE micro-batches (maxFilesPerTrigger=1 over a 3-file staging),
+    and each batch's daily partials MERGE into a keyed rollup store
+    inside foreachBatch — read current generation, sum-combine on
+    (day, event_type), write next generation. The merged daily store
+    re-aggregated to months equals the batch answer over all events:
+    count/sum partials compose across arbitrary batch boundaries.
+
+    This is the lakehouse "MERGE INTO rollup" loop: state lives in the
+    TABLE (idempotent per checkpointed batch id), not the state store,
+    so the rollup survives restarts and is queryable mid-stream.
+    Generation directories stand in for a table format's atomic
+    commit; with Delta/Iceberg the merge is a single MERGE INTO."""
+    import os
+
+    from systematic_review_classification_spark.sources.tables import load
+    from systematic_review_classification_spark.streaming.helpers import (
+        EVENTS_SCHEMA,
+        ensure_confs,
+        stream_shuffle_partitions,
+    )
+
+    ensure_confs(spark)
+    src = work_dir(sf_dir, "rollup_src")
+    # stage the raw-ns events as 3 files so AvailableNow splits batches
+    (
+        spark.read.schema(EVENTS_SCHEMA)
+        .parquet(f"{sf_dir}/events.parquet")
+        .repartition(3)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    store = work_dir(sf_dir, "rollup_store")
+    ckpt = work_dir(sf_dir, "rollup_ckpt")
+    gen = {"i": 0}
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        part = batch_df.groupBy(
+            F.date_trunc("day", "ts").alias("day"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("part_n"), F.sum("value").alias("part_sum"))
+        if gen["i"] > 0:
+            prev = spark.read.parquet(os.path.join(store, f"g{gen['i'] - 1}"))
+            part = (
+                prev.unionByName(part)
+                .groupBy("day", "event_type")
+                .agg(
+                    F.sum("part_n").alias("part_n"),
+                    F.sum("part_sum").alias("part_sum"),
+                )
+            )
+        part.write.mode("overwrite").parquet(os.path.join(store, f"g{gen['i']}"))
+        gen["i"] += 1
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # one staged file per micro-batch
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"))
+        .select("ts", "event_type", "value")
+    )
+    with stream_shuffle_partitions(spark):
+        (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    daily = spark.read.parquet(os.path.join(store, f"g{gen['i'] - 1}"))
+    return (
+        daily.groupBy(
+            F.date_trunc("month", "day").cast("date").cast("string").alias("month"),
+            "event_type",
+        )
+        .agg(F.sum("part_n").alias("n"), F.round(F.sum("part_sum"), 4).alias("total_value"))
+    )

@@ -171,3 +171,19 @@ def test_hll_sketch_estimates_track_exact(spark, sf_dir):
     assert set(got) == set(exact)
     for k, est in got.items():
         assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
+
+
+def test_stream_rollup_merge_runs_multiple_batches(spark, sf_dir):
+    """The staged 3-file source with maxFilesPerTrigger=1 must produce
+    one rollup-store generation per micro-batch — the merge loop is
+    only exercised if more than one generation exists."""
+    import os
+
+    from systematic_review_classification_spark.streaming.helpers import (
+        IO_ROOT, sf_tag,
+    )
+
+    QUERIES["stream_rollup_merge"](spark, sf_dir).count()
+    store = os.path.join(IO_ROOT, sf_tag(sf_dir), "rollup_store")
+    gens = sorted(d for d in os.listdir(store) if d.startswith("g"))
+    assert len(gens) == 3, gens
