@@ -593,3 +593,60 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if i % 3 == 2:
             labels = labels.localCheckpoint(eager=False)
     return labels
+
+
+@query(
+    "dedup_paragraph",
+    oracle="""
+WITH chunks AS (
+  SELECT doc_id, cs AS chunk_start, substring(text, cs, 256) AS chunk
+  FROM documents, unnest(range(1, greatest(n_chars - 56, 1) + 1, 200)) AS u(cs)),
+fps AS (SELECT doc_id, chunk_start, md5(chunk) AS fp FROM chunks),
+keep AS (SELECT fp, min(doc_id * 1000000 + chunk_start) AS keep_key,
+                count(*) AS n_copies
+         FROM fps GROUP BY fp)
+SELECT f.doc_id, f.chunk_start, k.n_copies,
+       CAST(f.doc_id * 1000000 + f.chunk_start = k.keep_key AS BOOLEAN) AS kept
+FROM fps f JOIN keep k ON f.fp = k.fp
+""",
+)
+def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (paragraph/chunk-level) exact dedup — the
+    boilerplate-removal pass of a training-data pipeline: repeated
+    headers, license blurbs, and navigation chrome recur across
+    documents that are NOT whole-document duplicates, so dedup must
+    run at chunk grain. Composes txt_chunk's windows with
+    dedup_exact's keep-lowest fingerprint discipline: md5 per chunk,
+    one hash aggregation decides the canonical copy, a second
+    fingerprint join labels every chunk kept/dropped.
+
+    Scale shape: fingerprints (16 bytes) shuffle, chunk text does not
+    — the labeling join carries only (fp, keep_key, n_copies) back to
+    the chunk relation on the fingerprint key. Both sides partition on
+    fp, AQE handles the (boilerplate-heavy) skewed fingerprints."""
+    d = load(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(1).cast("long"),
+        F.greatest(F.col("n_chars") - 56, F.lit(1).cast("long")),
+        F.lit(200).cast("long"),
+    )
+    fps = (
+        d.select("doc_id", "text", F.explode(starts).alias("chunk_start"))
+        .select(
+            "doc_id",
+            "chunk_start",
+            F.md5(F.col("text").substr(F.col("chunk_start"), F.lit(256))).alias("fp"),
+        )
+    )
+    keep = fps.groupBy("fp").agg(
+        F.min(F.col("doc_id") * 1000000 + F.col("chunk_start")).alias("keep_key"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    return fps.join(keep, "fp").select(
+        "doc_id",
+        "chunk_start",
+        "n_copies",
+        (F.col("doc_id") * 1000000 + F.col("chunk_start") == F.col("keep_key")).alias(
+            "kept"
+        ),
+    )
