@@ -189,3 +189,33 @@ def test_partitioned_sink_readback_prunes(spark, sf_dir, tmp_path):
     assert m and "l_returnflag" in m.group(1), (
         "partition-column filter must prune directories\n" + plan
     )
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    """txt_chunk must be a pure generate+project pipeline: one scan,
+    zero Exchanges — the property that makes chunking a linear
+    map-stage at 100 TB."""
+    plan = plan_of(QUERIES["txt_chunk"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "Generate" in plan, plan
+
+
+def test_range_bucket_join_is_equi_not_cartesian(spark, sf_dir):
+    """join_range_bucket must plan as an EQUI join on the manufactured
+    bucket key — never CartesianProduct / BroadcastNestedLoopJoin,
+    which is what a bare theta join would degrade to at scale."""
+    plan = plan_of(QUERIES["join_range_bucket"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")), plan
+
+
+def test_paragraph_dedup_shuffles_fingerprints_not_text(spark, sf_dir):
+    """dedup_paragraph's exchanges must carry md5 fingerprints, never
+    the chunk text: the Exchange nodes' output schemas may not contain
+    a 'chunk' string column (only doc_id/chunk_start/fp/aggregates)."""
+    plan = plan_of(QUERIES["dedup_paragraph"](spark, sf_dir))
+    import re
+    for m in re.finditer(r"\(\d+\) Exchange\n(?:.+\n)+?(?=\n|\(\d+\))", plan):
+        block = m.group(0)
+        assert "chunk#" not in block, block
