@@ -267,3 +267,40 @@ def txt_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "sent_idx", "sentence", F.length("sentence").alias("n_chars")
     )
+
+
+@query(
+    "txt_chunk_tokens",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - 8, 1), 56)) AS cs
+      FROM t)
+SELECT doc_id, cs AS tok_start,
+       array_to_string(list_slice(toks, cs + 1, cs + 64), ' ') AS chunk,
+       CAST(len(list_slice(toks, cs + 1, cs + 64)) AS INTEGER) AS n_tokens
+FROM s
+""",
+)
+def txt_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget chunking — the realistic LLM variant of txt_chunk:
+    windows of 64 tokens at stride 56 (8-token overlap), so every
+    chunk fits a fixed context budget regardless of character length.
+    Tokenize once, explode start offsets, slice the token array and
+    re-join — still a pure generate+project pipeline with zero
+    shuffles; only the tokenizer changes between this and a BPE
+    variant (txt_token_count_bpe has the regex), never the plan."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 9, F.lit(0)), F.lit(56)
+    )
+    piece = F.slice(F.col("toks"), F.col("tok_start") + 1, 64)
+    return (
+        d.select("doc_id", toks.alias("toks"), F.explode(starts).alias("tok_start"))
+        .select(
+            "doc_id",
+            F.col("tok_start").cast("long").alias("tok_start"),
+            F.array_join(piece, " ").alias("chunk"),
+            F.size(piece).alias("n_tokens"),
+        )
+    )

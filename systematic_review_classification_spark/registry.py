@@ -98,7 +98,7 @@ _PRIORITY: list[str] = [
     "wl_q4_late", "wl_q14_promo", "wl_q18_large", "agg_hll_sketch",
     "sim_bruteforce_topk", "join_skew_salted", "agg_incremental_rollup",
     "fn_url", "txt_sentence_split", "join_range_bucket", "agg_decimal_exact",
-    "stream_rollup_merge", "dedup_paragraph",
+    "stream_rollup_merge", "dedup_paragraph", "txt_chunk_tokens",
 ]
 
 
