@@ -192,8 +192,46 @@ def test_document_operators_survive_empty_corpus(spark, tmp_path):
         "ml_eval_confusion", "ml_eval_auc", "ml_label_index", "ml_split",
         "dedup_components", "txt_pii_scrub", "wl_clean_corpus",
         "dedup_minhash_portable",
+        "txt_chunk", "txt_chunk_tokens", "txt_sentence_split",
+        "dedup_paragraph", "ml_calibration", "sim_bruteforce_topk",
     ]
     q = all_queries()
     for key in keys:
         n = q[key](spark, str(tmp_path)).count()
         assert n >= 0  # ran without throwing; row count is key-specific
+
+
+def test_chunking_short_document_boundaries(spark, tmp_path):
+    """Chunking must emit exactly one whole-document chunk for any
+    document shorter than one window — including 1-char and
+    shorter-than-overlap texts, where a naive sequence upper bound of
+    n_chars - overlap would go negative and throw (the
+    mm_frame_sample bug class, ADVICE r1)."""
+    from systematic_review_classification_spark import all_queries
+
+    rows = [
+        (1, "x", 1, "s", "en"),
+        (2, "ab cd", 5, "s", "en"),
+        (3, "y" * 56, 56, "s", "en"),   # == char overlap
+        (4, "z" * 257, 257, "s", "en"),  # one char past a window
+    ]
+    schema = "doc_id long, text string, n_chars long, source string, lang string"
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    q = all_queries()
+    chunks = {
+        r.doc_id: r for r in q["txt_chunk"](spark, str(tmp_path)).collect()
+        if r.doc_id != 4
+    }
+    assert set(chunks) == {1, 2, 3}
+    for doc_id, text in [(1, "x"), (2, "ab cd"), (3, "y" * 56)]:
+        assert chunks[doc_id].chunk == text and chunks[doc_id].chunk_start == 1
+    two = [r for r in q["txt_chunk"](spark, str(tmp_path)).collect() if r.doc_id == 4]
+    assert [r.chunk_start for r in sorted(two, key=lambda r: r.chunk_start)] == [1, 201]
+    toks = q["txt_chunk_tokens"](spark, str(tmp_path)).collect()
+    by_doc = {}
+    for r in toks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 1 and by_doc[1][0].chunk == "x"
+    assert len(by_doc[2]) == 1 and by_doc[2][0].n_tokens == 2
