@@ -19,7 +19,7 @@ membership across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from systematic_review_classification_spark.registry import query
@@ -496,4 +496,44 @@ def agg_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("_s"), 4).alias("total_value"),
             F.round(F.col("_s") / F.col("n"), 6).alias("avg_value"),
         )
+    )
+
+
+@query(
+    "wl_shard_shuffle",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id, md5('seed42:' || CAST(doc_id AS VARCHAR)) AS fp
+  FROM documents),
+sharded AS (
+  SELECT doc_id, fp,
+         (strpos('0123456789abcdef', substring(fp, 1, 1)) - 1) % 8 AS shard
+  FROM fp)
+SELECT doc_id, shard,
+       row_number() OVER (PARTITION BY shard ORDER BY fp, doc_id) AS pos
+FROM sharded
+""",
+)
+def wl_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global shuffle + sharding for training-data order:
+    every document gets a seeded md5 fingerprint; the fingerprint's
+    first hex digit picks one of 8 shards and its lexicographic order
+    fixes the position WITHIN the shard. Rerunning with the same seed
+    reproduces the exact epoch order on any cluster size — unlike
+    rand()/randomSplit, which depend on partitioning (ml_split's
+    deterministic-hash discipline, applied to ordering).
+
+    Scale shape: one hash shuffle on shard, and every window is
+    partitioned BY shard — per-reducer work is corpus/8, no global
+    sort, no single-reducer funnel. More shards = more parallelism;
+    the training loader reads shard files independently."""
+    d = load(spark, sf_dir, "documents")
+    fp = F.md5(F.concat(F.lit("seed42:"), F.col("doc_id").cast("string")))
+    sharded = d.select("doc_id", fp.alias("fp")).withColumn(
+        "shard",
+        (F.expr("instr('0123456789abcdef', substring(fp, 1, 1))") - 1) % 8,
+    )
+    w = W.partitionBy("shard").orderBy("fp", "doc_id")
+    return sharded.select(
+        "doc_id", "shard", F.row_number().over(w).alias("pos")
     )
