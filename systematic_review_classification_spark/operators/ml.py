@@ -508,3 +508,57 @@ def ml_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("score"), 6).alias("mean_score"),
         F.round(F.avg(F.col("y").cast("double")), 6).alias("pos_rate"),
     )
+
+
+@query(
+    "ml_threshold_at_recall",
+    oracle=f"""
+WITH {_SCORED_SQL},
+curve AS (
+  SELECT score, vec_id,
+         row_number() OVER (ORDER BY score DESC, vec_id) AS k,
+         sum(y) OVER (ORDER BY score DESC, vec_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+  FROM scored),
+tot AS (SELECT count(*) AS n_total, CAST(sum(y) AS BIGINT) AS n_pos FROM scored),
+hit AS (SELECT min(k) AS k_star FROM curve, tot
+        WHERE CAST(cum_pos AS DOUBLE) / n_pos >= 0.95)
+SELECT c.score AS threshold, h.k_star,
+       round(CAST(c.cum_pos AS DOUBLE) / t.n_pos, 6) AS recall,
+       round(CAST(c.cum_pos AS DOUBLE) / h.k_star, 6) AS precision_at_k
+FROM curve c, hit h, tot t
+WHERE c.k = h.k_star
+""",
+)
+def ml_threshold_at_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Screening-threshold selection — the operational twin of
+    ml_eval_wss95: instead of reporting the work saved, return the
+    SCORE CUTOFF a reviewer should apply to reach 95% recall, with the
+    realized recall and precision at that depth. This is the number a
+    screening deployment actually configures (the reference workflow's
+    inclusion threshold).
+
+    Same distributed machinery: the two-pass range-ranked curve
+    (no single-reducer window), a broadcast 1-row totals join, and a
+    k = k* point lookup — 2 shuffles at any corpus size."""
+    curve, tot = _screen_curve(_scored(spark, sf_dir))
+    hit = (
+        curve.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum_pos").cast("double") / F.col("n_pos") >= 0.95)
+        .agg(F.min("k").alias("k_star"))
+    )
+    return (
+        curve.crossJoin(F.broadcast(hit))
+        .filter(F.col("k") == F.col("k_star"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("score").alias("threshold"),
+            "k_star",
+            F.round(F.col("cum_pos").cast("double") / F.col("n_pos"), 6).alias(
+                "recall"
+            ),
+            F.round(F.col("cum_pos").cast("double") / F.col("k_star"), 6).alias(
+                "precision_at_k"
+            ),
+        )
+    )

@@ -99,7 +99,7 @@ _PRIORITY: list[str] = [
     "sim_bruteforce_topk", "join_skew_salted", "agg_incremental_rollup",
     "fn_url", "txt_sentence_split", "join_range_bucket", "agg_decimal_exact",
     "stream_rollup_merge", "dedup_paragraph", "txt_chunk_tokens",
-    "wl_shard_shuffle",
+    "wl_shard_shuffle", "ml_threshold_at_recall",
 ]
 
 
