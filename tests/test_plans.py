@@ -80,6 +80,13 @@ def test_partial_aggregation(spark, sf_dir):
         ("wl_q10", 1),
         ("wl_q4_late", 0),
         ("wl_q14_promo", 0),
+        ("wl_q7_volume", 2),
+        ("wl_q8_share", 3),
+        ("wl_q12_late", 0),
+        ("wl_q13_custdist", 0),
+        ("wl_q17_smallqty", 0),
+        ("wl_q19_disjunct", 0),
+        ("wl_q21_waiting", 0),
     ],
 )
 def test_workload_no_fact_broadcast(spark, sf_dir, key, n_hinted_dims):
@@ -189,6 +196,60 @@ def test_partitioned_sink_readback_prunes(spark, sf_dir, tmp_path):
     assert m and "l_returnflag" in m.group(1), (
         "partition-column filter must prune directories\n" + plan
     )
+
+
+def test_disjunctive_predicates_still_push(spark, sf_dir):
+    """wl_q19's top-level OR must not defeat pushdown: Catalyst factors
+    the single-side conjuncts out of the disjunction, so BOTH scans
+    carry an Or(...) PushedFilters entry (brand/size envelope on part,
+    quantity envelope on lineitem) instead of filtering post-join."""
+    import re
+
+    plan = plan_of(QUERIES["wl_q19_disjunct"](spark, sf_dir))
+    pushed = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
+    with_or = [p for p in pushed if "Or(" in p]
+    assert len(with_or) >= 2, f"both scans must push the factored OR\n{plan}"
+
+
+def test_custdist_reuses_join_partitioning(spark, sf_dir):
+    """wl_q13's per-customer count must reuse the left join's hash
+    partitioning on custkey: with broadcast off, the whole plan has
+    exactly 3 shuffles (two join inputs + the tiny histogram
+    re-aggregation) — no extra Exchange between join and first
+    groupBy."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(QUERIES["wl_q13_custdist"](spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange (") == 3, tree
+
+
+def test_waiting_suppliers_semi_anti_decorrelation(spark, sf_dir):
+    """wl_q21's EXISTS / NOT EXISTS must decorrelate to semi/anti
+    joins (never a row-widening inner join + distinct, never a nested
+    loop): the plan contains LeftSemi and LeftAnti joins and no
+    cartesian fallback."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(QUERIES["wl_q21_waiting"](spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_decontaminate_broadcasts_bench_grams(spark, sf_dir):
+    """dedup_decontaminate must never do train×train pairwise work:
+    the contamination check is a broadcast LeftSemi of the (small)
+    benchmark gram set against the linear train-side gram explode."""
+    plan = plan_of(QUERIES["dedup_decontaminate"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftSemi" in plan and "BroadcastExchange" in plan, plan
 
 
 def test_chunking_is_shuffle_free(spark, sf_dir):
