@@ -100,6 +100,9 @@ _PRIORITY: list[str] = [
     "fn_url", "txt_sentence_split", "join_range_bucket", "agg_decimal_exact",
     "stream_rollup_merge", "dedup_paragraph", "txt_chunk_tokens",
     "wl_shard_shuffle", "ml_threshold_at_recall",
+    "wl_q7_volume", "wl_q8_share", "wl_q12_late", "wl_q13_custdist",
+    "wl_q15_topsupp", "wl_q17_smallqty", "wl_q19_disjunct",
+    "wl_q21_waiting", "wl_q22_inactive", "dedup_decontaminate",
 ]
 
 
