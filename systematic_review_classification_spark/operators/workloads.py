@@ -552,6 +552,105 @@ def wl_q22_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "wl_domain_mix",
+    oracle="""
+WITH weighted AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+         CASE WHEN source IN ('src0', 'src1', 'src2', 'src3', 'src4') THEN '..'
+              WHEN source IN ('src5', 'src6', 'src7', 'src8', 'src9') THEN '80'
+              ELSE '40' END AS keep_below
+  FROM documents),
+kept AS (
+  SELECT * FROM weighted
+  WHERE keep_below = '..'
+     OR substring(md5('mix42:' || CAST(doc_id AS VARCHAR)), 1, 2) < keep_below)
+SELECT source, count(*) AS n_kept,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_kept
+FROM kept GROUP BY source
+""",
+)
+def wl_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-weighted mixture sampling: down-sample each source to a
+    target mixing weight (here: premium sources keep 100%, mid-tier
+    50%, the long tail 25%) — how a pretraining corpus hits its data
+    mix. Sampling is a DETERMINISTIC per-document hash coin
+    (md5 of a seeded doc key, first byte vs a hex threshold), not
+    rand(): the same doc makes the same keep decision on any cluster
+    size, any partitioning, any rerun — reproducible epochs, and
+    oracle-able (ml_split's discipline applied to weighted sampling).
+
+    Scale shape: pure map-side filter (hash + string compare per row,
+    no shuffle until the final per-source count); the weight table is
+    a CASE expression here but would broadcast as a dim at 100 TB.
+    Reports per-source kept docs + token budget, the numbers a mix
+    designer actually monitors."""
+    d = load(spark, sf_dir, "documents")
+    keep_below = (
+        F.when(
+            F.col("source").isin("src0", "src1", "src2", "src3", "src4"), ".."
+        )
+        .when(F.col("source").isin("src5", "src6", "src7", "src8", "src9"), "80")
+        .otherwise("40")
+    )
+    coin = F.md5(F.concat(F.lit("mix42:"), F.col("doc_id").cast("string"))).substr(1, 2)
+    kept = d.withColumn("keep_below", keep_below).filter(
+        (F.col("keep_below") == "..") | (coin < F.col("keep_below"))
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("tokens_kept"),
+    )
+
+
+@query(
+    "wl_pack_sequences",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+  FROM documents),
+packed AS (
+  SELECT source, n_tokens,
+         COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           // 512 AS seq_id
+  FROM t)
+SELECT source, CAST(seq_id AS BIGINT) AS seq_id, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM packed GROUP BY source, seq_id
+""",
+)
+def wl_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: concatenate documents (in a
+    deterministic per-shard order) into fixed token-budget training
+    sequences — a doc starts in the sequence where the running token
+    count before it lands (budget 512 here). The op every LLM data
+    loader performs before tokenized examples hit the trainer; the
+    output is the packing manifest (docs and tokens per sequence).
+
+    Scale shape: ONE window, partitioned by the shard key (source) —
+    never a global order — so per-reducer work is corpus/n_shards,
+    exactly wl_shard_shuffle's discipline; the running sum uses the
+    rows-frame (cumulative partials, no re-scan per row). At 100 TB
+    shards are thousands of hash buckets instead of 20 sources; the
+    plan is unchanged."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    packed = d.withColumn(
+        "seq_id", F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / 512)
+    )
+    return packed.groupBy("source", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+
+
+@query(
     "dedup_decontaminate",
     oracle="""
 WITH toks AS (

@@ -103,6 +103,7 @@ _PRIORITY: list[str] = [
     "wl_q7_volume", "wl_q8_share", "wl_q12_late", "wl_q13_custdist",
     "wl_q15_topsupp", "wl_q17_smallqty", "wl_q19_disjunct",
     "wl_q21_waiting", "wl_q22_inactive", "dedup_decontaminate",
+    "wl_domain_mix", "wl_pack_sequences",
 ]
 
 

@@ -252,6 +252,23 @@ def test_decontaminate_broadcasts_bench_grams(spark, sf_dir):
     assert "LeftSemi" in plan and "BroadcastExchange" in plan, plan
 
 
+def test_domain_mix_filter_is_map_side(spark, sf_dir):
+    """wl_domain_mix's sampling coin must be a map-side filter: exactly
+    one Exchange in the plan (the final per-source count) — the
+    hash-coin decision itself never shuffles."""
+    plan = plan_of(QUERIES["wl_domain_mix"](spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange (") == 1, tree
+
+
+def test_pack_sequences_window_is_sharded(spark, sf_dir):
+    """wl_pack_sequences' running token sum must be partitioned by the
+    shard key — a global unpartitioned window would funnel the corpus
+    through one reducer."""
+    plan = plan_of(QUERIES["wl_pack_sequences"](spark, sf_dir))
+    assert "windowspecdefinition(source" in plan, plan
+
+
 def test_chunking_is_shuffle_free(spark, sf_dir):
     """txt_chunk must be a pure generate+project pipeline: one scan,
     zero Exchanges — the property that makes chunking a linear
