@@ -25,6 +25,8 @@ HEADLINE = [
     "txt_tfidf_topk",       # text featurization pipeline
     "dedup_exact",          # LLM-pipeline dedup
     "sim_cosine_topk",      # similarity search
+    "ml_eval_wss95",        # distributed two-pass global rank
+    "dedup_minhash_portable",  # banded MinHash LSH (the 100 TB dedup shape)
 ]
 
 

@@ -61,8 +61,9 @@ FROM events WHERE event_type = 'purchase'
 """,
 )
 def scan_events_ns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TIMESTAMP(NANOS) parquet scan — nanosAsLong + truncating µs cast
-    matches DuckDB's native ns→µs truncation (SURVEY.md §1.4.1)."""
+    """TIMESTAMP(NANOS) parquet scan — dtype/magnitude-guarded ns→µs
+    normalization matches DuckDB's native truncation (SURVEY.md §1.4.1;
+    sources/tables.py normalize_event_ts)."""
     ev = load(spark, sf_dir, "events")
     return ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "ts", "user_id", "event_type"
@@ -321,18 +322,10 @@ def src_stream_file(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(src, ignore_errors=True)
     os.makedirs(src)
     os.symlink(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # raw ns (nanosAsLong)
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
+    from systematic_review_classification_spark.streaming.helpers import EVENTS_SCHEMA
+
     stream = (
-        spark.readStream.schema(schema)
+        spark.readStream.schema(EVENTS_SCHEMA)
         .parquet(src)
         .filter(F.col("event_type").isin("click", "purchase"))
         .select("event_id", "user_id", "event_type")

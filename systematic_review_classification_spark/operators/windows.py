@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from systematic_review_classification_spark.registry import query
-from systematic_review_classification_spark.sources.tables import load, load_events_raw
+from systematic_review_classification_spark.sources.tables import load
 
 
 @query(
@@ -59,8 +59,11 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Offset functions with defaults — inter-event gaps per user.
-    Works on raw ns-epoch (div 1000 = µs) to match DuckDB epoch_us."""
-    ev = load_events_raw(spark, sf_dir).withColumn("ts_us", F.expr("ts div 1000"))
+    Works on µs-epoch via unix_micros over the normalized ntz ts (UTC
+    session tz makes the ltz cast identity) to match DuckDB epoch_us."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
     w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
     return ev.select(
         "event_id",

@@ -42,64 +42,46 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # harness walks ``queries()`` in iteration order with a bounded budget
 # (~50 entries per run), so keys that have not yet been independently
 # verified — or were fixed since the last run — must come first.
-# Round-1 run verified the A–E tiers (scans/relational/joins/aggs/
-# windows); round 2 therefore front-loads the scalar-function, text,
-# multimodal, dedup, similarity, workload, and ML-metric tiers, plus
-# the one previously-failing key (agg_collect, now emitting a hashable
-# joined-string column). Keys absent from this list follow in module
-# registration order; listing a key here that is not registered is a
-# no-op.
+# Rounds 1+2 hash-verified 96 distinct keys (the A–H relational/
+# function tiers plus text/multimodal/dedup/similarity/wl_q3-10);
+# those now trail in module registration order. Round 3 front-loads:
+# (a) every key whose code changed in the events-ts unit fix
+# (win_lag_lead + the whole streaming tier + the two events scans),
+# (b) the never-verified §2 ML and UDF tiers, then (c) the
+# never-verified extension tail. Listing an unregistered key is a
+# no-op; keys absent from this list follow in registration order.
 _PRIORITY: list[str] = [
-    "agg_collect",
-    # scalar-function tier
-    "fn_string", "fn_regex", "fn_editdist", "fn_date", "fn_math",
-    "fn_array", "fn_array_hof", "fn_explode", "fn_map", "fn_json",
-    "fn_hash",
-    # text tier
-    "txt_normalize", "txt_tokenize", "txt_stopwords", "txt_ngram",
-    "txt_tf", "txt_df_idf", "txt_tfidf_topk", "txt_lang_stats",
-    "txt_quality_filter",
-    # text-analysis tier
-    "txt_langid", "txt_quality_score", "txt_token_count_bpe",
-    "txt_fingerprint",
-    # multimodal tier
-    "mm_binary_meta", "mm_decode_stub", "mm_frame_sample",
-    # dedup tier
-    "dedup_exact", "dedup_near_jaccard", "dedup_minhash",
-    "dedup_simhash", "dedup_ngram_jaccard", "dedup_embed_cos",
-    # similarity tier
-    "sim_cosine_topk", "sim_ann_lsh", "sim_centroid",
-    "mm_vector_norm", "grp_pandas_normalize",
-    # workload / scale tier
-    "wl_q3", "wl_q5", "wl_q6", "wl_q10",
-    "agg_skew_salted", "join_bucketed",
-    # stragglers just past round-1's verification window
-    "win_topk_group", "sql_frontend",
-    # ML ranking metrics (rewritten to distributed two-pass rank)
-    "ml_eval_auc", "ml_eval_wss95", "ml_rank_screen",
-    # --- next window (round 3+) ---
+    # (a) events-ts fix — re-verify first
+    "win_lag_lead", "scan_events_ns", "src_stream_file",
+    "stream_tumbling", "stream_sliding", "stream_session",
+    "stream_stream_join", "stream_rollup_merge", "stream_dedup",
+    "stream_watermark_late", "stream_stateful", "stream_foreachbatch",
+    "stream_static_join", "batch_session_window",
+    "agg_incremental_rollup",
+    # (b) §2 tiers never driver-verified: ML models + metrics
     "ml_label_index", "ml_split", "ml_eval_confusion", "ml_eval_prf",
     "ml_lr", "ml_nb", "ml_svm", "ml_rf", "ml_cv", "ml_kmeans",
-    "ml_gbt", "sim_ivf_topk", "fn_hash_engine", "txt_hashing_tf",
+    "ml_gbt", "ml_calibration", "ml_threshold_at_recall",
+    # (b) §2 UDF tier
+    "udf_python", "udf_pandas_scalar", "udf_pandas_iter",
+    "udaf_pandas_agg", "udf_grouped_map", "udf_map_pandas",
+    "udtf_python", "udf_arrow_convert",
+    # (c) never-verified extension tail, oracled keys first
+    "sim_ivf_topk", "fn_hash_engine", "txt_hashing_tf",
     "src_csv_quoted", "src_jsonl_nested", "dedup_simhash64",
-    "dedup_simhash_band", "win_ntile_dist", "agg_bitwise_bool", "src_orc",
-    "stream_stream_join", "agg_approx_pct", "sample_stratified",
+    "dedup_simhash_band", "win_ntile_dist", "agg_bitwise_bool",
+    "src_orc", "agg_approx_pct", "sample_stratified",
     "sink_sorted_parquet", "dedup_minhash_portable", "fn_bitwise",
+    # --- ~round-4 window boundary ---
     "sql_subqueries", "fn_explode_outer", "fn_try", "wl_clean_corpus",
     "dedup_components", "txt_pii_scrub", "agg_histogram",
     "pivot_wide", "unpivot_long", "src_range", "set_union_missing",
-    "sample_seeded", "udf_python", "udf_pandas_scalar",
-    "udf_pandas_iter", "udaf_pandas_agg", "udf_grouped_map",
-    "udf_map_pandas", "udtf_python", "udf_arrow_convert",
-    "stream_session", "batch_session_window", "stream_tumbling",
-    "stream_sliding", "stream_dedup", "stream_watermark_late",
-    "stream_stateful", "stream_foreachbatch", "stream_static_join",
-    "src_binaryfile", "src_text", "txt_chunk", "ml_calibration",
+    "sample_seeded", "src_binaryfile", "src_text", "txt_chunk",
     "wl_q4_late", "wl_q14_promo", "wl_q18_large", "agg_hll_sketch",
-    "sim_bruteforce_topk", "join_skew_salted", "agg_incremental_rollup",
-    "fn_url", "txt_sentence_split", "join_range_bucket", "agg_decimal_exact",
-    "stream_rollup_merge", "dedup_paragraph", "txt_chunk_tokens",
-    "wl_shard_shuffle", "ml_threshold_at_recall",
+    "sim_bruteforce_topk", "join_skew_salted",
+    "fn_url", "txt_sentence_split", "join_range_bucket",
+    "agg_decimal_exact", "dedup_paragraph", "txt_chunk_tokens",
+    "wl_shard_shuffle",
     "wl_q7_volume", "wl_q8_share", "wl_q12_late", "wl_q13_custdist",
     "wl_q15_topsupp", "wl_q17_smallqty", "wl_q19_disjunct",
     "wl_q21_waiting", "wl_q22_inactive", "dedup_decontaminate",

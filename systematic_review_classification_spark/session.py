@@ -11,7 +11,11 @@ Two situations:
 Config rationale (SURVEY.md §1.4, §6):
 
 * ``spark.sql.legacy.parquet.nanosAsLong=true`` — events.ts is parquet
-  TIMESTAMP(NANOS); Spark 4.x otherwise throws PARQUET_TYPE_ILLEGAL.
+  TIMESTAMP(NANOS); older Spark 4.x builds throw PARQUET_TYPE_ILLEGAL
+  without it. Newer builds ignore it and read TIMESTAMP(NANOS) as
+  µs-truncated ``timestamp_ntz`` directly — so NO code path may assume
+  the unit of a bigint ``ts``; ``sources.tables.normalize_event_ts``
+  dtype/magnitude-guards every events read either way.
 * ``spark.sql.session.timeZone=UTC`` — makes TIMESTAMP_LTZ → NTZ casts
   identity so event timestamps hash-match DuckDB's naive reading.
 * shuffle partitions sized to cores, AQE on — at bench scale (600k

@@ -14,10 +14,16 @@ from systematic_review_classification_spark.session import ensure_confs
 
 IO_ROOT = "/tmp/systematic_review_classification_spark_stream"
 
+# events.ts is parquet TIMESTAMP(NANOS). Declaring it TIMESTAMP_NTZ
+# makes the vectorized reader truncate ns -> µs itself — exactly what
+# DuckDB does — so no epoch arithmetic exists anywhere downstream.
+# (Declaring LongType instead yields MICROseconds in this Spark build,
+# which is why any "raw long = ns, div 1000" assumption is banned;
+# see tests/test_invariants.py::test_events_ts_sanity.)
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # raw ns (nanosAsLong)
+        T.StructField("ts", T.TimestampNTZType()),  # ns truncated to µs by reader
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -45,15 +51,16 @@ def stage_events_dir(sf_dir: str, name: str) -> str:
 
 
 def read_events_stream(spark: SparkSession, src: str, as_ntz: bool = True) -> DataFrame:
-    """readStream over a staged events dir, ts normalized to µs exactly
-    like the batch loader. Watermark-bearing queries need as_ntz=False:
-    withWatermark only accepts TIMESTAMP (ltz) event time — with the
-    UTC session timezone the two are value-identical."""
+    """readStream over a staged events dir; the explicit TIMESTAMP_NTZ
+    schema makes the reader deliver µs-truncated event time directly.
+    Watermark-bearing queries need as_ntz=False: withWatermark only
+    accepts TIMESTAMP (ltz) event time — with the UTC session timezone
+    the two are value-identical."""
     ensure_confs(spark)
-    ts = F.timestamp_micros(F.expr("ts div 1000"))
-    if as_ntz:
-        ts = ts.cast("timestamp_ntz")
-    return spark.readStream.schema(EVENTS_SCHEMA).parquet(src).withColumn("ts", ts)
+    df = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    if not as_ntz:
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 from contextlib import contextmanager

@@ -369,36 +369,43 @@ def stream_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     TABLE (idempotent per checkpointed batch id), not the state store,
     so the rollup survives restarts and is queryable mid-stream.
     Generation directories stand in for a table format's atomic
-    commit; with Delta/Iceberg the merge is a single MERGE INTO."""
+    commit; with Delta/Iceberg the merge is a single MERGE INTO. The
+    current generation is derived from the store DIRECTORY, not Python
+    driver state, so a restart against an existing checkpoint resumes
+    from the persisted rollup instead of a desynchronized counter."""
     import os
 
     from systematic_review_classification_spark.sources.tables import load
     from systematic_review_classification_spark.streaming.helpers import (
-        EVENTS_SCHEMA,
         ensure_confs,
         stream_shuffle_partitions,
     )
 
     ensure_confs(spark)
     src = work_dir(sf_dir, "rollup_src")
-    # stage the raw-ns events as 3 files so AvailableNow splits batches
-    (
-        spark.read.schema(EVENTS_SCHEMA)
-        .parquet(f"{sf_dir}/events.parquet")
-        .repartition(3)
-        .write.mode("overwrite")
-        .parquet(src)
-    )
+    # stage events with ts already normalized to timestamp_ntz(µs) as
+    # 3 files so AvailableNow splits batches; no epoch arithmetic
+    # survives past this point
+    load(spark, sf_dir, "events").select("ts", "event_type", "value").repartition(
+        3
+    ).write.mode("overwrite").parquet(src)
     store = work_dir(sf_dir, "rollup_store")
     ckpt = work_dir(sf_dir, "rollup_ckpt")
-    gen = {"i": 0}
+
+    def _generations() -> list[int]:
+        return sorted(
+            int(d[1:])
+            for d in os.listdir(store)
+            if d.startswith("g") and d[1:].isdigit()
+        )
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
+        gens = _generations()
         part = batch_df.groupBy(
             F.date_trunc("day", "ts").alias("day"), "event_type"
         ).agg(F.count(F.lit(1)).alias("part_n"), F.sum("value").alias("part_sum"))
-        if gen["i"] > 0:
-            prev = spark.read.parquet(os.path.join(store, f"g{gen['i'] - 1}"))
+        if gens:
+            prev = spark.read.parquet(os.path.join(store, f"g{gens[-1]}"))
             part = (
                 prev.unionByName(part)
                 .groupBy("day", "event_type")
@@ -407,15 +414,13 @@ def stream_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sum("part_sum").alias("part_sum"),
                 )
             )
-        part.write.mode("overwrite").parquet(os.path.join(store, f"g{gen['i']}"))
-        gen["i"] += 1
+        nxt = gens[-1] + 1 if gens else 0
+        part.write.mode("overwrite").parquet(os.path.join(store, f"g{nxt}"))
 
     stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(spark.read.parquet(src).schema)
         .option("maxFilesPerTrigger", 1)  # one staged file per micro-batch
         .parquet(src)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"))
-        .select("ts", "event_type", "value")
     )
     with stream_shuffle_partitions(spark):
         (
@@ -425,7 +430,7 @@ def stream_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
             .awaitTermination()
         )
-    daily = spark.read.parquet(os.path.join(store, f"g{gen['i'] - 1}"))
+    daily = spark.read.parquet(os.path.join(store, f"g{_generations()[-1]}"))
     return (
         daily.groupBy(
             F.date_trunc("month", "day").cast("date").cast("string").alias("month"),

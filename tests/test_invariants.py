@@ -69,11 +69,19 @@ def test_watermark_drops_late_rows(spark, sf_dir):
     """The late-replayed oldest 5% must NOT be double counted: the
     append-mode sink's total must not exceed the true event count, and
     the oldest window must not include the replayed duplicates."""
+    import datetime as dt
+
     sink = QUERIES["stream_watermark_late"](spark, sf_dir)
     total_events = load(spark, sf_dir, "events").count()
     emitted = sink.agg(F.sum("n")).collect()[0][0] or 0
     assert emitted <= total_events, "late rows were double counted"
+    assert emitted >= total_events // 2, "most on-time rows must be emitted"
     assert sink.count() > 0
+    # event-time sanity: a ns/µs unit slip lands every bucket in 1970
+    # while keeping counts plausible — pin the bucket range to the data
+    b_min, b_max = sink.agg(F.min("bucket"), F.max("bucket")).collect()[0]
+    assert b_min >= dt.datetime(2024, 1, 1), f"bucket in the past: {b_min}"
+    assert b_max < dt.datetime(2030, 1, 1), f"bucket in the future: {b_max}"
 
 
 def test_ml_models_reproducible(spark, sf_dir):
@@ -171,6 +179,87 @@ def test_hll_sketch_estimates_track_exact(spark, sf_dir):
     assert set(got) == set(exact)
     for k, est in got.items():
         assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
+
+
+def test_events_ts_sanity(spark, sf_dir, duck):
+    """Guard against the events.ts unit drift (TIMESTAMP(NANOS) read as
+    ntz / long-µs / long-ns depending on Spark build): every read path,
+    batch and streaming, must agree with DuckDB's native read to the
+    microsecond. A reintroduced blanket ``div 1000`` (or a missed one)
+    shifts min(ts) by ~1000× and fails this immediately."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from systematic_review_classification_spark.sources.tables import (
+        normalize_event_ts,
+    )
+    from systematic_review_classification_spark.streaming.helpers import (
+        EVENTS_SCHEMA,
+    )
+
+    d_min, d_max = duck.execute("SELECT min(ts), max(ts) FROM events").fetchone()
+    assert d_min >= dt.datetime(2024, 1, 1), "test data precondition"
+
+    paths = {
+        "batch_load": load(spark, sf_dir, "events"),
+        "forced_long": normalize_event_ts(
+            spark.read.schema(
+                T.StructType([T.StructField("ts", T.LongType())])
+            ).parquet(f"{sf_dir}/events.parquet")
+        ),
+        "forced_ntz": spark.read.schema(EVENTS_SCHEMA).parquet(
+            f"{sf_dir}/events.parquet"
+        ),
+    }
+    for name, df in paths.items():
+        s_min, s_max = df.agg(F.min("ts"), F.max("ts")).collect()[0]
+        assert s_min == d_min and s_max == d_max, (
+            f"{name}: spark [{s_min}, {s_max}] != duckdb [{d_min}, {d_max}]"
+        )
+
+
+def test_stream_dedup_matches_batch_distinct(spark, sf_dir):
+    """Value-sensitive twin: the double-replay dedup's total must equal
+    the exact batch distinct event_id count, per event_type."""
+    got = {r.event_type: r.n_unique
+           for r in QUERIES["stream_dedup"](spark, sf_dir).collect()}
+    exact = {r.event_type: r.n
+             for r in load(spark, sf_dir, "events")
+                      .dropDuplicates(["event_id"])
+                      .groupBy("event_type")
+                      .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == exact and got
+
+
+def test_stream_stateful_matches_batch_groupby(spark, sf_dir):
+    """Value-sensitive twin: per-user state-store counters must equal
+    the batch per-user aggregate, user by user."""
+    got = {r.user_id: (r.n_events, r.total_value)
+           for r in QUERIES["stream_stateful"](spark, sf_dir).collect()}
+    exact = {r.user_id: (r.n, r.v)
+             for r in load(spark, sf_dir, "events")
+                      .groupBy("user_id")
+                      .agg(F.count(F.lit(1)).alias("n"),
+                           F.round(F.sum("value"), 2).alias("v")).collect()}
+    assert set(got) == set(exact)
+    for uid, (n, v) in exact.items():
+        assert got[uid][0] == n and abs(got[uid][1] - v) < 0.02, uid
+
+
+def test_stream_foreachbatch_sink_complete(spark, sf_dir):
+    """Value-sensitive twin: the foreachBatch-appended sink, re-read
+    and re-aggregated, must carry every event exactly once."""
+    got = {r.event_type: (r.n, r.total_value)
+           for r in QUERIES["stream_foreachbatch"](spark, sf_dir).collect()}
+    exact = {r.event_type: (r.n, r.v)
+             for r in load(spark, sf_dir, "events")
+                      .groupBy("event_type")
+                      .agg(F.count(F.lit(1)).alias("n"),
+                           F.round(F.sum("value"), 2).alias("v")).collect()}
+    assert set(got) == set(exact)
+    for et, (n, v) in exact.items():
+        assert got[et][0] == n and abs(got[et][1] - v) < 0.02, et
 
 
 def test_stream_rollup_merge_runs_multiple_batches(spark, sf_dir):
