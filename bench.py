@@ -26,7 +26,7 @@ HEADLINE = [
     "dedup_exact",          # LLM-pipeline dedup
     "sim_cosine_topk",      # similarity search
     "ml_eval_wss95",        # distributed two-pass global rank
-    "dedup_minhash_portable",  # banded MinHash LSH (the 100 TB dedup shape)
+    "dedup_minhash_canonical",  # banded MinHash LSH, linear star-edge output
 ]
 
 

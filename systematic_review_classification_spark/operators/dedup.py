@@ -13,9 +13,11 @@ Tiered the way an LLM-data pipeline dedups at 100 TB:
                 dedup_simhash64) — one explode + two hash aggregates.
 4. LSH        — sub-quadratic candidate generation + exact verify:
                 simhash band bucketing (dedup_simhash_band), MLlib
-                MinHashLSH (dedup_minhash, rows-only), and the
+                MinHashLSH (dedup_minhash, rows-only), the
                 fully-oracled from-scratch portable MinHash
-                (dedup_minhash_portable).
+                (dedup_minhash_portable), and its linear-output
+                star-edge form (dedup_minhash_canonical — the variant
+                whose cost does not grow with duplicate-cluster size).
 """
 
 from __future__ import annotations
@@ -417,6 +419,36 @@ def dedup_embed_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("cos_sim") >= 0.3)
 
 
+def _minhash_bands(d: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey) MinHash-LSH band keys with portable hashes.
+
+    All 16 min-hashes are aggregate expressions in ONE groupBy(doc_id)
+    over the token relation — partial (map-side) min means the shuffle
+    carries ≤ one 16-column row per doc per map partition, never a
+    16×-exploded token stream (a naive explode(0..15) +
+    groupBy(doc_id, i) shuffles 16× the corpus and measured 10× slower
+    at sf0.1). Band keys are a row-local posexplode of two digests."""
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("token")
+    )
+    sigw = tok.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("token")))).alias(f"mh{i}")
+            for i in range(16)
+        ]
+    )
+    return sigw.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                F.md5(F.concat_ws("|", *[F.col(f"mh{i}") for i in range(8)])),
+                F.md5(F.concat_ws("|", *[F.col(f"mh{i}") for i in range(8, 16)])),
+            )
+        ).alias("band", "bkey"),
+    )
+
+
+
 @query(
     "dedup_minhash_portable",
     oracle="""
@@ -458,36 +490,24 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
        template-similar fixture corpus stays sub-quadratic.
     3. candidates verified with exact token-set Jaccard, keep ≥ 0.8.
 
-    Scale shape: signatures are one explode + hash agg (linear);
-    banding is a bucket equi-join (sub-quadratic); the exact Jaccard
-    runs only on candidates. No O(n²) step, no UDF, no library
-    dependency — this is THE 100 TB near-dedup recipe."""
+    Scale shape: ALL 16 min-hashes are aggregate expressions in ONE
+    groupBy(doc_id) over the token relation — partial (map-side) min
+    means the shuffle carries ≤ one 16-column row per doc per map
+    partition, never the 16×-exploded token stream (a naive
+    explode(0..15) + groupBy(doc_id, i) shuffles 16× the corpus and
+    was measured 10× slower at sf0.1). Banding is then a cheap
+    row-local posexplode of the two band digests; candidate pairing is
+    a bucket equi-join (sub-quadratic); the exact Jaccard runs only on
+    candidates. No O(n²) step, no UDF, no library dependency — this is
+    THE 100 TB near-dedup recipe.
+
+    CAVEAT on the output (not the plan): emitting every verified PAIR
+    is quadratic in duplicate-cluster size by definition — the fixture
+    corpus's dense template clusters produce 1.6M pairs from 5k docs
+    at sf0.1. When the goal is dedup rather than pair analytics, use
+    ``dedup_minhash_canonical``: same signatures, linear output."""
     d = load(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("token")
-    )
-    sig = (
-        tok.select(
-            "doc_id", "token", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("i")
-        )
-        .groupBy("doc_id", "i")
-        .agg(
-            F.min(
-                F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("token")))
-            ).alias("mh")
-        )
-    )
-    band = sig.groupBy("doc_id", (F.col("i") / 8).cast("int").alias("band")).agg(
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "mh"))),
-                    lambda x: x["mh"],
-                ),
-                "|",
-            )
-        ).alias("bkey")
-    )
+    band = _minhash_bands(d)
     a, b = band.alias("a"), band.alias("b")
     cand = (
         a.join(
@@ -516,6 +536,89 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("nc").cast("double") / (F.col("n1") + F.col("n2") - F.col("nc"))
     return verified.filter(jac >= 0.8).select(
         "id1", "id2", F.round(jac, 6).alias("jaccard")
+    )
+
+
+@query(
+    "dedup_minhash_canonical",
+    oracle="""
+WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+             FROM documents),
+sig AS (
+  SELECT doc_id, i, min(md5(i::VARCHAR || ':' || token)) AS mh
+  FROM tok CROSS JOIN (SELECT unnest(range(0, 16)) AS i) AS hi
+  GROUP BY doc_id, i),
+band AS (
+  SELECT doc_id, i // 8 AS band, md5(string_agg(mh, '|' ORDER BY i)) AS bkey
+  FROM sig GROUP BY doc_id, i // 8),
+rep AS (SELECT band, bkey, min(doc_id) AS rep FROM band GROUP BY band, bkey),
+edges AS (
+  SELECT DISTINCT r.rep, b.doc_id
+  FROM band b JOIN rep r ON b.band = r.band AND b.bkey = r.bkey
+  WHERE b.doc_id <> r.rep),
+t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+dup AS (
+  SELECT e.doc_id, min(e.rep) AS canonical
+  FROM edges e JOIN t ta ON ta.doc_id = e.rep JOIN t tb ON tb.doc_id = e.doc_id
+  WHERE CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+        / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)))
+        >= 0.8
+  GROUP BY e.doc_id)
+SELECT d.doc_id,
+       coalesce(dup.canonical, d.doc_id) AS canonical,
+       dup.canonical IS NOT NULL AS is_dup
+FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
+""",
+)
+def dedup_minhash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash dedup with LINEAR output — the shape a 100 TB corpus
+    dedup actually runs, vs dedup_minhash_portable's pair analytics.
+
+    Emitting all near-dup pairs is quadratic in cluster size (dense
+    template clusters → 1.6M pairs from 5k docs at sf0.1), so instead
+    each band bucket elects a representative (min doc_id) and every
+    other member links to it: ≤ n_docs × n_bands STAR edges, verified
+    with exact Jaccard ≥ 0.8 only along those edges. Output is one row
+    per document — (doc_id, canonical, is_dup) — so cost is O(n·bands)
+    end to end regardless of how duplicate-heavy the corpus is. Star
+    linking can split a sparse chain a full pairwise closure would
+    merge (rep–member below threshold while member–member above);
+    production pipelines accept exactly this trade (one union-find /
+    label-propagation round over star edges recovers it; see
+    dedup_components for the iterative closure)."""
+    d = load(spark, sf_dir, "documents")
+    band = _minhash_bands(d)
+    rep = band.groupBy("band", "bkey").agg(F.min("doc_id").alias("rep"))
+    edges = (
+        band.join(rep, ["band", "bkey"])
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select("rep", "doc_id")
+        .distinct()
+    )
+    t = d.select("doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks"))
+    ver = (
+        edges.join(
+            t.select(F.col("doc_id").alias("rep"), F.col("toks").alias("tr")), "rep"
+        )
+        .join(t, "doc_id")
+        .select(
+            "doc_id",
+            "rep",
+            F.size(F.array_intersect("tr", "toks")).alias("nc"),
+            F.size("tr").alias("n1"),
+            F.size("toks").alias("n2"),
+        )
+    )
+    jac = F.col("nc").cast("double") / (F.col("n1") + F.col("n2") - F.col("nc"))
+    dup = ver.filter(jac >= 0.8).groupBy("doc_id").agg(F.min("rep").alias("canonical"))
+    return (
+        d.select("doc_id")
+        .join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("canonical"), F.col("doc_id")).alias("canonical"),
+            F.col("canonical").isNotNull().alias("is_dup"),
+        )
     )
 
 

@@ -292,3 +292,55 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("id1").orderBy(F.col("cos_sim").desc(), "id2")
     return local.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+
+
+@query(
+    "mm_embed_quantize",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+m AS (
+  SELECT vec_id, e,
+         list_aggregate(e, 'min') AS mn,
+         list_aggregate(e, 'max') AS mx
+  FROM v)
+SELECT vec_id,
+       CAST(len(e) AS INTEGER) AS n_dims,
+       round(mn, 6) AS vmin,
+       round(mx, 6) AS vmax,
+       CAST(CASE WHEN mx = mn THEN 0
+            ELSE list_sum(list_transform(e,
+                 x -> CAST(floor((x - mn) * 255.0 / (mx - mn)) AS BIGINT)))
+            END AS BIGINT) AS qsum
+FROM m
+""",
+)
+def mm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8-range quantization (the storage/serving format
+    for billion-scale ANN): affine-map each embedding onto 0..255 with
+    its own min/max, emit the quantized checksum. All row-local JVM
+    higher-order functions — zero shuffles, embarrassingly parallel.
+
+    Cross-engine determinism: floats are cast to double BEFORE any
+    arithmetic (both engines then run the same IEEE ops in the same
+    order), the bucket index uses floor — identical everywhere —
+    rather than round (whose half-way tie rule differs by engine),
+    and the checksum sums bigints, so it is order-independent."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    mn, mx = F.array_min("v"), F.array_max("v")
+    q = F.transform(
+        "v", lambda x: F.floor((x - mn) * 255.0 / (mx - mn)).cast("bigint")
+    )
+    qsum = F.when(mx == mn, F.lit(0)).otherwise(
+        F.aggregate(q, F.lit(0).cast("bigint"), lambda s, x: s + x)
+    )
+    return e.select(
+        "vec_id",
+        F.size("v").alias("n_dims"),
+        F.round(mn, 6).alias("vmin"),
+        F.round(mx, 6).alias("vmax"),
+        qsum.cast("bigint").alias("qsum"),
+    )

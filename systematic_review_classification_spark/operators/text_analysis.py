@@ -304,3 +304,65 @@ def txt_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(piece).alias("n_tokens"),
         )
     )
+
+
+@query(
+    "txt_repetition",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id, len(toks) AS n_tok,
+         list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i + 1]) AS g2,
+         list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS g3
+  FROM t)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / nullif(len(g2), 0), 6) AS dup2_frac,
+       round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / nullif(len(g3), 0), 6) AS dup3_frac
+FROM g
+""",
+)
+def txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals (the Gopher/FineWeb "duplicated n-gram
+    fraction" quality rule): per doc, the fraction of bigrams and
+    trigrams that are repeats of an earlier one. Everything is
+    row-local array math in whole-stage codegen — zero shuffles, so
+    the operator is embarrassingly parallel at any corpus size; docs
+    too short for a window yield NULL (nullif guard), never a throw.
+
+    Bigrams pair the array with itself shifted by one (zip_with over
+    two slices) — no index sequence is ever built, so there is no
+    descending-sequence trap on 1-token docs (slice length clamps at
+    0). Trigrams use a guarded index transform (sequence() descends
+    when stop < start, hence the explicit CASE)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    g = d.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tok"),
+        F.expr(
+            "zip_with(slice(toks, 1, size(toks) - 1),"
+            "         slice(toks, 2, size(toks) - 1),"
+            "         (a, b) -> concat(a, ' ', b))"
+        ).alias("g2"),
+        F.expr(
+            "CASE WHEN size(toks) >= 3"
+            "     THEN transform(sequence(0, size(toks) - 3),"
+            "                    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"
+            "     ELSE cast(array() AS array<string>) END"
+        ).alias("g3"),
+    )
+    def dup_frac(col: str):
+        return F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(col)).cast("double")
+            / F.nullif(F.size(col), F.lit(0)),
+            6,
+        )
+    return g.select(
+        "doc_id", "n_tok",
+        dup_frac("g2").alias("dup2_frac"),
+        dup_frac("g3").alias("dup3_frac"),
+    )

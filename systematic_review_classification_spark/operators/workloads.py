@@ -722,3 +722,44 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "wl_dataset_card",
+    oracle="""
+SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       round(avg(len(string_split(text, ' '))), 6) AS avg_tokens,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+       round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*), 6) AS dup_rate,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY source, lang
+""",
+)
+def wl_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card statistics: the per-(source, lang) corpus summary
+    every training-data release publishes — doc counts, token volume,
+    exact-dup rate (via content fingerprint, so the distinct count
+    shuffles 16-byte hashes, not text), length extremes. One hash
+    aggregate over the corpus; count(DISTINCT md5) rewrites to a
+    two-level agg (expand on the fingerprint, then merge) — both
+    levels partial-aggregated map-side, nothing quadratic, no text
+    moves across the wire."""
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    return (
+        d.select("source", "lang", n_tok.alias("n_tok"), F.md5("text").alias("fp"), "n_chars")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 6).alias("avg_tokens"),
+            F.countDistinct("fp").alias("n_unique"),
+            F.round(
+                F.lit(1.0) - F.countDistinct("fp").cast("double") / F.count(F.lit(1)), 6
+            ).alias("dup_rate"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+    )

@@ -71,7 +71,9 @@ _PRIORITY: list[str] = [
     "src_csv_quoted", "src_jsonl_nested", "dedup_simhash64",
     "dedup_simhash_band", "win_ntile_dist", "agg_bitwise_bool",
     "src_orc", "agg_approx_pct", "sample_stratified",
-    "sink_sorted_parquet", "dedup_minhash_portable", "fn_bitwise",
+    "sink_sorted_parquet", "dedup_minhash_portable",
+    "dedup_minhash_canonical", "txt_repetition", "wl_dataset_card",
+    "mm_embed_quantize", "fn_bitwise",
     # --- ~round-4 window boundary ---
     "sql_subqueries", "fn_explode_outer", "fn_try", "wl_clean_corpus",
     "dedup_components", "txt_pii_scrub", "agg_histogram",

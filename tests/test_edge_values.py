@@ -194,6 +194,8 @@ def test_document_operators_survive_empty_corpus(spark, tmp_path):
         "dedup_minhash_portable",
         "txt_chunk", "txt_chunk_tokens", "txt_sentence_split",
         "dedup_paragraph", "ml_calibration", "sim_bruteforce_topk",
+        "dedup_minhash_canonical", "txt_repetition", "wl_dataset_card",
+        "mm_embed_quantize",
     ]
     q = all_queries()
     for key in keys:
