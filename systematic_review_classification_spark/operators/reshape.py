@@ -182,3 +182,45 @@ def sql_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
             customer=f"parquet.`{sf_dir}/customer.parquet`",
         )
     )
+
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE chain(c_custkey, depth, path_bal) AS (
+  SELECT c_custkey, 0 AS depth, c_acctbal AS path_bal
+  FROM {customer} WHERE c_custkey = 1
+  UNION ALL
+  SELECT c.c_custkey, chain.depth + 1, chain.path_bal + c.c_acctbal
+  FROM {customer} c JOIN chain ON c.c_custkey {intdiv} 2 = chain.c_custkey
+  WHERE c.c_custkey BETWEEN 2 AND 255
+)
+SELECT c_custkey, depth, round(path_bal, 2) AS path_bal FROM chain
+"""
+
+
+@query(
+    "sql_recursive_cte",
+    oracle=_RECURSIVE_SQL.format(customer="customer", intdiv="//"),
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE): walk the implicit
+    binary tree over c_custkey (parent = key div 2) from the root,
+    accumulating depth and a running balance along each root-to-node
+    path. Each node has exactly one path, so the float accumulation
+    order is identical in every engine — the result is deterministic
+    without intermediate rounding.
+
+    Scale shape: each iteration is one distributed join of the
+    frontier against the (filtered, re-scannable) base relation plus a
+    union — state on executors, nothing driver-side grows with data;
+    depth (8 levels here) bounds the iteration count, exactly how
+    dedup_components' label propagation behaves. Integer division uses
+    each dialect's operator (Spark ``div``, DuckDB ``//``) — the only
+    non-portable token in an otherwise identical query text."""
+    from systematic_review_classification_spark.session import ensure_confs
+
+    ensure_confs(spark)
+    return spark.sql(
+        _RECURSIVE_SQL.format(
+            customer=f"parquet.`{sf_dir}/customer.parquet`", intdiv="div"
+        )
+    )

@@ -396,3 +396,31 @@ def sink_sorted_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 2).alias("total_qty"),
         )
     )
+
+
+@query(
+    "scan_partition_prune",
+    oracle="""
+SELECT l_linestatus, count(*) AS n, round(sum(l_extendedprice), 2) AS revenue
+FROM lineitem WHERE l_returnflag = 'R'
+GROUP BY l_linestatus
+""",
+)
+def scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned layout + partition PRUNING — the single
+    biggest lever at 100 TB: a filter on the partition column must be
+    answered from directory listings, never by reading the other
+    partitions' files. Writes lineitem partitioned by l_returnflag,
+    reads back with an equality filter; the plan carries the predicate
+    in PartitionFilters (not PushedFilters), i.e. whole directories
+    are skipped before any I/O is scheduled
+    (tests/test_plans.py::test_partition_prune_plan pins this)."""
+    out = _io_dir(sf_dir, "lineitem_by_flag")
+    load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_linestatus", "l_extendedprice", "l_returnflag"
+    ).write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    pruned = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+    return pruned.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )

@@ -73,7 +73,8 @@ _PRIORITY: list[str] = [
     "src_orc", "agg_approx_pct", "sample_stratified",
     "sink_sorted_parquet", "dedup_minhash_portable",
     "dedup_minhash_canonical", "txt_repetition", "wl_dataset_card",
-    "mm_embed_quantize", "fn_bitwise",
+    "mm_embed_quantize", "scan_partition_prune", "sql_recursive_cte",
+    "fn_bitwise",
     # --- ~round-4 window boundary ---
     "sql_subqueries", "fn_explode_outer", "fn_try", "wl_clean_corpus",
     "dedup_components", "txt_pii_scrub", "agg_histogram",

@@ -297,3 +297,46 @@ def test_paragraph_dedup_shuffles_fingerprints_not_text(spark, sf_dir):
     for m in re.finditer(r"\(\d+\) Exchange\n(?:.+\n)+?(?=\n|\(\d+\))", plan):
         block = m.group(0)
         assert "chunk#" not in block, block
+
+
+def test_partition_prune_plan(spark, sf_dir):
+    """scan_partition_prune's filter must land in PartitionFilters
+    (directory-level skipping before any I/O), not just PushedFilters,
+    and the pruned partition column must not be re-filtered post-scan."""
+    plan = plan_of(QUERIES["scan_partition_prune"](spark, sf_dir))
+    import re
+
+    m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert m and "l_returnflag" in m.group(1), plan
+
+
+def test_minhash_canonical_no_pair_blowup(spark, sf_dir):
+    """dedup_minhash_canonical must never plan a cartesian/BNLJ, and
+    its signature stage must partially aggregate map-side (partial_min
+    before the doc_id Exchange) — the two properties that keep it
+    linear at any duplicate density."""
+    plan = plan_of(QUERIES["dedup_minhash_canonical"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "partial_min" in plan or "partial min" in plan.lower(), plan
+
+
+def test_dataset_card_single_scan_partial_agg(spark, sf_dir):
+    """wl_dataset_card must scan documents once and pre-aggregate
+    map-side; no Exchange may carry the raw text column (only
+    fingerprints and partial aggregates cross the wire)."""
+    plan = plan_of(QUERIES["wl_dataset_card"](spark, sf_dir))
+    # one scan node: formatted mode prints it twice (tree + detail)
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+    import re
+
+    for m in re.finditer(r"\(\d+\) Exchange\n(?:.+\n)+?(?=\n|\(\d+\))", plan):
+        assert "text#" not in m.group(0), m.group(0)
+
+
+def test_repetition_and_quantize_shuffle_free(spark, sf_dir):
+    """txt_repetition and mm_embed_quantize are row-local array math:
+    zero Exchanges — embarrassingly parallel at any scale."""
+    for key in ("txt_repetition", "mm_embed_quantize"):
+        plan = plan_of(QUERIES[key](spark, sf_dir))
+        assert "Exchange" not in plan, (key, plan)
