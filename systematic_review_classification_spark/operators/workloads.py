@@ -763,3 +763,97 @@ def wl_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").cast("bigint").alias("max_chars"),
         )
     )
+
+
+@query(
+    "wl_funnel",
+    oracle="""
+WITH c AS (
+  SELECT user_id, min(ts) AS first_click, count(*) AS n_clicks
+  FROM events WHERE event_type = 'click' GROUP BY user_id),
+p AS (
+  SELECT e.user_id, min(e.ts) AS first_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts >= c.first_click
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT c.user_id, c.n_clicks, c.first_click, p.first_purchase,
+       p.user_id IS NOT NULL AS converted,
+       epoch_us(p.first_purchase) - epoch_us(c.first_click) AS lag_us
+FROM c LEFT JOIN p ON c.user_id = p.user_id
+""",
+)
+def wl_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event funnel: per user, first click → first purchase at-or-after
+    it, with conversion flag and lag. Two grouped mins plus one join —
+    funnel analytics without any ordered-row processing, so each stage
+    partial-aggregates map-side and the join keys on user_id (the
+    natural even-cardinality key at scale). A sessionized variant
+    would swap the global min for the session window (stream_session);
+    the plan shape is unchanged."""
+    from systematic_review_classification_spark.sources.tables import load as _load
+
+    ev = _load(spark, sf_dir, "events")
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"), F.count(F.lit(1)).alias("n_clicks"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c.select("user_id", "first_click"), "user_id")
+        .filter(F.col("ts") >= F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return (
+        c.join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "n_clicks",
+            "first_click",
+            "first_purchase",
+            F.col("first_purchase").isNotNull().alias("converted"),
+            (
+                F.unix_micros(F.col("first_purchase").cast("timestamp"))
+                - F.unix_micros(F.col("first_click").cast("timestamp"))
+            ).alias("lag_us"),
+        )
+    )
+
+
+@query(
+    "agg_time_rollup",
+    oracle="""
+SELECT CAST(CAST(date_trunc('month', ts) AS TIMESTAMP) AS VARCHAR) AS month,
+       CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR)   AS day,
+       CAST(CAST(date_trunc('hour', ts) AS TIMESTAMP) AS VARCHAR)  AS hour,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY ROLLUP (date_trunc('month', ts), date_trunc('day', ts), date_trunc('hour', ts))
+""",
+)
+def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-hierarchy rollup — the warehouse hour/day/month pre-agg
+    cube over event time, exercising the normalized ns→µs timestamp
+    path through date_trunc at every grain. ROLLUP computes all four
+    grains in ONE scan with partial aggregation (vs four separate
+    scans); at 100 TB this materializes the serving layer for
+    time-series dashboards. Grain columns surface as strings (rolled
+    levels are NULL) so the result hashes identically everywhere."""
+    from systematic_review_classification_spark.sources.tables import load as _load
+
+    ev = _load(spark, sf_dir, "events")
+    return (
+        ev.rollup(
+            F.date_trunc("month", "ts").alias("month"),
+            F.date_trunc("day", "ts").alias("day"),
+            F.date_trunc("hour", "ts").alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("month").cast("string").alias("month"),
+            F.col("day").cast("string").alias("day"),
+            F.col("hour").cast("string").alias("hour"),
+            "n",
+            "total_value",
+        )
+    )

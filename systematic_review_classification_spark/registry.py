@@ -74,7 +74,7 @@ _PRIORITY: list[str] = [
     "sink_sorted_parquet", "dedup_minhash_portable",
     "dedup_minhash_canonical", "txt_repetition", "wl_dataset_card",
     "mm_embed_quantize", "scan_partition_prune", "sql_recursive_cte",
-    "fn_bitwise",
+    "wl_funnel", "agg_time_rollup", "fn_bitwise",
     # --- ~round-4 window boundary ---
     "sql_subqueries", "fn_explode_outer", "fn_try", "wl_clean_corpus",
     "dedup_components", "txt_pii_scrub", "agg_histogram",

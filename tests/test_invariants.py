@@ -276,3 +276,14 @@ def test_stream_rollup_merge_runs_multiple_batches(spark, sf_dir):
     store = os.path.join(IO_ROOT, sf_tag(sf_dir), "rollup_store")
     gens = sorted(d for d in os.listdir(store) if d.startswith("g"))
     assert len(gens) == 3, gens
+
+
+def test_stream_rollup_merge_rerun_deterministic(spark, sf_dir):
+    """The rollup store's generation counter is derived from the store
+    directory, not Python driver state — so running the query twice in
+    one session (fresh checkpoint each run, as work_dir guarantees)
+    must return identical results, and a stale in-memory counter can
+    never skew which generation is read back."""
+    a = {tuple(r) for r in QUERIES["stream_rollup_merge"](spark, sf_dir).collect()}
+    b = {tuple(r) for r in QUERIES["stream_rollup_merge"](spark, sf_dir).collect()}
+    assert a == b and a
