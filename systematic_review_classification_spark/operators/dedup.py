@@ -398,24 +398,25 @@ def dedup_embed_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v")
     )
+    # per-vector norms computed BEFORE the join (per pair they would
+    # re-reduce both arrays — the sim_cosine_topk lesson, 2× at sf0.1)
+    norm = F.sqrt(
+        F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+    )
     a = e.filter(F.col("vec_id") % 10 == 0).select(
-        F.col("vec_id").alias("id1"), F.col("label").alias("l1"), F.col("v").alias("v1")
+        F.col("vec_id").alias("id1"), F.col("label").alias("l1"),
+        F.col("v").alias("v1"), norm.alias("n1"),
     )
     b = e.select(
-        F.col("vec_id").alias("id2"), F.col("label").alias("l2"), F.col("v").alias("v2")
+        F.col("vec_id").alias("id2"), F.col("label").alias("l2"),
+        F.col("v").alias("v2"), norm.alias("n2"),
     )
     dot = F.aggregate(
         F.zip_with("v1", "v2", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
     )
-    norm1 = F.sqrt(
-        F.aggregate(F.transform("v1", lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
-    )
-    norm2 = F.sqrt(
-        F.aggregate(F.transform("v2", lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
-    )
     pairs = a.join(
         b, (F.col("l1") == F.col("l2")) & (F.col("id1") < F.col("id2"))
-    ).select("id1", "id2", F.round(dot / (norm1 * norm2), 6).alias("cos_sim"))
+    ).select("id1", "id2", F.round(dot / (F.col("n1") * F.col("n2")), 6).alias("cos_sim"))
     return pairs.filter(F.col("cos_sim") >= 0.3)
 
 

@@ -54,11 +54,16 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _dbl(F.col("embedding")).alias("v")
     )
+    # norms are computed per VECTOR before the join, not per pair —
+    # inside the join each pair would re-reduce both 64-dim arrays,
+    # tripling the HOF work (measured 2× slower at sf0.1)
     probes = e.filter(F.col("vec_id") < 100).select(
-        F.col("vec_id").alias("id1"), F.col("label").alias("l1"), F.col("v").alias("v1")
+        F.col("vec_id").alias("id1"), F.col("label").alias("l1"),
+        F.col("v").alias("v1"), _norm(F.col("v")).alias("n1"),
     )
     cand = e.select(
-        F.col("vec_id").alias("id2"), F.col("label").alias("l2"), F.col("v").alias("v2")
+        F.col("vec_id").alias("id2"), F.col("label").alias("l2"),
+        F.col("v").alias("v2"), _norm(F.col("v")).alias("n2"),
     )
     pairs = probes.join(
         cand, (F.col("l1") == F.col("l2")) & (F.col("id1") != F.col("id2"))
@@ -66,7 +71,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id1",
         "id2",
         F.round(
-            _dot(F.col("v1"), F.col("v2")) / (_norm(F.col("v1")) * _norm(F.col("v2"))), 6
+            _dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 6
         ).alias("cos_sim"),
     )
     w = W.partitionBy("id1").orderBy(F.col("cos_sim").desc(), "id2")
@@ -189,10 +194,12 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "v", F.col("prediction").alias("cell")
     )
     probes = cells.filter(F.col("vec_id") < 50).select(
-        F.col("vec_id").alias("id1"), F.col("v").alias("v1"), F.col("cell").alias("c1")
+        F.col("vec_id").alias("id1"), F.col("v").alias("v1"),
+        F.col("cell").alias("c1"), _norm(F.col("v")).alias("n1"),
     )
     cand = cells.select(
-        F.col("vec_id").alias("id2"), F.col("v").alias("v2"), F.col("cell").alias("c2")
+        F.col("vec_id").alias("id2"), F.col("v").alias("v2"),
+        F.col("cell").alias("c2"), _norm(F.col("v")).alias("n2"),
     )
     pairs = probes.join(
         cand, (F.col("c1") == F.col("c2")) & (F.col("id1") != F.col("id2"))
@@ -200,7 +207,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id1",
         "id2",
         F.round(
-            _dot(F.col("v1"), F.col("v2")) / (_norm(F.col("v1")) * _norm(F.col("v2"))), 6
+            _dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 6
         ).alias("cos_sim"),
     )
     w = W.partitionBy("id1").orderBy(F.col("cos_sim").desc(), "id2")
