@@ -40,6 +40,7 @@ _OPERATOR_MODULES = [
     "systematic_review_classification_spark.operators.similarity",
     "systematic_review_classification_spark.operators.scale",
     "systematic_review_classification_spark.operators.workloads",
+    "systematic_review_classification_spark.operators.analytics",
     "systematic_review_classification_spark.operators.reshape",
     "systematic_review_classification_spark.streaming.batch_twins",
     "systematic_review_classification_spark.streaming.stream_ops",

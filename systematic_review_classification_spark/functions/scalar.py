@@ -534,3 +534,43 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("QUERY"), F.lit("page")).alias("page"),
         F.regexp_replace(seg, "a", "%61").alias("seg_encoded"),
     )
+
+
+@query(
+    "fn_struct",
+    oracle="""
+SELECT o_orderkey,
+       struct_extract(struct_pack(prio := o_orderpriority,
+                                  price := o_totalprice), 'price') AS price_back,
+       struct_extract(struct_pack(prio := o_orderpriority,
+                                  price := o_totalprice), 'prio')  AS prio_back,
+       ((o_orderstatus, o_orderpriority) < ('O', '3-MEDIUM'))  AS lt_probe,
+       ((o_orderstatus, o_orderpriority) = ('F', '1-URGENT'))  AS eq_probe
+FROM orders WHERE o_orderkey <= 2000
+""",
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct (row-value) surface: named-struct construction, field
+    extraction back out, and lexicographic struct comparison (`<` and
+    `=`) against a literal row value — the semantics SQL row-value
+    comparisons define (a,b) < (x,y) ⇔ a<x OR (a=x AND b<y), which is
+    what both Spark struct ordering and DuckDB struct comparison
+    implement.
+
+    Struct columns are flattened by Tungsten into the same unsafe-row
+    layout as top-level columns, so none of this leaves whole-stage
+    codegen — a pure map stage, no shuffle. (Output keeps only scalar
+    columns: cross-engine STRUCT cell encodings differ, the probes
+    don't.)"""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    s = F.struct(
+        F.col("o_orderpriority").alias("prio"), F.col("o_totalprice").alias("price")
+    )
+    probe = F.struct(F.col("o_orderstatus"), F.col("o_orderpriority"))
+    return o.select(
+        "o_orderkey",
+        s.getField("price").alias("price_back"),
+        s.getField("prio").alias("prio_back"),
+        (probe < F.struct(F.lit("O"), F.lit("3-MEDIUM"))).alias("lt_probe"),
+        (probe == F.struct(F.lit("F"), F.lit("1-URGENT"))).alias("eq_probe"),
+    )

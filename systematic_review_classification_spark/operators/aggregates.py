@@ -446,3 +446,40 @@ def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("exact_disc_revenue"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "agg_linreg",
+    oracle="""
+SELECT l_returnflag,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+       round(regr_slope(l_extendedprice, l_quantity), 4)      AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4)  AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6)         AS r2,
+       round(regr_avgx(l_extendedprice, l_quantity), 6)       AS avg_x,
+       round(regr_avgy(l_extendedprice, l_quantity), 4)       AS avg_y
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares fit via the SQL-standard REGR_* aggregate
+    family (slope / intercept / R² / per-axis means of the non-null
+    pairs) — price-vs-quantity fit per return flag.
+
+    Scale shape: each REGR_* is a single-pass moment aggregate
+    (partial sums of x, y, x², xy per partition, merged at the
+    reducer) — the same partial/final decomposition as sum/avg, ONE
+    hash-agg shuffle regardless of group skew, nothing iterative.
+    This is the built-in the naive version (per-group collect + numpy
+    polyfit) would hide a scale-killer behind."""
+    li = load(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).cast("bigint").alias("n"),
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.regr_avgx(y, x), 6).alias("avg_x"),
+        F.round(F.regr_avgy(y, x), 4).alias("avg_y"),
+    )

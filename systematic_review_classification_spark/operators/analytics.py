@@ -1,0 +1,252 @@
+"""Event/corpus analytics workloads: cohort retention, rolling active
+users, anomaly scoring, market-basket pairs, and a Q9-profit shape.
+
+These are the product-analytics and data-warehouse query shapes a
+large-scale pipeline runs daily over its event stream — each one
+composed so the plan stays linear at 100 TB:
+
+- retention / DAU-WAU never range-join the fact against itself; the
+  rolling-window membership is expanded map-side (a bounded ×7
+  explode) and collapsed with ONE hash aggregate.
+- anomaly z-scores join the fact to a per-type stats table that is
+  bounded by event-type cardinality → broadcast.
+- co-purchase pairs self-join only WITHIN an order (per-order fan-out
+  is bounded by order size, ~7 lines), never across orders.
+
+Determinism conventions follow operators/scale.py: double sums round
+at 4 decimals, derived ratios at 6, and both engines evaluate the
+same expression text so the only divergence is summation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from systematic_review_classification_spark.registry import query
+from systematic_review_classification_spark.sources.tables import load
+
+
+@query(
+    "wl_retention",
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+  FROM events),
+cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM pairs GROUP BY user_id)
+SELECT CAST(c.cohort_wk AS VARCHAR) AS cohort_wk,
+       CAST(date_diff('day', c.cohort_wk, p.wk) / 7 AS INTEGER) AS week_offset,
+       count(DISTINCT p.user_id) AS n_users
+FROM pairs p JOIN cohort c ON p.user_id = c.user_id
+GROUP BY 1, 2
+""",
+)
+def wl_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by their first-activity
+    week, counted in each subsequent week they return.
+
+    Scale shape: distinct (user, week) pairs → min-week cohort per
+    user → one equi-join on user_id (both sides already hashed on it,
+    AQE reuses the exchange) → hash agg. No window over the full event
+    stream, no per-user collect; every step is a bounded shuffle on
+    user_id or (cohort, offset)."""
+    pairs = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
+        )
+        .distinct()
+    )
+    cohort = pairs.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        pairs.join(cohort, "user_id")
+        .groupBy(
+            F.col("cohort_wk").cast("string").alias("cohort_wk"),
+            (F.datediff(F.col("wk"), F.col("cohort_wk")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "wl_dau_wau",
+    oracle="""
+WITH pairs AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+dau AS (SELECT day, count(*) AS dau FROM pairs GROUP BY day),
+wau AS (SELECT d.day, count(DISTINCT p.user_id) AS wau
+        FROM (SELECT DISTINCT day FROM pairs) d
+        JOIN pairs p ON p.day BETWEEN d.day - 6 AND d.day
+        GROUP BY d.day)
+SELECT CAST(dau.day AS VARCHAR) AS day, dau.dau, wau.wau
+FROM dau JOIN wau ON dau.day = wau.day
+""",
+)
+def wl_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users + exact rolling 7-day actives (WAU) per day.
+
+    The oracle states WAU as a range self-join; the Spark plan instead
+    expands each (day, user) map-side into the ≤7 target days it
+    contributes to (`explode(sequence(day, day+6))`) and collapses
+    with one count-distinct hash agg — linear in events, ONE shuffle,
+    no range join. The bounded ×7 blow-up is the classic rolling-
+    distinct trick that survives 100 TB where a day×day range join
+    does not."""
+    pairs = (
+        load(spark, sf_dir, "events")
+        .select(F.col("ts").cast("date").alias("day"), "user_id")
+        .distinct()
+    )
+    dau = pairs.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    wau = (
+        pairs.select(
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+            ).alias("day"),
+            "user_id",
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    # inner join against observed days drops the phantom tail days the
+    # explode manufactures past max(day)
+    return dau.join(wau, "day").select(
+        F.col("day").cast("string").alias("day"), "dau", "wau"
+    )
+
+
+@query(
+    "wl_anomaly_zscore",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2),
+stats AS (
+  SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sigma
+  FROM daily GROUP BY event_type)
+SELECT d.event_type, CAST(d.day AS VARCHAR) AS day, d.n,
+       round((d.n - s.mu) / s.sigma, 6) AS z,
+       (abs((d.n - s.mu) / s.sigma) > 2.0) AS is_anomaly
+FROM daily d JOIN stats s ON d.event_type = s.event_type
+""",
+)
+def wl_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily event-count z-scores with a |z| > 2 anomaly flag
+    — the monitoring query every ingest pipeline runs.
+
+    Scale shape: one hash agg to daily grain, then a second agg to a
+    stats table BOUNDED BY EVENT-TYPE CARDINALITY — broadcast back
+    against daily. No window over all days, so adding years of history
+    widens neither shuffle."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sigma")
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            "n",
+            F.round(z, 6).alias("z"),
+            (F.abs(z) > 2.0).alias("is_anomaly"),
+        )
+    )
+
+
+@query(
+    "wl_copurchase",
+    oracle="""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_orders
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2)
+SELECT p1, p2, n_orders FROM pairs WHERE n_orders >= 2
+""",
+)
+def wl_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-purchase pairs: parts appearing in the same
+    order, counted across orders, kept when support ≥ 2.
+
+    Scale shape: the self-join is ON THE ORDER KEY, so the pairwise
+    blow-up is per-order (~7 lines → ~21 pairs), never corpus-wide —
+    the same within-block discipline as the dedup tier. One shuffle
+    on l_orderkey (both sides share it), one hash agg on the pair."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+
+
+@query(
+    "wl_q9_profit",
+    oracle="""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)
+                 - 0.6 * p_retailprice * l_quantity), 4) AS profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, year(o_orderdate)
+""",
+)
+def wl_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): profit per nation per
+    order-year for parts matching a name pattern. The schema has no
+    partsupp, so supply cost is proxied as 0.6 × p_retailprice
+    (documented constant; the join/agg shape is what Q9 exercises).
+
+    Scale shape: the p_name LIKE filter prunes part BEFORE its fact
+    join (AQE broadcasts the survivor side when small enough);
+    nation broadcasts always; lineitem⋈orders is the one big SMJ.
+    The year comes off the orders row — no extra pass."""
+    li = load(spark, sf_dir, "lineitem")
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.6
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 4).alias("profit"))
+    )

@@ -351,3 +351,74 @@ def mm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mx, 6).alias("vmax"),
         qsum.cast("bigint").alias("qsum"),
     )
+
+
+@query(
+    "sim_topk_int8",
+    oracle="""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (
+  SELECT vec_id, label,
+         CASE WHEN greatest(abs(list_aggregate(v, 'min')),
+                            abs(list_aggregate(v, 'max'))) = 0
+              THEN list_transform(v, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(v, x -> CAST(floor(
+                     x * 127.0 / greatest(abs(list_aggregate(v, 'min')),
+                                          abs(list_aggregate(v, 'max'))))
+                   AS BIGINT)) END AS c
+  FROM e),
+pairs AS (
+  SELECT p.vec_id AS id1, c.vec_id AS id2,
+         CAST(list_reduce(list_transform(list_zip(p.c, c.c),
+              t -> t[1] * t[2]), (a, b) -> a + b) AS BIGINT) AS qdot
+  FROM q p JOIN q c ON p.label = c.label AND p.vec_id <> c.vec_id
+  WHERE p.vec_id < 100)
+SELECT id1, id2, qdot, rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY id1 ORDER BY qdot DESC, id2) AS rn
+  FROM pairs)
+WHERE rn <= 3
+""",
+)
+def sim_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized similarity search: symmetric per-vector int8
+    quantization (floor(x·127/max|x|)), then INTEGER dot products
+    rank candidates — the memory-bound serving path for billion-scale
+    ANN (4× smaller vectors than float32, SIMD integer math, and the
+    scoring is bit-exact reproducible across engines, which float
+    dot products are not — hence a full value-hash oracle, where the
+    float variant `sim_cosine_topk` must round).
+
+    Scale shape mirrors `sim_cosine_topk`: codes computed per vector
+    BEFORE the join (row-local HOFs), label-blocked candidate join
+    bounds the pairwise work, per-probe top-3 window. Swap the label
+    block for an IVF cell (`sim_ivf_topk`) at 100 TB."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _dbl(F.col("embedding")).alias("v")
+    )
+    mxabs = F.greatest(
+        F.abs(F.array_min(F.col("v"))), F.abs(F.array_max(F.col("v")))
+    )
+    codes = F.when(
+        mxabs == 0, F.transform(F.col("v"), lambda x: F.lit(0).cast("bigint"))
+    ).otherwise(
+        F.transform(F.col("v"), lambda x: F.floor(x * 127.0 / mxabs).cast("bigint"))
+    )
+    q = e.select("vec_id", "label", codes.alias("c"))
+    probes = q.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("id1"), F.col("label").alias("l1"),
+        F.col("c").alias("c1"),
+    )
+    cand = q.select(
+        F.col("vec_id").alias("id2"), F.col("label").alias("l2"),
+        F.col("c").alias("c2"),
+    )
+    qdot = F.aggregate(
+        F.zip_with(F.col("c1"), F.col("c2"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda s, x: s + x,
+    )
+    pairs = probes.join(
+        cand, (F.col("l1") == F.col("l2")) & (F.col("id1") != F.col("id2"))
+    ).select("id1", "id2", qdot.cast("bigint").alias("qdot"))
+    w = W.partitionBy("id1").orderBy(F.col("qdot").desc(), "id2")
+    return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)

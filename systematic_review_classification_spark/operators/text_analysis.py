@@ -366,3 +366,139 @@ def txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_frac("g2").alias("dup2_frac"),
         dup_frac("g3").alias("dup3_frac"),
     )
+
+
+@query(
+    "txt_collocation",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+uni AS (SELECT unnest(t) AS tok FROM toks),
+ucnt AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+utot AS (SELECT sum(c) AS n FROM ucnt),
+grams AS (
+  SELECT unnest(list_filter(
+           list_transform(list_zip(t, list_slice(t, 2, len(t))),
+                          p -> CASE WHEN p[2] IS NULL THEN NULL
+                                    ELSE p[1] || ' ' || p[2] END),
+           g -> g IS NOT NULL)) AS bigram
+  FROM toks),
+bcnt AS (SELECT bigram, count(*) AS c_xy FROM grams GROUP BY bigram),
+btot AS (SELECT sum(c_xy) AS n FROM bcnt)
+SELECT b.bigram, b.c_xy,
+       round(ln((CAST(b.c_xy AS DOUBLE) / btot.n)
+                / ((CAST(u1.c AS DOUBLE) / utot.n)
+                   * (CAST(u2.c AS DOUBLE) / utot.n))), 6) AS pmi
+FROM bcnt b
+JOIN ucnt u1 ON string_split(b.bigram, ' ')[1] = u1.tok
+JOIN ucnt u2 ON string_split(b.bigram, ' ')[2] = u2.tok
+CROSS JOIN utot CROSS JOIN btot
+WHERE b.c_xy >= 10
+""",
+)
+def txt_collocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-scored bigram collocations: log( p(xy) / (p(x)·p(y)) ) with
+    bigram probability over the bigram total and unigram probabilities
+    over the unigram total, kept where the bigram occurs ≥ 10 times.
+
+    Scale shape: two corpus-linear hash aggs (unigram + bigram
+    counts), then the bigram table equi-joins the unigram table twice
+    ON THE TOKEN (vocab-key shuffle, Zipf skew absorbed by AQE); the
+    two grand totals are 1-row broadcasts. The support filter runs
+    before the joins, so the join input is the (small) frequent-bigram
+    set, not the full bigram vocabulary."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(1))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+        lambda g: ~g.rlike("^[^ ]*$"),
+    )
+    ucnt = (
+        d.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    utot = ucnt.agg(F.sum("c").alias("un"))
+    bcnt = (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    btot = bcnt.agg(F.sum("c_xy").alias("bn"))
+    b = bcnt.filter(F.col("c_xy") >= 10).withColumns(
+        {
+            "w1": F.split(F.col("bigram"), " ").getItem(0),
+            "w2": F.split(F.col("bigram"), " ").getItem(1),
+        }
+    )
+    u1 = ucnt.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    u2 = ucnt.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.log(
+        (F.col("c_xy").cast("double") / F.col("bn"))
+        / (
+            (F.col("c1").cast("double") / F.col("un"))
+            * (F.col("c2").cast("double") / F.col("un"))
+        )
+    )
+    return (
+        b.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(utot))
+        .crossJoin(F.broadcast(btot))
+        .select("bigram", "c_xy", F.round(pmi, 6).alias("pmi"))
+    )
+
+
+@query(
+    "txt_zipf",
+    oracle="""
+WITH ucnt AS (
+  SELECT tok, count(*) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok),
+ranked AS (
+  SELECT tok, c, row_number() OVER (ORDER BY c DESC, tok) AS r FROM ucnt
+  ORDER BY c DESC, tok LIMIT 100)
+SELECT count(*) AS n_terms,
+       min(CASE WHEN r = 1 THEN tok END) AS top_token,
+       round(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(r AS DOUBLE))), 4)
+         AS zipf_slope
+FROM ranked
+""",
+)
+def txt_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the top-100 terms: slope of log-frequency
+    vs log-rank via REGR_SLOPE (a healthy natural-language corpus
+    lands near −1; a templated/spammy one is much flatter — a cheap
+    corpus-level quality signal).
+
+    Scale shape: the corpus-linear part is one token-count hash agg;
+    ranking happens AFTER `orderBy().limit(100)` reduces the vocab to
+    a driver-trivial 100 rows (Spark's TakeOrdered, partial top-k per
+    partition — never a global sort of the vocabulary), so the
+    single-partition window is over 100 rows by construction."""
+    d = load(spark, sf_dir, "documents")
+    ucnt = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from pyspark.sql import Window as W
+
+    top = ucnt.orderBy(F.col("c").desc(), "tok").limit(100)
+    ranked = top.withColumn(
+        "r", F.row_number().over(W.orderBy(F.col("c").desc(), "tok"))
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.min(F.when(F.col("r") == 1, F.col("tok"))).alias("top_token"),
+        F.round(
+            F.regr_slope(
+                F.log(F.col("c").cast("double")), F.log(F.col("r").cast("double"))
+            ),
+            4,
+        ).alias("zipf_slope"),
+    )

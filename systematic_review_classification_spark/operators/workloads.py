@@ -857,3 +857,110 @@ def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "wl_q16_suppcnt",
+    oracle="""
+SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (5, 10, 15, 20)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type
+""",
+)
+def wl_q16_suppcnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct supplier
+    count per (brand, type) for a size subset, excluding a supplier
+    deny-list. The schema has no partsupp, so lineitem is the
+    part–supplier bridge (same join/agg shape, the fact is bigger —
+    a HARDER scale test than real Q16).
+
+    Scale shape: the deny-list is a broadcast ANTI join (NOT IN on a
+    provably non-null key — no null-trap here, and the anti join
+    never shuffles the fact). The part filter prunes before the fact
+    join; count(DISTINCT) shuffles once on the group key with the
+    supplier key carried for reducer-side dedup."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = (
+        load(spark, sf_dir, "part")
+        .filter((F.col("p_brand") != "Brand#1") & F.col("p_size").isin(5, 10, 15, 20))
+        .select("p_partkey", "p_brand", "p_type")
+    )
+    deny = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(F.broadcast(deny), "l_suppkey", "left_anti")
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "wl_q2_mincost",
+    oracle="""
+WITH ps AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         round(avg(l_extendedprice / l_quantity), 4) AS avg_price
+  FROM lineitem GROUP BY 1, 2),
+ranked AS (
+  SELECT pk, sk, avg_price,
+         row_number() OVER (PARTITION BY pk ORDER BY avg_price, sk) AS rn
+  FROM ps)
+SELECT r.pk AS p_partkey, p.p_brand, r.sk AS best_suppkey,
+       n.n_name AS supp_nation, r.avg_price
+FROM ranked r
+JOIN part p     ON r.pk = p.p_partkey
+JOIN supplier s ON r.sk = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+WHERE r.rn = 1 AND p.p_size = 10
+""",
+)
+def wl_q2_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for each part in a size
+    class, the supplier offering the lowest observed average unit
+    price, with its nation. partsupp's ps_supplycost is reconstructed
+    as avg(l_extendedprice / l_quantity) per (part, supplier) from the
+    fact — the correlated-min-per-group pattern Q2 exercises.
+
+    Scale shape: one hash agg to (part, supplier) grain, then the min
+    is a row_number window PARTITIONED BY PART KEY (high cardinality,
+    unskewed — never a global sort). Ordering uses the ROUNDED price
+    plus the supplier key so the pick is deterministic under fp
+    noise. Dimension joins happen AFTER rn=1 cuts the row set to one
+    per part; nation broadcasts."""
+    li = load(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(
+        F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias(
+            "avg_price"
+        )
+    )
+    w = W.partitionBy("pk").orderBy("avg_price", "sk")
+    best = ps.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 10)
+        .select("p_partkey", "p_brand")
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        best.join(p, F.col("pk") == F.col("p_partkey"))
+        .join(s, F.col("sk") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.col("sk").alias("best_suppkey"),
+            F.col("n_name").alias("supp_nation"),
+            "avg_price",
+        )
+    )

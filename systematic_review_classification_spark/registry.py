@@ -76,6 +76,10 @@ _PRIORITY: list[str] = [
     "mm_embed_quantize", "scan_partition_prune", "sql_recursive_cte",
     "wl_funnel", "agg_time_rollup", "fn_bitwise",
     # --- ~round-4 window boundary ---
+    # round-3 late additions (never verified — head of the r4 window)
+    "wl_retention", "wl_dau_wau", "wl_anomaly_zscore", "wl_copurchase",
+    "wl_q9_profit", "agg_linreg", "txt_collocation", "txt_zipf",
+    "fn_struct", "sim_topk_int8", "wl_q16_suppcnt", "wl_q2_mincost",
     "sql_subqueries", "fn_explode_outer", "fn_try", "wl_clean_corpus",
     "dedup_components", "txt_pii_scrub", "agg_histogram",
     "pivot_wide", "unpivot_long", "src_range", "set_union_missing",
