@@ -340,3 +340,49 @@ def test_repetition_and_quantize_shuffle_free(spark, sf_dir):
     for key in ("txt_repetition", "mm_embed_quantize"):
         plan = plan_of(QUERIES[key](spark, sf_dir))
         assert "Exchange" not in plan, (key, plan)
+
+
+def test_dau_wau_no_range_join(spark, sf_dir):
+    """WAU must come from the map-side ×7 explode + ONE count-distinct
+    agg — never a day×day range join (BroadcastNestedLoopJoin /
+    CartesianProduct), which is the shape that dies at 100 TB."""
+    plan = plan_of(QUERIES["wl_dau_wau"](spark, sf_dir))
+    assert "Generate" in plan and "explode" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_anomaly_stats_broadcast(spark, sf_dir):
+    """The per-type stats table is bounded by event-type cardinality →
+    it must ride a BroadcastHashJoin, never shuffle the daily fact."""
+    plan = plan_of(QUERIES["wl_anomaly_zscore"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_copurchase_joins_on_order_key(spark, sf_dir):
+    """The pair blow-up must stay within an order: the self-join's
+    equi-key is l_orderkey (partkey inequality is a residual filter),
+    so per-order fan-out stays bounded — no cross join anywhere."""
+    plan = plan_of(QUERIES["wl_copurchase"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q16_denylist_is_broadcast_anti(spark, sf_dir):
+    plan = plan_of(QUERIES["wl_q16_suppcnt"](spark, sf_dir))
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q2_min_supplier_window_partitioned(spark, sf_dir):
+    """The min-cost pick must window over the PART KEY (hashpartitioning
+    on pk), never a global single-partition sort of the ps table."""
+    plan = plan_of(QUERIES["wl_q2_mincost"](spark, sf_dir))
+    assert "hashpartitioning(pk" in plan, plan
+
+
+def test_zipf_topk_is_take_ordered(spark, sf_dir):
+    """The vocab cut must be TakeOrdered (per-partition partial top-k),
+    not a global Sort of the token-count table."""
+    plan = plan_of(QUERIES["txt_zipf"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
