@@ -250,3 +250,96 @@ def wl_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.round(F.sum(profit), 4).alias("profit"))
     )
+
+
+@query(
+    "wl_pagerank3",
+    oracle="""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+cop AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+edges AS (SELECT p1 AS src, p2 AS dst FROM cop
+          UNION ALL SELECT p2, p1 FROM cop),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+pr0 AS (SELECT node, (SELECT 1.0 / n FROM nn) AS pr FROM nodes),
+pr1 AS (
+  SELECT e.dst AS node,
+         (SELECT 0.15 / n FROM nn) + 0.85 * sum(p.pr / o.d) AS pr
+  FROM edges e JOIN pr0 p ON e.src = p.node JOIN outdeg o ON e.src = o.src
+  GROUP BY e.dst),
+pr2 AS (
+  SELECT e.dst AS node,
+         (SELECT 0.15 / n FROM nn) + 0.85 * sum(p.pr / o.d) AS pr
+  FROM edges e JOIN pr1 p ON e.src = p.node JOIN outdeg o ON e.src = o.src
+  GROUP BY e.dst),
+pr3 AS (
+  SELECT e.dst AS node,
+         (SELECT 0.15 / n FROM nn) + 0.85 * sum(p.pr / o.d) AS pr
+  FROM edges e JOIN pr2 p ON e.src = p.node JOIN outdeg o ON e.src = o.src
+  GROUP BY e.dst)
+SELECT node, round(pr * 1000, 6) AS pr_permille FROM pr3
+""",
+)
+def wl_pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three fixed PageRank iterations (damping 0.85) over the
+    co-purchase graph — graph centrality as a first-class distributed
+    workload, with an EXACT oracle because the iteration count is
+    pinned (the oracle unrolls the same three steps as CTEs).
+
+    Scale shape: each iteration is edges ⋈ ranks on the source key,
+    one hash agg on the destination — the frontier-join pattern shared
+    with `dedup_components` / `sql_recursive_cte`. Nothing driver-side
+    grows with the graph: the driver holds only the loop counter; the
+    two scalar constants (node count) ride a 1-row broadcast. The
+    graph is symmetric by construction, so there are no dangling
+    nodes and mass is conserved without a dangling-redistribution
+    term. Ranks are reported per-mille rounded at 6 — float group
+    sums are order-dependent; the documented determinism convention."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    cop = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+    edges = (
+        cop.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+        .unionAll(cop.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
+        # 3 iterations re-read the edge list; cache it once (at cluster
+        # scale this is the checkpoint/persist any iterative algorithm
+        # puts on its loop-invariant input)
+        .cache()
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    pr = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(3):
+        pr = (
+            edges.join(pr.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("pr") / F.col("d")).alias("mass"))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                (F.lit(0.15) / F.col("n") + F.lit(0.85) * F.col("mass")).alias("pr"),
+            )
+        )
+    return pr.select("node", F.round(F.col("pr") * 1000, 6).alias("pr_permille"))

@@ -562,3 +562,43 @@ def ml_threshold_at_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query("ml_pca")  # rows-only: eigenvector sign/ordering is engine-specific
+def ml_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib PCA: project the 64-dim embeddings onto the top-8
+    principal components — the standard dimensionality cut before
+    clustering / coarse quantization (`sim_ivf_topk` gets 8× cheaper
+    distance math after this).
+
+    Rows-only by nature: principal axes are unique only up to sign
+    and near-tie ordering, so cross-engine value equality is not
+    well-defined; local invariants assert the geometry instead
+    (projection dimension, captured-variance ordering).
+
+    Scale shape: MLlib PCA computes the Gramian with ONE distributed
+    treeAggregate pass (64×64 matrix — constant size regardless of
+    row count), eigendecomposes that small matrix on the driver, and
+    projects with a map-side matrix multiply. Nothing quadratic in
+    rows anywhere."""
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        array_to_vector(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("features"),
+    )
+    model = PCA(k=8, inputCol="features", outputCol="pc").fit(e)
+    return (
+        model.transform(e)
+        .select("vec_id", vector_to_array(F.col("pc")).alias("pc"))
+        .select(
+            "vec_id",
+            F.size("pc").alias("k"),
+            F.round(F.aggregate("pc", F.lit(0.0), lambda s, x: s + x * x), 4).alias(
+                "proj_sqnorm"
+            ),
+        )
+    )

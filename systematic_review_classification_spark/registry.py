@@ -54,7 +54,8 @@ _PRIORITY: list[str] = [
     # (a) events-ts fix — re-verify first
     "win_lag_lead", "scan_events_ns", "src_stream_file",
     "stream_tumbling", "stream_sliding", "stream_session",
-    "stream_stream_join", "stream_rollup_merge", "stream_dedup",
+    "stream_stream_join", "stream_rollup_merge", "stream_cdc_upsert",
+    "stream_dedup",
     "stream_watermark_late", "stream_stateful", "stream_foreachbatch",
     "stream_static_join", "batch_session_window",
     "agg_incremental_rollup",
@@ -80,6 +81,7 @@ _PRIORITY: list[str] = [
     "wl_retention", "wl_dau_wau", "wl_anomaly_zscore", "wl_copurchase",
     "wl_q9_profit", "agg_linreg", "txt_collocation", "txt_zipf",
     "fn_struct", "sim_topk_int8", "wl_q16_suppcnt", "wl_q2_mincost",
+    "wl_pagerank3", "ml_pca",
     "sql_subqueries", "fn_explode_outer", "fn_try", "wl_clean_corpus",
     "dedup_components", "txt_pii_scrub", "agg_histogram",
     "pivot_wide", "unpivot_long", "src_range", "set_union_missing",

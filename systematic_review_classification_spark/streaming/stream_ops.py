@@ -438,3 +438,103 @@ def stream_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum("part_n").alias("n"), F.round(F.sum("part_sum"), 4).alias("total_value"))
     )
+
+
+@query(
+    "stream_cdc_upsert",
+    oracle="""
+SELECT user_id, CAST(ts AS VARCHAR) AS last_ts,
+       event_type AS last_event_type, round(value, 2) AS last_value,
+       n_changes
+FROM (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*)     OVER (PARTITION BY user_id) AS n_changes
+  FROM events)
+WHERE rn = 1
+""",
+)
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply loop: the event stream is treated as a change feed
+    keyed by user_id, and foreachBatch MERGEs each micro-batch into a
+    keyed snapshot table — latest (ts, event_id) wins, with a running
+    change counter. After the 3-batch replay the snapshot must equal
+    the batch "latest row per key" answer: last-writer-wins composes
+    across arbitrary batch boundaries because max_by partials merge
+    like max.
+
+    Same lakehouse discipline as `stream_rollup_merge`: state lives in
+    the TABLE (generation dirs = atomic commits, derived from the
+    store listing so restarts resume from persisted state, not a
+    Python counter); with Delta/Iceberg the merge is one MERGE INTO
+    ... WHEN MATCHED. The per-batch reduction happens BEFORE the
+    merge, so the store rewrite is keyed-snapshot-sized, not
+    batch-sized. Tie-break on (ts, event_id) keeps the pick
+    deterministic under equal timestamps."""
+    import os
+
+    from systematic_review_classification_spark.sources.tables import load
+    from systematic_review_classification_spark.streaming.helpers import (
+        ensure_confs,
+        stream_shuffle_partitions,
+    )
+
+    ensure_confs(spark)
+    src = work_dir(sf_dir, "cdc_src")
+    load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).repartition(3).write.mode("overwrite").parquet(src)
+    store = work_dir(sf_dir, "cdc_store")
+    ckpt = work_dir(sf_dir, "cdc_ckpt")
+
+    def _generations() -> list[int]:
+        return sorted(
+            int(d[1:])
+            for d in os.listdir(store)
+            if d.startswith("g") and d[1:].isdigit()
+        )
+
+    def _latest_per_key(df: DataFrame) -> DataFrame:
+        # snapshot keeps the feed's column names (incl. event_id) so
+        # the cross-batch tie-break compares REAL event ids, never a
+        # null placeholder
+        pick = F.struct("ts", "event_id")
+        return df.groupBy("user_id").agg(
+            F.max_by("ts", pick).alias("ts"),
+            F.max_by("event_id", pick).alias("event_id"),
+            F.max_by("event_type", pick).alias("event_type"),
+            F.max_by("value", pick).alias("value"),
+            F.sum("n_changes").alias("n_changes"),
+        )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        gens = _generations()
+        snap = _latest_per_key(batch_df.withColumn("n_changes", F.lit(1)))
+        if gens:
+            prev = spark.read.parquet(os.path.join(store, f"g{gens[-1]}"))
+            snap = _latest_per_key(prev.unionByName(snap))
+        nxt = gens[-1] + 1 if gens else 0
+        snap.write.mode("overwrite").parquet(os.path.join(store, f"g{nxt}"))
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with stream_shuffle_partitions(spark):
+        (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    snap = spark.read.parquet(os.path.join(store, f"g{_generations()[-1]}"))
+    return snap.select(
+        "user_id",
+        F.col("ts").cast("string").alias("last_ts"),
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 2).alias("last_value"),
+        "n_changes",
+    )

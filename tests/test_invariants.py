@@ -287,3 +287,35 @@ def test_stream_rollup_merge_rerun_deterministic(spark, sf_dir):
     a = {tuple(r) for r in QUERIES["stream_rollup_merge"](spark, sf_dir).collect()}
     b = {tuple(r) for r in QUERIES["stream_rollup_merge"](spark, sf_dir).collect()}
     assert a == b and a
+
+
+def test_pca_geometry(spark, sf_dir):
+    """PCA projection: k is honored, explained variance is sorted
+    descending, and every projection's squared norm is bounded by its
+    input vector's squared norm (orthogonal projection contracts)."""
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+
+    from systematic_review_classification_spark.sources.tables import load
+
+    out = QUERIES["ml_pca"](spark, sf_dir)
+    assert out.filter(F.col("k") != 8).count() == 0
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        array_to_vector(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("features"),
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda s, x: s + x * x,
+        ).alias("in_sqnorm"),
+    )
+    ev = PCA(k=8, inputCol="features", outputCol="pc").fit(e).explainedVariance
+    assert all(ev[i] >= ev[i + 1] for i in range(len(ev) - 1)), list(ev)
+    joined = out.join(e.select("vec_id", "in_sqnorm"), "vec_id")
+    assert (
+        joined.filter(F.col("proj_sqnorm") > F.col("in_sqnorm") + 1e-6).count() == 0
+    )
