@@ -27,6 +27,7 @@ HEADLINE = [
     "sim_cosine_topk",      # similarity search
     "ml_eval_wss95",        # distributed two-pass global rank
     "dedup_minhash_canonical",  # banded MinHash LSH, linear star-edge output
+    "wl_pagerank3",         # iterative frontier joins (graph workload)
 ]
 
 

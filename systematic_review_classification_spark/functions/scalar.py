@@ -574,3 +574,40 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         (probe < F.struct(F.lit("O"), F.lit("3-MEDIUM"))).alias("lt_probe"),
         (probe == F.struct(F.lit("F"), F.lit("1-URGENT"))).alias("eq_probe"),
     )
+
+
+@query(
+    "fn_format",
+    oracle="""
+SELECT o_orderkey,
+       format('{:,}', CAST(floor(o_totalprice) AS BIGINT)) || '.' ||
+         lpad(CAST(CAST(round((o_totalprice - floor(o_totalprice)) * 100)
+                   AS BIGINT) AS VARCHAR), 2, '0')              AS price_fmt,
+       printf('%05d|%s', o_orderkey, o_orderstatus)             AS key_tag,
+       printf('%.1f%%', 100.0 * o_orderkey / 3000)              AS pct_tag,
+       printf('%x', o_orderkey)                                 AS key_hex
+FROM orders WHERE o_orderkey <= 500
+""",
+)
+def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Number/string formatting surface: locale-style thousands
+    grouping (format_number) and C-style printf (format_string /
+    hex / fixed-width zero-pad / percent).
+
+    Portability note: format_number(2 decimals) over already-2-decimal
+    money never hits a rounding tie, so Spark's HALF_UP vs fmt's
+    HALF_EVEN divergence cannot fire — the same
+    exact-representability discipline the decimal/median oracles use.
+    Pure codegen'd projection, no shuffle."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    return o.select(
+        "o_orderkey",
+        F.format_number(F.col("o_totalprice"), 2).alias("price_fmt"),
+        F.format_string("%05d|%s", F.col("o_orderkey"), F.col("o_orderstatus")).alias(
+            "key_tag"
+        ),
+        F.format_string(
+            "%.1f%%", F.lit(100.0) * F.col("o_orderkey") / F.lit(3000)
+        ).alias("pct_tag"),
+        F.format_string("%x", F.col("o_orderkey")).alias("key_hex"),
+    )

@@ -15,7 +15,7 @@ value hash.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from systematic_review_classification_spark.registry import query
@@ -482,4 +482,43 @@ def agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2(y, x), 6).alias("r2"),
         F.round(F.regr_avgx(y, x), 6).alias("avg_x"),
         F.round(F.regr_avgy(y, x), 4).alias("avg_y"),
+    )
+
+
+@query(
+    "agg_mode_tiebreak",
+    oracle="""
+WITH cnt AS (
+  SELECT o_orderstatus, o_orderpriority, count(*) AS n
+  FROM orders GROUP BY 1, 2),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                               ORDER BY n DESC, o_orderpriority) AS rn
+  FROM cnt)
+SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+FROM ranked WHERE rn = 1
+""",
+)
+def agg_mode_tiebreak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: most frequent order priority per
+    status, ties broken by value — engine `mode()` aggregates leave
+    tie order unspecified (why this is NOT written with F.mode), so
+    the portable form is count + windowed pick, which every engine
+    executes identically.
+
+    Scale shape: hash agg collapses to (group, value) grain first —
+    the window ranks the AGGREGATED table (|groups|×|values| rows,
+    partitioned by group), never the raw fact."""
+    cnt = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("o_orderstatus").orderBy(F.col("n").desc(), "o_orderpriority")
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus", F.col("o_orderpriority").alias("mode_priority"), "n"
+        )
     )

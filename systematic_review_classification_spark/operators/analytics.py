@@ -343,3 +343,118 @@ def wl_pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return pr.select("node", F.round(F.col("pr") * 1000, 6).alias("pr_permille"))
+
+
+@query(
+    "wl_ab_ttest",
+    oracle="""
+WITH g AS (
+  SELECT event_type,
+         count(*) AS n,
+         avg(value) AS mu,
+         var_samp(value) AS v
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY event_type),
+w AS (
+  SELECT max(CASE WHEN event_type = 'click' THEN n END)    AS n1,
+         max(CASE WHEN event_type = 'click' THEN mu END)   AS mu1,
+         max(CASE WHEN event_type = 'click' THEN v END)    AS v1,
+         max(CASE WHEN event_type = 'purchase' THEN n END) AS n2,
+         max(CASE WHEN event_type = 'purchase' THEN mu END) AS mu2,
+         max(CASE WHEN event_type = 'purchase' THEN v END) AS v2
+  FROM g)
+SELECT n1, n2, round(mu1, 6) AS mean_click, round(mu2, 6) AS mean_purchase,
+       round((mu1 - mu2) / sqrt(v1 / n1 + v2 / n2), 4) AS t_stat,
+       round(pow(v1 / n1 + v2 / n2, 2)
+             / (pow(v1 / n1, 2) / (n1 - 1) + pow(v2 / n2, 2) / (n2 - 1)),
+             2) AS welch_df
+FROM w
+""",
+)
+def wl_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-test between event-type value distributions
+    (the A/B significance readout every experimentation pipeline
+    computes): group means/variances → t statistic and
+    Welch–Satterthwaite degrees of freedom.
+
+    Scale shape: ONE aggregation pass over the filtered fact (count/
+    avg/var_samp are single-pass moment aggregates); the test
+    statistic is arithmetic over a 2-row table pivoted to one row.
+    Adding a million experiment arms changes the small table's size,
+    not the scan count."""
+    g = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("mu"),
+            F.var_samp("value").alias("v"),
+        )
+    )
+
+    def pick(col: str, ev: str):
+        return F.max(F.when(F.col("event_type") == ev, F.col(col)))
+
+    w = g.agg(
+        pick("n", "click").alias("n1"),
+        pick("mu", "click").alias("mu1"),
+        pick("v", "click").alias("v1"),
+        pick("n", "purchase").alias("n2"),
+        pick("mu", "purchase").alias("mu2"),
+        pick("v", "purchase").alias("v2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    df_w = F.pow(se2, 2) / (
+        F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+        + F.pow(F.col("v2") / F.col("n2"), 2) / (F.col("n2") - 1)
+    )
+    return w.select(
+        "n1",
+        "n2",
+        F.round("mu1", 6).alias("mean_click"),
+        F.round("mu2", 6).alias("mean_purchase"),
+        F.round((F.col("mu1") - F.col("mu2")) / F.sqrt(se2), 4).alias("t_stat"),
+        F.round(df_w, 2).alias("welch_df"),
+    )
+
+
+@query(
+    "wl_mix_entropy",
+    oracle="""
+WITH c AS (
+  SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+tot AS (SELECT source, sum(n) AS tot FROM c GROUP BY source)
+SELECT c.source,
+       CAST(count(*) AS INTEGER) AS n_langs,
+       round(-sum((CAST(n AS DOUBLE) / tot) * ln(CAST(n AS DOUBLE) / tot)), 6)
+         AS lang_entropy
+FROM c JOIN tot ON c.source = tot.source
+GROUP BY c.source
+""",
+)
+def wl_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the language mix per source — the
+    distributional balance metric a dataset card reports next to raw
+    counts (`wl_dataset_card`): 0 = monolingual source, ln(k) =
+    uniform over k languages.
+
+    Scale shape: two hash aggs (source×lang grain, then per-source),
+    joined on source — the totals join is group-cardinality-sized.
+    The entropy sum is order-dependent float addition → rounded at 6,
+    the repo-wide convention."""
+    c = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = c.groupBy("source").agg(F.sum("n").alias("tot"))
+    p = F.col("n").cast("double") / F.col("tot")
+    return (
+        c.join(tot, "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_langs"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("lang_entropy"),
+        )
+    )

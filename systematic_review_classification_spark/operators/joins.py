@@ -399,3 +399,42 @@ def join_range_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("id1", "id2", "type1", "type2")
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+WITH a AS (
+  SELECT nullif(c_nationkey % 5, 4) AS k, count(*) AS c_cnt
+  FROM customer GROUP BY 1),
+b AS (
+  SELECT nullif(s_nationkey % 5, 4) AS k, count(*) AS s_cnt
+  FROM supplier GROUP BY 1)
+SELECT a.k, a.c_cnt, b.s_cnt
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+""",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    keys match each other instead of vanishing — the semantics CDC
+    diffs and dimension reconciliation need when keys are genuinely
+    optional.
+
+    Scale note: both sides are PRE-AGGREGATED to key grain before the
+    join, which is also the scale discipline — a raw null-safe join
+    funnels every NULL row of both sides into one reducer pair (NULL
+    is one hash bucket: the worst skew key there is). Aggregate first,
+    or salt the NULLs, before <=> touches big data."""
+    a = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.nullif(F.col("c_nationkey") % 5, F.lit(4)).alias("k"))
+        .agg(F.count(F.lit(1)).alias("c_cnt"))
+    )
+    b = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.nullif(F.col("s_nationkey") % 5, F.lit(4)).alias("ks"))
+        .agg(F.count(F.lit(1)).alias("s_cnt"))
+    )
+    return a.join(b, F.col("k").eqNullSafe(F.col("ks"))).select(
+        "k", "c_cnt", "s_cnt"
+    )

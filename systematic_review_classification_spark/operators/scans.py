@@ -424,3 +424,52 @@ def scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
     )
+
+
+_META_PROBE_DIR = os.path.join(IO_ROOT, "meta_probe")
+
+
+@query(
+    "scan_metadata_cols",
+    oracle=f"""
+SELECT parse_filename(filename) AS file_name,
+       count(*) AS n,
+       min(event_id) AS min_id,
+       max(event_id) AS max_id
+FROM read_parquet('{_META_PROBE_DIR}/*.parquet', filename=true)
+GROUP BY 1
+""",
+)
+def scan_metadata_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden file-metadata columns: per-source-file row counts and id
+    ranges via the `_metadata.file_name` struct the parquet reader
+    exposes — the lineage/debugging hook ("which file did this row
+    come from") that incremental backfills and bad-file quarantines
+    are built on.
+
+    NOTE: the staging dir is static (the oracle SQL must embed a
+    literal path), so concurrent harness runs at DIFFERENT scale
+    factors would race on it — runs are assumed serial, which is how
+    both the driver and pytest execute.
+
+    The op stages a 2-file parquet layout, then reads it back with
+    the metadata column; the oracle reads THE SAME staged files with
+    DuckDB's filename=true, so Spark's hidden column is checked
+    against an independent reader's ground truth. Metadata columns
+    are populated by the scan itself (constant per split) — no
+    shuffle, no storage cost; the groupBy is file-count-bounded."""
+    ensure_confs(spark)
+    staged = load(spark, sf_dir, "events").select("event_id", "event_type")
+    staged.repartitionByRange(2, "event_id").write.mode("overwrite").parquet(
+        _META_PROBE_DIR
+    )
+    return (
+        spark.read.parquet(_META_PROBE_DIR)
+        .select(F.col("_metadata.file_name").alias("file_name"), "event_id")
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+    )

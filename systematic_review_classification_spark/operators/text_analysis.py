@@ -502,3 +502,65 @@ def txt_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("zipf_slope"),
     )
+
+
+@query(
+    "txt_stem",
+    oracle="""
+WITH tok AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS token
+  FROM documents WHERE doc_id < 200),
+stemmed AS (
+  SELECT token,
+         CASE
+           WHEN regexp_matches(token, 'ies$') AND len(token) > 4
+             THEN regexp_replace(token, 'ies$', 'y')
+           WHEN regexp_matches(token, 'sses$')
+             THEN regexp_replace(token, 'sses$', 'ss')
+           WHEN regexp_matches(token, 'ing$') AND len(token) > 5
+             THEN regexp_replace(token, 'ing$', '')
+           WHEN regexp_matches(token, 'ed$') AND len(token) > 4
+             THEN regexp_replace(token, 'ed$', '')
+           WHEN regexp_matches(token, 'ly$') AND len(token) > 4
+             THEN regexp_replace(token, 'ly$', '')
+           WHEN regexp_matches(token, 's$')
+                AND NOT regexp_matches(token, '(ss|us|is)$') AND len(token) > 3
+             THEN regexp_replace(token, 's$', '')
+           ELSE token END AS stem
+  FROM tok)
+SELECT token, stem, (token <> stem) AS changed
+FROM stemmed
+""",
+)
+def txt_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based suffix stemmer (Porter-step-1-flavored): plural /
+    participle / adverb suffix stripping with length guards — the
+    cheap normalization pass before index building when a real
+    stemmer's language models aren't warranted. Both engines run the
+    IDENTICAL ordered rule cascade, so the mapping is bit-equal.
+
+    Scale shape: stems the DISTINCT token vocabulary, not token
+    occurrences — the classic build-small-apply-broadcast pattern
+    (the vocabulary-sized mapping then broadcast-joins back onto the
+    token stream). Pure regexp expressions, codegen'd, one distinct
+    shuffle."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tok = d.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).distinct()
+    t = F.col("token")
+    stem = (
+        F.when(t.rlike("ies$") & (F.length(t) > 4), F.regexp_replace(t, "ies$", "y"))
+        .when(t.rlike("sses$"), F.regexp_replace(t, "sses$", "ss"))
+        .when(t.rlike("ing$") & (F.length(t) > 5), F.regexp_replace(t, "ing$", ""))
+        .when(t.rlike("ed$") & (F.length(t) > 4), F.regexp_replace(t, "ed$", ""))
+        .when(t.rlike("ly$") & (F.length(t) > 4), F.regexp_replace(t, "ly$", ""))
+        .when(
+            t.rlike("s$") & ~t.rlike("(ss|us|is)$") & (F.length(t) > 3),
+            F.regexp_replace(t, "s$", ""),
+        )
+        .otherwise(t)
+    )
+    return tok.select(
+        "token", stem.alias("stem"), (t != stem).alias("changed")
+    )

@@ -81,7 +81,9 @@ _PRIORITY: list[str] = [
     "wl_retention", "wl_dau_wau", "wl_anomaly_zscore", "wl_copurchase",
     "wl_q9_profit", "agg_linreg", "txt_collocation", "txt_zipf",
     "fn_struct", "sim_topk_int8", "wl_q16_suppcnt", "wl_q2_mincost",
-    "wl_pagerank3", "ml_pca",
+    "wl_pagerank3", "ml_pca", "join_null_safe", "agg_mode_tiebreak",
+    "fn_format", "scan_metadata_cols", "txt_stem", "wl_ab_ttest",
+    "wl_mix_entropy",
     "sql_subqueries", "fn_explode_outer", "fn_try", "wl_clean_corpus",
     "dedup_components", "txt_pii_scrub", "agg_histogram",
     "pivot_wide", "unpivot_long", "src_range", "set_union_missing",

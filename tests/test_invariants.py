@@ -319,3 +319,13 @@ def test_pca_geometry(spark, sf_dir):
     assert (
         joined.filter(F.col("proj_sqnorm") > F.col("in_sqnorm") + 1e-6).count() == 0
     )
+
+
+def test_priority_list_keys_registered():
+    """Every key in the registry's verification priority list must
+    name a registered query — a typo would silently push the intended
+    key out of the driver's per-round verification window."""
+    from systematic_review_classification_spark.registry import _PRIORITY
+
+    missing = [k for k in _PRIORITY if k not in QUERIES]
+    assert not missing, f"priority list names unregistered keys: {missing}"
