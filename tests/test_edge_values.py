@@ -196,6 +196,8 @@ def test_document_operators_survive_empty_corpus(spark, tmp_path):
         "dedup_paragraph", "ml_calibration", "sim_bruteforce_topk",
         "dedup_minhash_canonical", "txt_repetition", "wl_dataset_card",
         "mm_embed_quantize",
+        "txt_collocation", "txt_zipf", "txt_stem", "sim_topk_int8",
+        "wl_mix_entropy",
     ]
     q = all_queries()
     for key in keys:
