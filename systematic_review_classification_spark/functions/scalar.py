@@ -611,3 +611,32 @@ def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pct_tag"),
         F.format_string("%x", F.col("o_orderkey")).alias("key_hex"),
     )
+
+
+@query(
+    "fn_base64",
+    oracle="""
+SELECT c_custkey,
+       to_base64(CAST(c_name AS BLOB))                       AS name_b64,
+       CAST(from_base64(to_base64(CAST(c_name AS BLOB))) AS VARCHAR) AS roundtrip,
+       hex(CAST(c_mktsegment AS BLOB))                       AS seg_hex,
+       CAST(unhex(hex(CAST(c_mktsegment AS BLOB))) AS VARCHAR) AS seg_back
+FROM customer WHERE c_custkey <= 300
+""",
+)
+def fn_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary↔text codecs: base64 and hex encode/decode round-trips
+    over string payloads — the serialization glue for shipping binary
+    features (embeddings, thumbnails) through text-typed transports.
+    Pure codegen'd projections; both engines implement RFC 4648 /
+    straight hex so the encodings are bit-equal."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 300)
+    name_bin = F.col("c_name").cast("binary")
+    seg_bin = F.col("c_mktsegment").cast("binary")
+    return c.select(
+        "c_custkey",
+        F.base64(name_bin).alias("name_b64"),
+        F.unbase64(F.base64(name_bin)).cast("string").alias("roundtrip"),
+        F.hex(seg_bin).alias("seg_hex"),
+        F.unhex(F.hex(seg_bin)).cast("string").alias("seg_back"),
+    )

@@ -20,7 +20,7 @@ same expression text so the only divergence is summation order.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from systematic_review_classification_spark.registry import query
@@ -457,4 +457,188 @@ def wl_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("int").alias("n_langs"),
             F.round(-F.sum(p * F.log(p)), 6).alias("lang_entropy"),
         )
+    )
+
+
+@query(
+    "win_gaps_islands",
+    oracle="""
+WITH pairs AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+isl AS (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                    AS INTEGER) AS grp
+  FROM pairs),
+streaks AS (
+  SELECT user_id, grp, count(*) AS len, min(day) AS start_day
+  FROM isl GROUP BY 1, 2)
+SELECT user_id, max(len) AS longest_streak,
+       CAST(count(*) AS INTEGER) AS n_streaks,
+       CAST(min(start_day) AS VARCHAR) AS first_day
+FROM streaks GROUP BY user_id
+""",
+)
+def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: consecutive-day activity streaks per user
+    (longest streak + streak count) via the classic
+    `day − row_number()` island key — engagement-streak analytics
+    done with two windows' worth of arithmetic, no self-join, no
+    recursion.
+
+    Scale shape: the window partitions on user_id (high cardinality,
+    per-user row counts bounded by days); both follow-up aggs are on
+    the same user key, so AQE reuses one exchange end-to-end."""
+    pairs = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    w = W.partitionBy("user_id").orderBy("day")
+    isl = pairs.withColumn(
+        "grp", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len"), F.min("day").alias("start_day")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count(F.lit(1)).cast("int").alias("n_streaks"),
+        F.min("start_day").cast("string").alias("first_day"),
+    )
+
+
+@query(
+    "wl_rfm",
+    oracle="""
+WITH base AS (
+  SELECT o_custkey,
+         date_diff('day', max(o_orderdate), TIMESTAMP '1998-12-31')
+           AS recency_days,
+         count(*) AS frequency,
+         round(sum(o_totalprice), 2) AS monetary
+  FROM orders GROUP BY o_custkey),
+thr AS (
+  SELECT quantile_cont(recency_days, 0.5)  AS r_med,
+         quantile_cont(frequency,    0.5)  AS f_med,
+         quantile_cont(monetary,     0.5)  AS m_med
+  FROM base)
+SELECT o_custkey, recency_days, frequency, monetary,
+       (recency_days <= r_med) AS recent,
+       (frequency    >  f_med) AS frequent,
+       (monetary     >  m_med) AS big_spender,
+       CASE WHEN recency_days <= r_med AND frequency > f_med
+                 AND monetary > m_med THEN 'champion'
+            WHEN recency_days > r_med AND frequency <= f_med
+              THEN 'at_risk'
+            ELSE 'regular' END AS segment
+FROM base CROSS JOIN thr
+""",
+)
+def wl_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency / frequency / monetary per
+    customer, split at the exact median of each axis, composed into
+    segment labels.
+
+    Scale note: the axis splits are exact percentiles of the
+    CUSTOMER-GRAIN aggregate broadcast back as a 1-row table — NOT a
+    global ntile() window, whose unpartitioned sort is the
+    single-reducer funnel this repo never ships (same discipline as
+    the ml_eval_* two-pass rank). Median interpolation (quantile_cont
+    / percentile) matches across engines per the agg_median_pct
+    parity; comparisons sit on integer-valued axes so interpolated
+    halves cannot flip a boundary row."""
+    base = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.lit("1998-12-31").cast("timestamp_ntz"), F.max("o_orderdate")
+            ).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+    )
+    thr = base.agg(
+        F.percentile("recency_days", F.lit(0.5)).alias("r_med"),
+        F.percentile("frequency", F.lit(0.5)).alias("f_med"),
+        F.percentile("monetary", F.lit(0.5)).alias("m_med"),
+    )
+    recent = F.col("recency_days") <= F.col("r_med")
+    frequent = F.col("frequency") > F.col("f_med")
+    big = F.col("monetary") > F.col("m_med")
+    return base.crossJoin(F.broadcast(thr)).select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        recent.alias("recent"),
+        frequent.alias("frequent"),
+        big.alias("big_spender"),
+        F.when(recent & frequent & big, "champion")
+        .when(~recent & ~frequent, "at_risk")
+        .otherwise("regular")
+        .alias("segment"),
+    )
+
+
+@query(
+    "wl_snapshot_diff",
+    oracle="""
+WITH old AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 97 <> 7),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 97 = 5 THEN round(o_totalprice + 10, 2)
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 97 <> 3),
+diff AS (
+  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS k,
+         CASE WHEN o.o_orderkey IS NULL THEN 'added'
+              WHEN n.o_orderkey IS NULL THEN 'removed'
+              WHEN o.o_totalprice <> n.o_totalprice THEN 'changed'
+              ELSE 'unchanged' END AS kind,
+         coalesce(abs(n.o_totalprice - o.o_totalprice), 0) AS delta
+  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
+SELECT kind, count(*) AS n, round(sum(delta), 2) AS total_delta
+FROM diff GROUP BY kind
+""",
+)
+def wl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: diff two table versions into added /
+    removed / changed / unchanged classes with a change magnitude —
+    the audit every CDC pipeline and backfill runs to prove the
+    incremental path matches a rebuild. The two versions are derived
+    deterministically from orders (key-mod deletions + price bumps)
+    so the oracle sees identical inputs.
+
+    Scale shape: ONE full-outer sort-merge join on the key — the
+    canonical diff plan; class assignment and the rollup are
+    expression-level. At 100 TB you run exactly this, partitioned by
+    the snapshot layout."""
+    o = load(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 97 != 7).select(
+        F.col("o_orderkey").alias("ko"), F.col("o_totalprice").alias("po")
+    )
+    new = (
+        o.filter(F.col("o_orderkey") % 97 != 3)
+        .select(
+            F.col("o_orderkey").alias("kn"),
+            F.when(
+                F.col("o_orderkey") % 97 == 5, F.round(F.col("o_totalprice") + 10, 2)
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("pn"),
+        )
+    )
+    diff = old.join(new, F.col("ko") == F.col("kn"), "full_outer").select(
+        F.when(F.col("ko").isNull(), "added")
+        .when(F.col("kn").isNull(), "removed")
+        .when(F.col("po") != F.col("pn"), "changed")
+        .otherwise("unchanged")
+        .alias("kind"),
+        F.coalesce(F.abs(F.col("pn") - F.col("po")), F.lit(0.0)).alias("delta"),
+    )
+    return diff.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("delta"), 2).alias("total_delta"),
     )

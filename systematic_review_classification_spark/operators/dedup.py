@@ -22,7 +22,7 @@ Tiered the way an LLM-data pipeline dedups at 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from systematic_review_classification_spark.registry import query
@@ -753,4 +753,54 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") * 1000000 + F.col("chunk_start") == F.col("keep_key")).alias(
             "kept"
         ),
+    )
+
+
+@query(
+    "dedup_keep_best",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id, n_chars, source,
+         md5(lower(trim(text))) AS fingerprint
+  FROM documents),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY fingerprint
+                               ORDER BY n_chars DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY fingerprint) AS n_copies
+  FROM fp)
+SELECT fingerprint, doc_id AS keeper_doc_id, source AS keeper_source,
+       n_chars AS keeper_len, n_copies
+FROM ranked WHERE rn = 1
+""",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware exact dedup: one keeper per duplicate cluster,
+    chosen by a quality key (longest text, doc_id tie-break) instead
+    of an arbitrary first-seen — what production corpus cleaning does,
+    because near-identical crawls differ in truncation and you want
+    the fullest copy.
+
+    Scale shape identical to `dedup_exact`: md5 fingerprints shuffle,
+    never text; the keeper pick is a window PARTITIONED BY FINGERPRINT
+    (high cardinality, cluster sizes bounded by duplication rate).
+    Compose with `dedup_minhash_canonical`'s star edges to pick
+    keepers for NEAR-duplicate clusters the same way."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        "source",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
+    )
+    w = W.partitionBy("fingerprint").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(W.partitionBy("fingerprint")))
+        .filter(F.col("rn") == 1)
+        .select(
+            "fingerprint",
+            F.col("doc_id").alias("keeper_doc_id"),
+            F.col("source").alias("keeper_source"),
+            F.col("n_chars").alias("keeper_len"),
+            "n_copies",
+        )
     )

@@ -438,3 +438,56 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, F.col("k").eqNullSafe(F.col("ks"))).select(
         "k", "c_cnt", "s_cnt"
     )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+SELECT p.event_id AS event_id, p.ts AS purchase_ts,
+       (SELECT max(c.ts) FROM events c
+         WHERE c.user_id = p.user_id AND c.event_type = 'click'
+           AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR) AS last_click_ts,
+       (SELECT epoch_us(p.ts) - max(epoch_us(c.ts)) FROM events c
+         WHERE c.user_id = p.user_id AND c.event_type = 'click'
+           AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR) AS gap_us
+FROM events p WHERE p.event_type = 'purchase'
+""",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a match tolerance (pandas merge_asof's
+    `tolerance=`): the latest click at-or-before each purchase counts
+    only within a 1-hour lookback; staler matches become NULL — the
+    semantics attribution windows and sensor alignment actually need.
+
+    Same single-shuffle rewrite as `join_asof` (union + per-user
+    running-window max); the tolerance is ONE post-window filter on
+    the carried timestamp, so the plan cost is identical — no second
+    lookup, no range join. The oracle's correlated subquery restates
+    it as point-in-time lookups."""
+    ev = load(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("prio"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "prio", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = tagged.withColumn(
+        "carried_ts", F.max(F.when(F.col("prio") == 0, F.col("ts"))).over(w)
+    )
+    in_tol = F.col("carried_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")
+    last = F.when(in_tol, F.col("carried_ts"))
+    return carried.filter(F.col("prio") == 1).select(
+        "event_id",
+        F.col("ts").alias("purchase_ts"),
+        last.alias("last_click_ts"),
+        F.when(
+            in_tol,
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("carried_ts").cast("timestamp")),
+        ).alias("gap_us"),
+    )

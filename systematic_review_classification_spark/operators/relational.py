@@ -268,3 +268,40 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.subtract(s)
+
+
+@query(
+    "set_ops_all",
+    oracle="""
+WITH a AS (SELECT l_orderkey % 100 AS k, l_linenumber AS ln
+           FROM lineitem WHERE l_orderkey < 3000),
+b AS (SELECT l_orderkey % 100 AS k, l_linenumber AS ln
+      FROM lineitem WHERE l_orderkey >= 2000 AND l_orderkey < 5000)
+SELECT 'intersect' AS op, k, ln FROM (SELECT k, ln FROM a INTERSECT ALL SELECT k, ln FROM b)
+UNION ALL
+SELECT 'except' AS op, k, ln FROM (SELECT k, ln FROM a EXCEPT ALL SELECT k, ln FROM b)
+""",
+)
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL):
+    duplicates count — each row of the result reflects multiset
+    multiplicity min(m,n) / max(m−n, 0), which the DISTINCT variants
+    (`set_intersect` / `set_except`) destroy.
+
+    Scale shape: Spark plans both as a single hash aggregation over
+    the union with per-side multiplicity counters + generate — one
+    shuffle on the row key, same cost class as distinct; never a
+    join."""
+    li = load(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_orderkey") < 3000).select(
+        (F.col("l_orderkey") % 100).alias("k"), F.col("l_linenumber").alias("ln")
+    )
+    b = li.filter(
+        (F.col("l_orderkey") >= 2000) & (F.col("l_orderkey") < 5000)
+    ).select(
+        (F.col("l_orderkey") % 100).alias("k"), F.col("l_linenumber").alias("ln")
+    )
+    return (
+        a.intersectAll(b).select(F.lit("intersect").alias("op"), "k", "ln")
+        .unionAll(a.exceptAll(b).select(F.lit("except").alias("op"), "k", "ln"))
+    )

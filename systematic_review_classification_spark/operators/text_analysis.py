@@ -564,3 +564,50 @@ def txt_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tok.select(
         "token", stem.alias("stem"), (t != stem).alias("changed")
     )
+
+
+@query(
+    "txt_readability",
+    oracle="""
+WITH f AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS words,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]')), 1) AS DOUBLE)
+           AS sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+           AS syllables
+  FROM documents)
+SELECT doc_id, CAST(words AS BIGINT) AS n_words,
+       CAST(sentences AS BIGINT) AS n_sentences,
+       CAST(syllables AS BIGINT) AS n_syllables,
+       round(206.835 - 1.015 * (words / sentences)
+             - 84.6 * (syllables / words), 4) AS flesch
+FROM f
+""",
+)
+def txt_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring with a vowel-group syllable proxy —
+    the classic cheap readability gate in corpus quality filtering
+    (too-low scores flag machine-generated or OCR-garbled text).
+    Pure regexp-count expressions, codegen'd, zero shuffles; both
+    engines evaluate the identical formula so only the two divisions
+    carry float noise (rounded at 4)."""
+    d = load(spark, sf_dir, "documents")
+    words = F.size(F.split(F.col("text"), " ")).cast("double")
+    sentences = F.greatest(
+        F.regexp_count(F.col("text"), F.lit("[.!?]")), F.lit(1)
+    ).cast("double")
+    syllables = F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+")).cast(
+        "double"
+    )
+    return d.select(
+        "doc_id",
+        words.cast("bigint").alias("n_words"),
+        sentences.cast("bigint").alias("n_sentences"),
+        syllables.cast("bigint").alias("n_syllables"),
+        F.round(
+            F.lit(206.835) - F.lit(1.015) * (words / sentences)
+            - F.lit(84.6) * (syllables / words),
+            4,
+        ).alias("flesch"),
+    )
