@@ -642,3 +642,113 @@ def wl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("delta"), 2).alias("total_delta"),
     )
+
+
+@query(
+    "wl_markov_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events),
+pairs AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2),
+tot AS (SELECT prev_type, sum(n) AS row_tot FROM pairs GROUP BY prev_type)
+SELECT p.prev_type, p.next_type, p.n,
+       round(CAST(p.n AS DOUBLE) / t.row_tot, 6) AS prob
+FROM pairs p JOIN tot t ON p.prev_type = t.prev_type
+""",
+)
+def wl_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | previous event type) — the
+    behavioral model behind next-action prediction and bot detection.
+
+    Scale shape: ONE lag window partitioned by user_id (high
+    cardinality, per-user sequences bounded), then two hash aggs on
+    the 5×5 transition grain; the row-total join is
+    event-type-bounded. Ordering ties broken by event_id so the lag
+    sequence is deterministic."""
+    seq = load(spark, sf_dir, "events").withColumn(
+        "prev_type",
+        F.lag("event_type").over(
+            W.partitionBy("user_id").orderBy("ts", "event_id")
+        ),
+    )
+    pairs = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = pairs.groupBy("prev_type").agg(F.sum("n").alias("row_tot"))
+    return pairs.join(F.broadcast(tot), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("row_tot"), 6).alias("prob"),
+    )
+
+
+@query(
+    "wl_pareto",
+    oracle="""
+WITH cust AS (
+  SELECT c_nationkey, o_custkey, round(sum(o_totalprice), 2) AS revenue
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_nationkey, o_custkey),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY revenue DESC, o_custkey) AS rn,
+         count(*) OVER (PARTITION BY c_nationkey) AS n_cust,
+         sum(revenue) OVER (PARTITION BY c_nationkey) AS nation_rev
+  FROM cust)
+SELECT c_nationkey, CAST(max(n_cust) AS BIGINT) AS n_cust,
+       round(max(nation_rev), 2) AS nation_rev,
+       round(sum(CASE WHEN rn * 10 <= n_cust THEN revenue ELSE 0 END)
+             / max(nation_rev), 6) AS top_decile_share
+FROM ranked GROUP BY c_nationkey
+""",
+)
+def wl_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto check): the share of each
+    nation's revenue held by its top-10% customers — the inequality
+    readout behind whale-detection and account-tiering.
+
+    Scale shape: aggregate to customer grain first, then ALL windows
+    partition on the nation key (25 bounded partitions of
+    customer-grain rows — never a global sort); the decile cut uses
+    rank·10 ≤ count integer arithmetic, no percentile interpolation
+    to diverge on. Revenue rounds at 2 BEFORE ranking so both engines
+    rank identical doubles (ulp noise cannot reorder)."""
+    cust = (
+        load(spark, sf_dir, "orders")
+        .join(
+            load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    wp = W.partitionBy("c_nationkey")
+    ranked = cust.select(
+        "c_nationkey",
+        "revenue",
+        F.row_number()
+        .over(wp.orderBy(F.col("revenue").desc(), "o_custkey"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n_cust"),
+        F.sum("revenue").over(wp).alias("nation_rev"),
+    )
+    return ranked.groupBy("c_nationkey").agg(
+        F.max("n_cust").cast("bigint").alias("n_cust"),
+        F.round(F.max("nation_rev"), 2).alias("nation_rev"),
+        F.round(
+            F.sum(F.when(F.col("rn") * 10 <= F.col("n_cust"), F.col("revenue")).otherwise(0.0))
+            / F.max("nation_rev"),
+            6,
+        ).alias("top_decile_share"),
+    )

@@ -602,3 +602,39 @@ def ml_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "ml_feature_cross",
+    oracle="""
+SELECT c_custkey,
+       c_mktsegment || 'x' || CAST(c_nationkey AS VARCHAR) AS cross_key,
+       CAST(CAST(('0x' || substring(
+              md5(c_mktsegment || 'x' || CAST(c_nationkey AS VARCHAR)),
+              1, 8)) AS BIGINT) % 64 AS INTEGER) AS bucket
+FROM customer WHERE c_custkey <= 1000
+""",
+)
+def ml_feature_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed feature cross: (segment × nation) composed into one
+    categorical key and hashed into 64 buckets — the classic
+    wide-model featurization (crossing two low-cardinality columns
+    captures their interaction without a quadratic vocabulary).
+
+    The bucket hash is md5-prefix arithmetic, NOT the engine-native
+    hash (Spark murmur3 vs DuckDB's differ by construction — same
+    portability rule as dedup_minhash_portable): both engines compute
+    CAST(first-8-hex-chars, base 16) % 64 over the same md5, so
+    bucket assignment is bit-equal. Pure projection, zero shuffles;
+    at training scale the bucket column feeds a fixed-width
+    embedding table."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 1000)
+    cross_key = F.concat_ws(
+        "x", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(cross_key), 1, 8), 16, 10).cast("bigint") % 64
+    ).cast("int")
+    return c.select(
+        "c_custkey", cross_key.alias("cross_key"), bucket.alias("bucket")
+    )

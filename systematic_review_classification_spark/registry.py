@@ -85,7 +85,8 @@ _PRIORITY: list[str] = [
     "fn_format", "scan_metadata_cols", "txt_stem", "wl_ab_ttest",
     "wl_mix_entropy", "join_asof_tolerance", "dedup_keep_best",
     "win_gaps_islands", "wl_rfm", "set_ops_all", "fn_base64",
-    "txt_readability", "wl_snapshot_diff",
+    "txt_readability", "wl_snapshot_diff", "wl_markov_transitions",
+    "wl_pareto", "ml_feature_cross",
     "sql_subqueries", "fn_explode_outer", "fn_try", "wl_clean_corpus",
     "dedup_components", "txt_pii_scrub", "agg_histogram",
     "pivot_wide", "unpivot_long", "src_range", "set_union_missing",

@@ -386,3 +386,27 @@ def test_zipf_topk_is_take_ordered(spark, sf_dir):
     not a global Sort of the token-count table."""
     plan = plan_of(QUERIES["txt_zipf"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_snapshot_diff_is_single_full_outer_smj(spark, sf_dir):
+    plan = plan_of(QUERIES["wl_snapshot_diff"](spark, sf_dir))
+    assert "FullOuter" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_pareto_windows_partition_on_nation(spark, sf_dir):
+    """Every Pareto window must partition on the nation key — a global
+    revenue sort would single-reducer the customer table."""
+    plan = plan_of(QUERIES["wl_pareto"](spark, sf_dir))
+    assert "hashpartitioning(c_nationkey" in plan, plan
+
+
+def test_markov_lag_partitioned_and_totals_broadcast(spark, sf_dir):
+    plan = plan_of(QUERIES["wl_markov_transitions"](spark, sf_dir))
+    assert "hashpartitioning(user_id" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_keep_best_window_partitions_on_fingerprint(spark, sf_dir):
+    plan = plan_of(QUERIES["dedup_keep_best"](spark, sf_dir))
+    assert "hashpartitioning(fingerprint" in plan, plan
