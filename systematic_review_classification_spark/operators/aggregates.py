@@ -522,3 +522,33 @@ def agg_mode_tiebreak(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus", F.col("o_orderpriority").alias("mode_priority"), "n"
         )
     )
+
+
+@query(
+    "agg_geomean",
+    oracle="""
+SELECT l_returnflag,
+       round(exp(avg(ln(l_extendedprice))), 4) AS geomean_price,
+       round(exp(avg(ln(l_quantity))), 6)      AS geomean_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric mean via the log identity exp(avg(ln x)) — the right
+    average for multiplicative quantities (growth rates, price
+    ratios) where the arithmetic mean over-weights spikes. No engine
+    ships geometric_mean; the identity turns it into a single-pass
+    moment aggregate with the same partial/final decomposition as
+    avg — one hash-agg shuffle. Inputs here are strictly positive so
+    ln never NULLs a row (at 100 TB, filter or nullif zeros first —
+    one ln(0)=-inf poisons a whole group)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.exp(F.avg(F.log(F.col("l_extendedprice")))), 4).alias(
+            "geomean_price"
+        ),
+        F.round(F.exp(F.avg(F.log(F.col("l_quantity")))), 6).alias("geomean_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )

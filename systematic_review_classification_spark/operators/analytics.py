@@ -752,3 +752,77 @@ def wl_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("top_decile_share"),
     )
+
+
+@query(
+    "wl_funnel_steps",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts >= v.t_view
+  WHERE e.event_type = 'click' GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_buy
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts >= c.t_click
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT (SELECT count(*) FROM v) AS n_view,
+       (SELECT count(*) FROM c) AS n_click,
+       (SELECT count(*) FROM p) AS n_purchase,
+       round(CAST((SELECT count(*) FROM c) AS DOUBLE)
+             / (SELECT count(*) FROM v), 6) AS view_to_click,
+       round(CAST((SELECT count(*) FROM p) AS DOUBLE)
+             / (SELECT count(*) FROM c), 6) AS click_to_buy
+""",
+)
+def wl_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-stage ordered funnel report (view → click → purchase,
+    each stage at-or-after the previous stage's first touch): stage
+    populations and step conversion rates — the aggregate funnel
+    chart, complementing `wl_funnel`'s per-user detail.
+
+    Scale shape: each stage is a filtered groupBy-min joined to the
+    previous stage ON USER_ID — three hash aggs + two equi-joins all
+    sharing the user key (AQE reuses the exchange); stage counts
+    reduce to 1-row aggregates cross-joined at the end. No windows,
+    no ordered-row processing."""
+    ev = load(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_click"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchase"))
+    return (
+        nv.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "n_view",
+            "n_click",
+            "n_purchase",
+            F.round(
+                F.col("n_click").cast("double") / F.col("n_view"), 6
+            ).alias("view_to_click"),
+            F.round(
+                F.col("n_purchase").cast("double") / F.col("n_click"), 6
+            ).alias("click_to_buy"),
+        )
+    )

@@ -224,3 +224,40 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
             customer=f"parquet.`{sf_dir}/customer.parquet`", intdiv="div"
         )
     )
+
+
+_LATERAL_SQL_BODY = """
+SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS o_totalprice
+FROM {customer} c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM {orders} o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+WHERE c.c_custkey <= 300
+"""
+
+
+@query(
+    "sql_lateral",
+    oracle=_LATERAL_SQL_BODY.format(orders="orders", customer="customer"),
+)
+def sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated derived table: top-2 orders per customer via
+    a per-row ordered-limit subquery — the SQL spelling of what
+    `win_topk_group` does with a window, and the pattern ORMs and BI
+    tools emit constantly.
+
+    Catalyst decorrelates the LATERAL into a ranked join (it rewrites
+    to the same window/limit machinery rather than executing a
+    per-row subquery loop), so the plan scales like the window
+    variant: one shuffle on the correlation key. Identical SQL text
+    runs on both engines — DuckDB 1.0+ and Spark 3.2+ both speak
+    LATERAL."""
+    from systematic_review_classification_spark.session import ensure_confs
+
+    ensure_confs(spark)
+    return spark.sql(
+        _LATERAL_SQL_BODY.format(
+            orders=f"parquet.`{sf_dir}/orders.parquet`",
+            customer=f"parquet.`{sf_dir}/customer.parquet`",
+        )
+    )

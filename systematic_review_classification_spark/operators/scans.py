@@ -473,3 +473,42 @@ def scan_metadata_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("event_id").alias("max_id"),
         )
     )
+
+
+_EVOLVE_DIR = os.path.join(IO_ROOT, "schema_evolve")
+
+
+@query(
+    "src_parquet_merge_schema",
+    oracle=f"""
+SELECT o_orderkey, o_totalprice, o_orderstatus, o_orderpriority
+FROM read_parquet(['{_EVOLVE_DIR}/v1/*.parquet',
+                   '{_EVOLVE_DIR}/v2/*.parquet'], union_by_name=true)
+""",
+)
+def src_parquet_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet generations with different
+    column sets (v1: key+price; v2: key+status+priority — price
+    dropped, two columns added) read as ONE table via mergeSchema —
+    absent columns become NULL. This is how a 100 TB lake survives
+    schema changes without rewriting history; the oracle is DuckDB's
+    union_by_name over the same files.
+
+    Scale note: mergeSchema reconciles footers only (schema union at
+    planning time, null-filled batches at scan time) — no data
+    rewrite, no shuffle; pin the merged schema in production so a
+    bad file can't widen the table silently. Same static-dir staging
+    contract as scan_metadata_cols (serial harness runs)."""
+    ensure_confs(spark)
+    o = load(spark, sf_dir, "orders")
+    o.filter(F.col("o_orderkey") < 1000).select(
+        "o_orderkey", "o_totalprice"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{_EVOLVE_DIR}/v1")
+    o.filter((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000)).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{_EVOLVE_DIR}/v2")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{_EVOLVE_DIR}/v1", f"{_EVOLVE_DIR}/v2")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority")
+    )

@@ -246,3 +246,41 @@ def win_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pr"),
         F.cume_dist().over(w).alias("cd"),
     )
+
+
+@query(
+    "win_time_range",
+    oracle="""
+SELECT event_id, user_id, ts,
+       count(*) OVER w AS n_trailing_1h,
+       round(sum(value) OVER w, 4) AS val_trailing_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+""",
+)
+def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame: per user, how many events (and how
+    much value) landed in the trailing hour of EVENT TIME — the
+    rate-limit / burst-detection window, distinct from
+    `win_moving`'s row-count frame (a RANGE frame is defined by the
+    ORDER-BY value, so tied timestamps are frame peers and the result
+    is tie-order-independent — no tiebreak column needed).
+
+    The DataFrame API cannot express interval range frames, so this
+    goes through the SQL frontend on both engines — identical window
+    text. Partitioned on user_id: same scale discipline as every
+    per-row window here."""
+    from systematic_review_classification_spark.sources.tables import load as _load
+
+    _load(spark, sf_dir, "events").createOrReplaceTempView("ev_time_range")
+    return spark.sql(
+        """
+        SELECT event_id, user_id, ts,
+               count(*) OVER w AS n_trailing_1h,
+               round(sum(value) OVER w, 4) AS val_trailing_1h
+        FROM ev_time_range
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        """
+    )

@@ -86,7 +86,9 @@ _PRIORITY: list[str] = [
     "wl_mix_entropy", "join_asof_tolerance", "dedup_keep_best",
     "win_gaps_islands", "wl_rfm", "set_ops_all", "fn_base64",
     "txt_readability", "wl_snapshot_diff", "wl_markov_transitions",
-    "wl_pareto", "ml_feature_cross",
+    "wl_pareto", "ml_feature_cross", "sql_lateral",
+    "src_parquet_merge_schema", "wl_funnel_steps", "win_time_range",
+    "agg_geomean",
     "sql_subqueries", "fn_explode_outer", "fn_try", "wl_clean_corpus",
     "dedup_components", "txt_pii_scrub", "agg_histogram",
     "pivot_wide", "unpivot_long", "src_range", "set_union_missing",
