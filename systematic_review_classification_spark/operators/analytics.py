@@ -826,3 +826,130 @@ def wl_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("click_to_buy"),
         )
     )
+
+
+@query(
+    "wl_qtr_growth",
+    oracle="""
+WITH q AS (
+  SELECT n_name,
+         CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qtr,
+         round(sum(o_totalprice), 2) AS revenue
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY n_name, date_trunc('quarter', o_orderdate))
+SELECT n_name, CAST(qtr AS VARCHAR) AS qtr, revenue,
+       round(revenue / lag(revenue) OVER (PARTITION BY n_name ORDER BY qtr)
+             - 1, 6) AS qoq_growth
+FROM q
+""",
+)
+def wl_qtr_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarter-over-quarter revenue growth per nation: time-grain
+    rollup + a lag window over the AGGREGATED series — the standard
+    BI growth readout.
+
+    Scale shape: the fact collapses to (nation × quarter) grain
+    before any window touches it, so the lag partitions hold ~a few
+    dozen rows each regardless of fact size; revenue rounds before
+    the ratio so both engines divide identical doubles."""
+    q = (
+        load(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(load(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            "n_name",
+            F.date_trunc("quarter", "o_orderdate").cast("date").alias("qtr"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = W.partitionBy("n_name").orderBy("qtr")
+    return q.select(
+        "n_name",
+        F.col("qtr").cast("string").alias("qtr"),
+        "revenue",
+        F.round(F.col("revenue") / F.lag("revenue").over(w) - 1, 6).alias(
+            "qoq_growth"
+        ),
+    )
+
+
+@query(
+    "wl_basket_rules",
+    oracle="""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+nb AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM li),
+item AS (SELECT l_partkey, count(*) AS n_item FROM li GROUP BY l_partkey),
+pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_pair
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 3)
+SELECT p.p1, p.p2, p.n_pair,
+       round(CAST(p.n_pair AS DOUBLE) / i1.n_item, 6) AS confidence,
+       round(CAST(p.n_pair AS DOUBLE) * nb.n_baskets
+             / (i1.n_item * i2.n_item), 6) AS lift
+FROM pairs p
+JOIN item i1 ON p.p1 = i1.l_partkey
+JOIN item i2 ON p.p2 = i2.l_partkey
+CROSS JOIN nb
+""",
+)
+def wl_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over the co-purchase pairs: confidence
+    P(p2|p1) and lift P(p1,p2)/(P(p1)P(p2)) — the market-basket
+    scoring layer on top of `wl_copurchase` (lift > 1 = genuinely
+    associated, not just both popular).
+
+    Scale shape: the support filter (HAVING ≥ 3) shrinks pairs BEFORE
+    the item-frequency joins, which shuffle on the item key; the
+    basket count is a 1-row broadcast. Same within-order pair
+    discipline as the base operator — nothing quadratic in the
+    catalog."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    nb = li.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= 3)
+    )
+    i1 = item.select(F.col("l_partkey").alias("p1"), F.col("n_item").alias("n1"))
+    i2 = item.select(F.col("l_partkey").alias("p2"), F.col("n_item").alias("n2"))
+    return (
+        pairs.join(i1, "p1")
+        .join(i2, "p2")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "p1",
+            "p2",
+            "n_pair",
+            F.round(F.col("n_pair").cast("double") / F.col("n1"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("n_pair").cast("double") * F.col("n_baskets")
+                / (F.col("n1") * F.col("n2")),
+                6,
+            ).alias("lift"),
+        )
+    )

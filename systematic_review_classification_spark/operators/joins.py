@@ -491,3 +491,69 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.unix_micros(F.col("carried_ts").cast("timestamp")),
         ).alias("gap_us"),
     )
+
+
+@query(
+    "join_scd2",
+    oracle="""
+WITH dim AS (
+  SELECT user_id, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS version
+  FROM events WHERE event_type = 'signup')
+SELECT f.event_id, f.user_id, f.ts AS purchase_ts,
+       d.version AS tier_version, d.valid_from
+FROM events f
+JOIN dim d ON f.user_id = d.user_id
+          AND f.ts >= d.valid_from
+          AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+WHERE f.event_type = 'purchase'
+""",
+)
+def join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (SCD type 2) point-in-time join: each
+    signup event opens a new dimension version whose validity interval
+    runs to the next signup (`lead()` builds [valid_from, valid_to)),
+    and each purchase joins the version valid AT ITS EVENT TIME — the
+    canonical warehouse pattern for "what was true about this entity
+    when the fact happened".
+
+    Scale shape: version construction is one lead/row_number window
+    partitioned by the entity key; the fact join is an EQUI join on
+    user_id with the interval as a residual filter — per-user version
+    counts are bounded, so the residual never explodes. At 100 TB
+    both sides are storage-partitioned on the entity key and this is
+    a zero-extra-shuffle merge."""
+    ev = load(spark, sf_dir, "events")
+    wd = W.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("d_user"),
+            F.col("ts").alias("valid_from"),
+        )
+        .withColumn("valid_to", F.lead("valid_from").over(
+            W.partitionBy("d_user").orderBy("valid_from")
+        ))
+        .withColumn("version", F.row_number().over(
+            W.partitionBy("d_user").orderBy("valid_from")
+        ))
+    )
+    f = ev.filter(F.col("event_type") == "purchase")
+    return (
+        f.join(
+            dim,
+            (F.col("user_id") == F.col("d_user"))
+            & (F.col("ts") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("version").alias("tier_version"),
+            "valid_from",
+        )
+    )

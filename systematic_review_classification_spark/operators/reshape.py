@@ -261,3 +261,41 @@ def sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
             customer=f"parquet.`{sf_dir}/customer.parquet`",
         )
     )
+
+
+@query(
+    "pivot_multi_agg",
+    oracle="""
+SELECT user_id % 50 AS bucket,
+       count(*) FILTER (WHERE event_type = 'click')                 AS click_n,
+       round(sum(value) FILTER (WHERE event_type = 'click'), 2)     AS click_val,
+       count(*) FILTER (WHERE event_type = 'purchase')              AS purchase_n,
+       round(sum(value) FILTER (WHERE event_type = 'purchase'), 2)  AS purchase_val,
+       count(*) FILTER (WHERE event_type = 'error')                 AS error_n,
+       round(sum(value) FILTER (WHERE event_type = 'error'), 2)     AS error_val
+FROM events GROUP BY user_id % 50
+""",
+)
+def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with MULTIPLE aggregates per pivot value (count + sum for
+    each event type) — the wide-report shape `pivot_wide` covers for
+    one measure, generalized. Spark names the columns
+    <value>_<aggAlias>; the oracle states the same relation as
+    FILTERed aggregates, which is exactly what Catalyst compiles an
+    explicit-values pivot into: ONE hash aggregate, no join, no
+    second scan.
+
+    Explicit pivot values (the §2-bis `pivot_wide` rule) keep the
+    plan static at 100 TB — inference would scan once just to learn
+    the columns."""
+    from systematic_review_classification_spark.sources.tables import load as _load
+
+    ev = _load(spark, sf_dir, "events")
+    return (
+        ev.groupBy((F.col("user_id") % 50).alias("bucket"))
+        .pivot("event_type", ["click", "purchase", "error"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("val"),
+        )
+    )

@@ -5,6 +5,7 @@ rolling-hash document fingerprinting (all relational, all oracled).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -610,4 +611,42 @@ def txt_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.lit(84.6) * (syllables / words),
             4,
         ).alias("flesch"),
+    )
+
+
+@query("txt_compression_ratio")  # rows-only: no zlib in the SQL oracle engine
+def txt_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal: len(zlib(text)) / len(text) —
+    the cheap entropy proxy corpus filters use to catch boilerplate
+    (ratio → 0, compresses too well) and random garbage (ratio → 1,
+    incompressible). Natural prose sits in a mid band.
+
+    zlib level 6 is deterministic for fixed input, so the column is
+    reproducible run to run — but no SQL engine exposes zlib, hence
+    rows-only; tests/test_invariants.py bounds the band and pins
+    repeats-compress-better-than-prose.
+
+    Scale shape: Arrow-batched pandas UDF (the legitimate Python
+    path — this is byte-level work no built-in expresses), pure map
+    stage, no shuffle; at 100 TB it rides the same scan as the other
+    per-doc quality columns."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def comp_ratio(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        def ratio(t):
+            if not t:
+                return 0.0
+            raw = t.encode("utf-8")
+            return round(len(zlib.compress(raw, 6)) / len(raw), 6)
+
+        return texts.map(ratio)
+
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        comp_ratio(F.col("text")).alias("comp_ratio"),
     )

@@ -88,7 +88,8 @@ _PRIORITY: list[str] = [
     "txt_readability", "wl_snapshot_diff", "wl_markov_transitions",
     "wl_pareto", "ml_feature_cross", "sql_lateral",
     "src_parquet_merge_schema", "wl_funnel_steps", "win_time_range",
-    "agg_geomean",
+    "agg_geomean", "pivot_multi_agg", "join_scd2",
+    "txt_compression_ratio", "wl_qtr_growth", "wl_basket_rules",
     "sql_subqueries", "fn_explode_outer", "fn_try", "wl_clean_corpus",
     "dedup_components", "txt_pii_scrub", "agg_histogram",
     "pivot_wide", "unpivot_long", "src_range", "set_union_missing",

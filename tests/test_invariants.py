@@ -329,3 +329,28 @@ def test_priority_list_keys_registered():
 
     missing = [k for k in _PRIORITY if k not in QUERIES]
     assert not missing, f"priority list names unregistered keys: {missing}"
+
+
+def test_compression_ratio_band(spark, sf_dir):
+    """Compression ratios are positive, and ≤ 1 once the text is long
+    enough that zlib's ~11-byte container overhead is amortized (very
+    short docs legitimately exceed 1); pure repetition compresses
+    strictly better than typical prose."""
+    from pyspark.sql import functions as F
+
+    out = QUERIES["txt_compression_ratio"](spark, sf_dir)
+    bad = out.filter(
+        (F.col("comp_ratio") <= 0)
+        | ((F.col("comp_ratio") > 1.0) & (F.col("n_chars") > 200))
+    ).count()
+    assert bad == 0
+    import zlib
+
+    rep = ("repeat " * 200).encode()
+    prose = (
+        "the quick brown fox jumps over a lazy dog while seven wizards "
+        "brew distinct potions of varied and unusual composition "
+    ).encode() * 20
+    assert len(zlib.compress(rep, 6)) / len(rep) < len(
+        zlib.compress(prose, 6)
+    ) / len(prose)
