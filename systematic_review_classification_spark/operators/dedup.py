@@ -804,3 +804,95 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_copies",
         )
     )
+
+
+@query(
+    "dedup_incremental",
+    oracle="""
+WITH base AS (SELECT md5(text) AS fp FROM documents),
+delta AS (
+  SELECT doc_id + 2000000 AS doc_id, md5(text) AS fp
+  FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id, md5(text || ' v2') AS fp
+  FROM documents WHERE doc_id % 7 = 3
+)
+SELECT d.doc_id, d.fp
+FROM delta d ANTI JOIN (SELECT DISTINCT fp FROM base) b USING (fp)
+""",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: admit only delta documents whose
+    fingerprint is NOT already in the base corpus — the nightly-batch
+    pattern that avoids ever re-deduplicating the full corpus.
+
+    The delta here is half re-submissions (exact copies of every 4th
+    base doc — must be rejected) and half genuinely new revisions
+    (suffix-modified — must be admitted). Shape: left-anti join on the
+    md5 fingerprint; text is fingerprinted map-side, so the shuffle
+    carries (fp, doc_id) — 40 bytes/row, not documents. At 100 TB the
+    base side is a fingerprint-only table maintained across runs (its
+    distinct-fp projection IS the dedup index)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select(F.md5("text").alias("fp")).distinct()
+    resub = docs.where(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), F.md5("text").alias("fp")
+    )
+    novel = docs.where(F.col("doc_id") % 7 == 3).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.md5(F.concat(F.col("text"), F.lit(" v2"))).alias("fp"),
+    )
+    delta = resub.unionByName(novel)
+    return delta.join(base, "fp", "left_anti").select("doc_id", "fp")
+
+
+@query(
+    "dedup_degree_hist",
+    oracle="""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE round(list_reduce(list_transform(list_zip(a.v, b.v), q -> q[1] * q[2]), (x, y) -> x + y)
+              / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
+                 * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y))), 6) >= 0.2),
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT id1 AS node FROM pairs UNION ALL SELECT id2 AS node FROM pairs) n
+  GROUP BY node)
+SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
+""",
+)
+def dedup_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate graph degree histogram — the planning report
+    that decides whether connected-component dedup will produce
+    pathological mega-clusters (a heavy tail here means transitive
+    closure will chain half the corpus together).
+
+    Shape: label-blocked cosine pairs (JVM zip_with dot product, no
+    UDF), each edge charged to both endpoints via a 2-row explode,
+    then two chained hash aggs. The pair join is bounded by block
+    size; everything after it is linear in edges."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+    norm = F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    e = e.withColumn("nrm", norm)
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cos_sim", F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6))
+        .where(F.col("cos_sim") >= 0.2)
+        .select(F.col("a.vec_id").alias("id1"), F.col("b.vec_id").alias("id2"))
+    )
+    nodes = pairs.select(F.explode(F.array("id1", "id2")).alias("node"))
+    deg = nodes.groupBy("node").agg(F.count("*").alias("degree"))
+    return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))

@@ -1,0 +1,443 @@
+"""Runtime/API-surface operators: caching with plan reuse, observe()
+metrics, parameterized SQL, the DataFrame stat API, ordered string
+aggregation, and PERMISSIVE corrupt-record capture.
+
+These pin the execution-layer features a production deployment leans
+on beyond the relational operators themselves:
+
+- cache_reuse: an explicitly persisted intermediate consumed by two
+  branches — at 100 TB this is the difference between one and two fact
+  scans for every dashboard that fans out from a shared rollup;
+- scan_observe: CollectMetrics piggybacks row-count/sum accumulators
+  on the normal pass (the cheap data-quality hook — no second scan,
+  metrics ride the action);
+- sql_params: named-parameter binding through the SQL frontend — the
+  injection-safe template path every scheduled report uses;
+- stat_crosstab: the DataFrame stat API's contingency table, which
+  desugars to one pivot aggregate;
+- agg_string_agg: deterministic ordered string aggregation (the
+  export format many downstream consumers still require);
+- src_csv_corrupt: PERMISSIVE parse of a malformed feed with the raw
+  line captured per failed row — at scale you never DROPMALFORMED
+  silently; you route the corrupt column to a quarantine sink.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from systematic_review_classification_spark.registry import query
+from systematic_review_classification_spark.sources.tables import load
+
+_FIXTURE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests",
+    "fixtures",
+)
+
+
+@query(
+    "cache_reuse",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+stats AS (SELECT event_type, avg(n) AS avg_n FROM daily GROUP BY 1)
+SELECT daily.event_type, strftime(daily.d, '%Y-%m-%d') AS d, daily.n,
+       round(daily.n / stats.avg_n, 4) AS vs_avg
+FROM daily JOIN stats USING (event_type)
+WHERE daily.n > stats.avg_n * 1.1
+""",
+)
+def cache_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-average traffic days, computed off an explicitly cached
+    daily rollup that two plan branches consume.
+
+    The persisted intermediate is the reduced daily table (group
+    cardinality, not fact cardinality — cache AFTER the reduction,
+    never the raw scan). Branch 1 re-aggregates it into per-type
+    averages; branch 2 joins those back. Without persist() the rollup's
+    fact scan would run twice; the plan test pins InMemoryTableScan on
+    both consumers. unpersist() is deliberately not called here: the
+    test session owns the lifecycle, mirroring a shared-rollup service."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+        )
+        .agg(F.count("*").alias("n"))
+        .persist()
+    )
+    stats = daily.groupBy("event_type").agg(F.avg("n").alias("avg_n"))
+    return (
+        daily.join(stats, "event_type")
+        .where(F.col("n") > F.col("avg_n") * 1.1)
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("d"),
+            "n",
+            F.round(F.col("n") / F.col("avg_n"), 4).alias("vs_avg"),
+        )
+    )
+
+
+@query(
+    "scan_observe",
+    oracle="""
+SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+FROM lineitem
+WHERE l_returnflag = 'R' AND l_quantity >= 48
+""",
+)
+def scan_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """observe(): CollectMetrics accumulators attached to a normal
+    query — row count and value sum ride the same pass that produces
+    the rows (no second scan, unlike a separate count()). The rows are
+    unchanged, so the oracle is the plain filter; the metric values
+    themselves are asserted in tests/test_invariants.py against an
+    independent aggregate via :func:`observed_scan`."""
+    df, _ = observed_scan(spark, sf_dir)
+    return df
+
+
+def observed_scan(spark: SparkSession, sf_dir: str):
+    """Build the observed filter scan; returns (df, Observation) so
+    callers that run an action can read the piggybacked metrics."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    li = load(spark, sf_dir, "lineitem")
+    df = (
+        li.where((F.col("l_returnflag") == "R") & (F.col("l_quantity") >= 48))
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("price_sum"),
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_extendedprice", 2).alias("price"),
+        )
+    )
+    return df, obs
+
+
+@query(
+    "sql_params",
+    oracle="""
+SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders
+WHERE o_totalprice > 150000 AND o_orderstatus = 'F'
+GROUP BY o_orderpriority
+""",
+)
+def sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL binding (spark.sql(..., args=...)) — the
+    injection-safe template path. Parameters bind as literals BEFORE
+    optimization, so constant folding and predicate pushdown see the
+    final values exactly as with inline literals."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_p")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders_p
+        WHERE o_totalprice > :min_total AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"min_total": 150000, "status": "F"},
+    )
+
+
+@query(
+    "stat_crosstab",
+    oracle="""
+SELECT l_returnflag AS l_returnflag_l_linestatus,
+       count(*) FILTER (WHERE l_linestatus = 'F') AS "F",
+       count(*) FILTER (WHERE l_linestatus = 'O') AS "O"
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame stat API: contingency table of returnflag x
+    linestatus via df.stat.crosstab — desugars to one pivot hash
+    aggregate (value columns come from a distinct pass on the pivot
+    key; bounded domain {F,O} here). Crosstab is safe at 100 TB only
+    when the pivot column's cardinality is bounded — that contract is
+    the operator's documented precondition."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.stat.crosstab("l_returnflag", "l_linestatus")
+
+
+@query(
+    "agg_string_agg",
+    oracle="""
+SELECT l_orderkey,
+       string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS lines_csv,
+       count(*) AS n_lines
+FROM lineitem GROUP BY l_orderkey
+""",
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (string_agg / listagg parity):
+    per-order CSV of line numbers in line order.
+
+    Spark has no ordered string_agg aggregate; the deterministic
+    equivalent is collect_list -> sort_array -> concat-join, all three
+    JVM expressions in one hash aggregate (collect_list alone is
+    order-nondeterministic — the sort is what makes the result
+    reproducible across retries and partitionings). Group state is
+    bounded by order size (~4 lines)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("l_linenumber")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("lines_csv"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@query(
+    "src_csv_corrupt",
+    oracle="""
+SELECT device_id::INTEGER AS device_id,
+       reading::DOUBLE    AS reading,
+       ts_day,
+       bad_line
+FROM (VALUES
+  (1, 3.5,  '2024-01-01', NULL),
+  (2, NULL, '2024-01-02', '2,not_a_number,2024-01-02'),
+  (3, 7.25, NULL,         '3,7.25,bad_date'),
+  (4, 9.0,  '2024-01-04', NULL),
+  (NULL, NULL, NULL,      'oops_only_one_field'),
+  (6, 0.5,  '2024-01-06', NULL)
+) AS t(device_id, reading, ts_day, bad_line)
+""",
+)
+def src_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE CSV parse of a malformed telemetry feed
+    (tests/fixtures/telemetry.csv): per-row partial recovery — fields
+    that parse are kept, failed fields go NULL, and the raw line lands
+    in the corrupt-record column for quarantine routing. The oracle is
+    the literal expected relation (pinning Spark's observed PERMISSIVE
+    semantics: unparseable cell => NULL cell + raw line captured;
+    short row => all-NULL + raw line).
+
+    At 100 TB the corrupt column feeds a dead-letter sink; silently
+    dropping (DROPMALFORMED) loses data with no audit trail."""
+    schema = T.StructType(
+        [
+            T.StructField("device_id", T.IntegerType()),
+            T.StructField("reading", T.DoubleType()),
+            T.StructField("ts_day", T.DateType()),
+            T.StructField("bad_line", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .options(header=True, mode="PERMISSIVE", columnNameOfCorruptRecord="bad_line")
+        .csv(os.path.join(_FIXTURE_DIR, "telemetry.csv"))
+    )
+    return df.select(
+        "device_id",
+        "reading",
+        F.date_format("ts_day", "yyyy-MM-dd").alias("ts_day"),
+        "bad_line",
+    )
+
+
+@query(
+    "sql_pipe",
+    oracle="""
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(avg(l_extendedprice), 2) AS avg_price
+FROM lineitem
+WHERE l_quantity >= 10
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4's `|>` operator chain) — the linear
+    FROM → WHERE → AGGREGATE form. Parses to the identical logical
+    plan as the nested ANSI form (the oracle), so pushdown, partial
+    aggregation, and codegen are unchanged; this pins that the frontend
+    accepts the pipeline dialect a data-engineering codebase migrates
+    to."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_pipe")
+    return spark.sql(
+        """
+        FROM lineitem_pipe
+        |> WHERE l_quantity >= 10
+        |> AGGREGATE count(*) AS n,
+                     round(sum(l_quantity), 2) AS sum_qty,
+                     round(avg(l_extendedprice), 2) AS avg_price
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n, sum_qty, avg_price
+        """
+    )
+
+
+@query(
+    "fn_variant",
+    oracle="""
+SELECT event_id,
+       json_extract(props, '$.k')::INTEGER AS k,
+       json(props)::VARCHAR AS canonical,
+       (json_extract(props, '$.missing') IS NULL) AS missing_is_null
+FROM events
+""",
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT ingestion (Spark 4's semi-structured type): parse the
+    JSON props column once into a variant, then typed path extraction
+    (variant_get), canonical re-serialization (to_json minifies
+    identically to DuckDB's json()), and missing-path semantics
+    (NULL, no error).
+
+    At 100 TB you parse JSON ONCE into a variant column at ingest and
+    bind paths lazily — shredded variant subcolumns make repeated
+    json_extract string-parsing (the oracle's form) unnecessary. All
+    expressions here are codegen'd JVM intrinsics."""
+    ev = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
+        F.to_json(v).alias("canonical"),
+        F.expr("variant_get(parse_json(props), '$.missing', 'string')")
+        .isNull()
+        .alias("missing_is_null"),
+    )
+
+
+@query(
+    "fn_collate",
+    oracle="""
+SELECT min(w) AS w_min, count(*) AS n
+FROM (
+  SELECT unnest(string_split(regexp_replace(text, '[^a-zA-Z ]', ' ', 'g'), ' ')) AS w
+  FROM documents) t
+WHERE length(w) >= 3
+GROUP BY lower(w)
+""",
+)
+def fn_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 collations): fold case
+    variants of a token together by grouping on the column under
+    UTF8_LCASE collation instead of materializing lower(w).
+
+    The group KEY value under a non-binary collation is whichever
+    variant the engine keeps — nondeterministic across partitionings —
+    so the deterministic output is min(w) under binary collation plus
+    the count; the oracle folds with lower() (equivalent for this
+    ASCII corpus). Collation comparison happens in the hash agg's key
+    comparator — still one map-side-combinable aggregate, no extra
+    projection."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.split(F.regexp_replace("text", "[^a-zA-Z ]", " "), " ")
+        ).alias("w")
+    ).where(F.length("w") >= 3)
+    return words.groupBy(F.expr("w COLLATE UTF8_LCASE").alias("wk")).agg(
+        F.min(F.expr("w COLLATE UTF8_BINARY")).alias("w_min"),
+        F.count("*").alias("n"),
+    ).drop("wk").select("w_min", "n")
+
+
+@query(
+    "agg_approx_topk",
+    oracle="""
+SELECT event_type, count(*) AS n
+FROM events GROUP BY event_type
+ORDER BY n DESC, event_type LIMIT 3
+""",
+)
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_top_k heavy-hitters sketch (Spark 4): top-3 event types
+    with counts from ONE mergeable sketch aggregate — no full groupBy
+    + sort at 100 TB when the domain is huge; the sketch tracks 10k
+    candidates per partition and merges.
+
+    On this bounded 5-value domain the sketch is EXACT, which is what
+    makes the SQL oracle legitimate; the operator's contract at scale
+    is approximate with count error bounded by the tracked-item
+    budget."""
+    ev = load(spark, sf_dir, "events")
+    topk = ev.agg(F.expr("approx_top_k(event_type, 3)").alias("tk"))
+    return topk.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("event_type"), F.col("e.count").alias("n")
+    )
+
+
+@query(
+    "join_dpp",
+    oracle="""
+SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM events
+WHERE CAST(date_trunc('day', ts) AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-07'
+GROUP BY 1
+""",
+)
+def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: a day-partitioned fact joined to a
+    tiny day dimension — at planning time the fact's partition filter
+    is UNKNOWN; DPP injects the dim's day list as a runtime subquery
+    into the fact's PartitionFilters, so only 3 of ~30 day directories
+    are ever read (the star-schema pattern that makes or breaks
+    100 TB fact scans; pinned in test_plans).
+
+    Setup stages the fact partitioned by day (repartition on the
+    partition column first so each day is one file, not one file per
+    task x day)."""
+    import os
+    import tempfile
+
+    ev = load(spark, sf_dir, "events")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "systematic_review_classification_spark_dpp",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    fact = ev.withColumn("day", F.date_trunc("day", F.col("ts")).cast("date"))
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            fact.repartition("day")
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(out)
+        )
+    part_fact = spark.read.parquet(out)
+    # the dim carries a real filter: DPP's planner rule only injects
+    # the runtime subquery when the build side has a selective
+    # predicate (otherwise pruning is assumed not worthwhile)
+    dim = (
+        spark.range(1, 32)
+        .select(
+            F.make_date(F.lit(2024), F.lit(1), F.col("id").cast("int")).alias(
+                "day_key"
+            )
+        )
+        .where(
+            F.col("day_key").between(F.lit("2024-01-05"), F.lit("2024-01-07"))
+        )
+    )
+    return (
+        part_fact.join(
+            F.broadcast(dim), part_fact.day == F.col("day_key")
+        )
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )

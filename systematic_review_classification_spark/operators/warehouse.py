@@ -1,0 +1,755 @@
+"""Warehouse-operations workloads: TPC-H Q11/Q20 adaptations, skew
+diagnostics, seasonality, gap-filled resampling, deterministic
+sampling, profiling, attribution, and a co-occurrence graph probe.
+
+These close out the classic decision-support surface (Q11/Q20 were the
+two TPC-H shapes still missing — both need partsupp, so they are
+re-derived over lineitem) and add the operational queries a data
+platform team runs against the same tables: key-skew reports before a
+big join, per-column profiles before a schema migration, seasonality
+and attribution over the event stream.
+
+Scale discipline (same conventions as operators/analytics.py):
+
+- every scalar "total" (Q11 threshold, skew denominator, resample
+  bounds) is a 1-row aggregate broadcast into the fact scan — never a
+  window over the whole table;
+- the triangle probe orients edges (p1 < p2) so each wedge is counted
+  once, and blocks on an attribute filter first — the classic trick
+  that keeps wedge fan-out bounded on power-law graphs;
+- forward-fill uses last(ignorenulls) over a per-group ROWS frame:
+  state is one value per partition, mergeable, no driver loop;
+- deterministic sampling orders by md5 of the row key, which both
+  engines compute identically — reproducible at any scale with zero
+  coordination (no seed exchange, no global shuffle).
+
+Determinism: double sums round at 2, ratios at 4-6; integer-valued
+doubles (l_quantity) are exact in IEEE754 so share comparisons have no
+tie ambiguity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from systematic_review_classification_spark.registry import query
+from systematic_review_classification_spark.sources.tables import load
+
+
+@query(
+    "wl_q11_partvalue",
+    oracle="""
+WITH pv AS (
+  SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_value
+  FROM lineitem GROUP BY l_partkey),
+tot AS (SELECT sum(part_value) AS total_value FROM pv)
+SELECT pv.l_partkey, pv.part_value
+FROM pv, tot
+WHERE pv.part_value > tot.total_value * 0.001
+""",
+)
+def wl_q11_partvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important-stock identification) re-derived
+    over lineitem: parts whose shipped value exceeds 0.1% of the
+    global shipped value.
+
+    Scale shape: one hash agg on l_partkey (map-side partials), then
+    the global total is a second agg over the *already reduced* 2k-row
+    part-value table — NOT a second scan of the fact — broadcast back
+    as a 1-row scalar join. Threshold sits at 2x the mean part value,
+    far from any double-ulp tie."""
+    li = load(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "part_value"
+        )
+    )
+    tot = pv.agg(F.sum("part_value").alias("total_value"))
+    return (
+        pv.join(F.broadcast(tot))
+        .where(F.col("part_value") > F.col("total_value") * 0.001)
+        .select("l_partkey", "part_value")
+    )
+
+
+@query(
+    "wl_q20_excess",
+    oracle="""
+WITH sq AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+  FROM lineitem GROUP BY 1, 2),
+pq AS (SELECT l_partkey, sum(supp_qty) AS part_qty FROM sq GROUP BY 1)
+SELECT DISTINCT s.s_suppkey, s.s_name
+FROM sq
+JOIN pq USING (l_partkey)
+JOIN part p ON p.p_partkey = sq.l_partkey AND p.p_size <= 10
+JOIN supplier s ON s.s_suppkey = sq.l_suppkey
+WHERE sq.supp_qty > 0.5 * pq.part_qty
+""",
+)
+def wl_q20_excess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers holding excess share) re-derived
+    over lineitem: suppliers that shipped more than half of a small
+    part's total quantity.
+
+    Scale shape: per-(part,supplier) quantities reduce the fact once;
+    the per-part total re-aggregates that reduced table (partial agg
+    reuse, no second fact scan); part and supplier are broadcast dims.
+    l_quantity is integer-valued, so the 50% share comparison is exact
+    — no float-tie ambiguity between engines."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    supp = load(spark, sf_dir, "supplier")
+    sq = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("supp_qty"))
+    pq = sq.groupBy("l_partkey").agg(F.sum("supp_qty").alias("part_qty"))
+    return (
+        sq.join(pq, "l_partkey")
+        .join(
+            F.broadcast(part.where(F.col("p_size") <= 10)),
+            sq.l_partkey == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supp), sq.l_suppkey == F.col("s_suppkey"))
+        .where(F.col("supp_qty") > 0.5 * F.col("part_qty"))
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
+
+
+@query(
+    "wl_seasonality",
+    oracle="""
+SELECT CAST(extract(dow FROM ts) AS INTEGER) AS dow,
+       CAST(extract(hour FROM ts) AS INTEGER) AS hod,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+""",
+)
+def wl_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic seasonality matrix: event count and value by
+    (day-of-week, hour-of-day).
+
+    Spark's dayofweek() is 1=Sunday; DuckDB's extract(dow) is
+    0=Sunday — aligned by subtracting 1 here. One hash agg over a
+    168-key space: fully map-side combinable, output is O(1) in data
+    size. The canonical first query against a new 100 TB event feed."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@query(
+    "wl_skew_report",
+    oracle="""
+WITH k AS (SELECT l_partkey AS key, count(*) AS n FROM lineitem GROUP BY 1),
+s AS (SELECT sum(n) AS total, avg(n) AS avg_n FROM k)
+SELECT k.key, k.n,
+       round(k.n / s.avg_n, 4) AS skew_factor,
+       round(100.0 * k.n / s.total, 4) AS pct_of_rows
+FROM k, s
+ORDER BY k.n DESC, k.key
+LIMIT 20
+""",
+)
+def wl_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: the 20 heaviest l_partkey values with
+    their multiple-of-average skew factor and row share.
+
+    This is the query you run BEFORE a big join to decide whether to
+    salt. Shape: one hash agg on the candidate key, a 1-row stats agg
+    over the reduced key table broadcast back, then a global top-20 —
+    Spark's sort-limit is a per-partition top-k + driver merge of 20
+    rows per partition, never a full sort."""
+    li = load(spark, sf_dir, "lineitem")
+    k = li.groupBy(F.col("l_partkey").alias("key")).agg(F.count("*").alias("n"))
+    s = k.agg(F.sum("n").alias("total"), F.avg("n").alias("avg_n"))
+    return (
+        k.join(F.broadcast(s))
+        .select(
+            "key",
+            "n",
+            F.round(F.col("n") / F.col("avg_n"), 4).alias("skew_factor"),
+            F.round(100.0 * F.col("n") / F.col("total"), 4).alias("pct_of_rows"),
+        )
+        .orderBy(F.desc("n"), "key")
+        .limit(20)
+    )
+
+
+@query(
+    "wl_resample_ffill",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+         round(sum(value), 2) AS day_value
+  FROM events WHERE value > 99 GROUP BY 1, 2),
+bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+spine AS (
+  SELECT et.event_type, CAST(gs.d AS DATE) AS d
+  FROM (SELECT DISTINCT event_type FROM daily) et,
+       (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d FROM bounds) gs)
+SELECT s.event_type, strftime(s.d, '%Y-%m-%d') AS d,
+       coalesce(dy.day_value, 0.0) AS day_value,
+       last_value(dy.day_value IGNORE NULLS)
+         OVER (PARTITION BY s.event_type ORDER BY s.d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value
+FROM spine s
+LEFT JOIN daily dy ON s.event_type = dy.event_type AND s.d = dy.d
+""",
+)
+def wl_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample to a daily grid with zero-fill and
+    forward-fill — the gap-filling primitive behind every dashboard
+    downsample.
+
+    Scale shape: the spine is generated from a 1-row min/max aggregate
+    via sequence()+explode — O(days x groups) rows materialized
+    map-side, never a driver loop. The left join hashes on
+    (event_type, day) — grid cardinality, not fact cardinality. The
+    forward fill is last(ignorenulls) over a ROWS frame partitioned by
+    group: one running value of state per partition, mergeable."""
+    ev = load(spark, sf_dir, "events").where(F.col("value") > 99)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).agg(F.round(F.sum("value"), 2).alias("day_value"))
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("d")
+    )
+    spine = daily.select("event_type").distinct().join(F.broadcast(days))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        spine.join(daily, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("d"),
+            F.coalesce("day_value", F.lit(0.0)).alias("day_value"),
+            F.last("day_value", ignorenulls=True).over(w).alias("ffill_value"),
+        )
+    )
+
+
+@query(
+    "sample_reservoir",
+    oracle="""
+SELECT user_id, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+  FROM events) t
+WHERE rn <= 3
+""",
+)
+def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sample (reservoir-equivalent): keep 3
+    events per user, chosen by md5 of the row key.
+
+    Both engines compute md5 of the same decimal string, so the sample
+    is bit-identical with zero coordination — the property that makes
+    hash-ordered sampling the right reservoir replacement at 100 TB
+    (a true reservoir needs sequential state; this is one window over
+    a user-hashed shuffle, and the per-user top-k is computed with a
+    rank filter that AQE turns into partial top-k before the shuffle)."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    return (
+        ev.select(
+            "user_id", "event_id", "event_type", F.row_number().over(w).alias("rn")
+        )
+        .where(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@query(
+    "agg_grouping_id",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       count(*) AS n,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup with grouping_id() flags — the disambiguator that lets a
+    consumer of a materialized rollup distinguish 'NULL because
+    subtotal row' from 'NULL because the data was NULL'.
+
+    Same single-pass expand+hash-agg plan as agg_rollup; grouping_id
+    is computed from the expand slice id, zero extra cost."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@query(
+    "agg_corr_matrix",
+    oracle="""
+SELECT 'qty_price' AS pair, round(corr(l_quantity, l_extendedprice), 6) AS r FROM lineitem
+UNION ALL
+SELECT 'qty_disc' AS pair, round(corr(l_quantity, l_discount), 6) AS r FROM lineitem
+UNION ALL
+SELECT 'price_disc' AS pair, round(corr(l_extendedprice, l_discount), 6) AS r FROM lineitem
+""",
+)
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations between lineitem measures,
+    unpivoted to (pair, r) rows.
+
+    ONE aggregate pass computes all three correlations (Spark's corr
+    is a mergeable moment sketch — map-side partials, O(1) state per
+    pair); the unpivot is a stack() over the single result row. The
+    oracle's three scans are the semantic spec, not the plan."""
+    li = load(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price"),
+        F.round(F.corr("l_quantity", "l_discount"), 6).alias("qty_disc"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 6).alias("price_disc"),
+    )
+    return row.select(
+        F.expr(
+            "stack(3, 'qty_price', qty_price, 'qty_disc', qty_disc,"
+            " 'price_disc', price_disc) AS (pair, r)"
+        )
+    )
+
+
+@query(
+    "sql_qualify",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) <= 2
+""",
+)
+def sql_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY-clause parity: top-2 orders per customer. Spark SQL has
+    no QUALIFY keyword, so the engine-level rewrite every QUALIFY
+    implementation performs (project window -> filter -> drop) is done
+    explicitly through the SQL frontend. Plan is identical to the
+    native clause: one window over a custkey shuffle, filter pushed
+    into the window's output."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_q")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders_q) t
+        WHERE rn <= 2
+        """
+    )
+
+
+@query(
+    "wl_profile",
+    oracle="""
+SELECT 'l_quantity' AS col, count(*) AS n, count(l_quantity) AS n_nonnull,
+       count(DISTINCT l_quantity) AS n_distinct,
+       round(min(l_quantity), 4) AS min_v, round(max(l_quantity), 4) AS max_v,
+       round(avg(l_quantity), 4) AS mean_v
+FROM lineitem
+UNION ALL
+SELECT 'l_discount' AS col, count(*), count(l_discount), count(DISTINCT l_discount),
+       round(min(l_discount), 4), round(max(l_discount), 4), round(avg(l_discount), 4)
+FROM lineitem
+UNION ALL
+SELECT 'l_tax' AS col, count(*), count(l_tax), count(DISTINCT l_tax),
+       round(min(l_tax), 4), round(max(l_tax), 4), round(avg(l_tax), 4)
+FROM lineitem
+""",
+)
+def wl_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile report (the pre-migration / data-contract
+    check): per column — row count, non-null count, distinct count,
+    min/max/mean.
+
+    ONE pass over the fact computes all 3x6 aggregates (count-distinct
+    per column expands to a partial-distinct hash agg; Spark plans the
+    multi-distinct with a single expand, not three scans); the row
+    result is unpivoted driver-free with stack(). The oracle's
+    three-scan UNION is the spec, not the plan."""
+    li = load(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in ("l_quantity", "l_discount", "l_tax"):
+        aggs += [
+            F.count("*").alias(f"{c}__n"),
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.round(F.min(c), 4).alias(f"{c}__min"),
+            F.round(F.max(c), 4).alias(f"{c}__max"),
+            F.round(F.avg(c), 4).alias(f"{c}__mean"),
+        ]
+    row = li.agg(*aggs)
+    stacks = ", ".join(
+        f"'{c}', {c}__n, {c}__nn, {c}__nd, {c}__min, {c}__max, {c}__mean"
+        for c in ("l_quantity", "l_discount", "l_tax")
+    )
+    return row.select(
+        F.expr(
+            f"stack(3, {stacks}) AS (col, n, n_nonnull, n_distinct, min_v, max_v, mean_v)"
+        )
+    )
+
+
+@query(
+    "wl_attribution",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+  FROM events)
+SELECT coalesce(channel, 'direct') AS channel, count(*) AS purchases
+FROM seq WHERE event_type = 'purchase' GROUP BY 1
+""",
+)
+def wl_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credited to the user's
+    most recent preceding non-purchase event type ('direct' if none).
+
+    The carry-forward is last(ignorenulls) over a ROWS frame ending 1
+    PRECEDING — one pass, one value of state per user partition, no
+    self-join of the event stream against itself (the naive as-of
+    formulation). Shuffles once on user_id, then a 5-key hash agg."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    channel = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.select("user_id", "event_type", channel.alias("channel"))
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel", F.lit("direct")).alias("channel"))
+        .agg(F.count("*").alias("purchases"))
+    )
+
+
+@query(
+    "wl_triangles",
+    oracle="""
+WITH lp AS (
+  SELECT DISTINCT l_orderkey, l_partkey
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_size <= 10),
+e AS (
+  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+w AS (SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c FROM e e1 JOIN e e2 ON e1.p2 = e2.p1),
+t AS (SELECT count(*) AS triangles FROM w JOIN e e3 ON w.a = e3.p1 AND w.c = e3.p2)
+SELECT (SELECT count(*) FROM e) AS edges, (SELECT count(*) FROM w) AS wedges,
+       t.triangles
+FROM t
+""",
+)
+def wl_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase graph probe: count edges, wedges, and triangles
+    among small parts that co-occur in an order.
+
+    The scalable triangle recipe: (1) block on a part attribute before
+    building any pairs; (2) orient every edge p1 < p2 so each triangle
+    is enumerated exactly once (no /6 correction, and the join fan-out
+    follows out-degree in the orientation, which the ordering bounds
+    on power-law graphs); (3) per-order pair fan-out is bounded by
+    order size (~4 lines). Two distributed equi-joins, no crossJoin."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").where(F.col("p_size") <= 10)
+    lp = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = lp.alias("a"), lp.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .distinct()
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    wedges = e1.join(e2, F.col("e1.p2") == F.col("e2.p1")).select(
+        F.col("e1.p1").alias("a"), F.col("e1.p2").alias("b"), F.col("e2.p2").alias("c")
+    )
+    tri = wedges.join(
+        e3, (F.col("a") == F.col("e3.p1")) & (F.col("c") == F.col("e3.p2"))
+    )
+    return (
+        e.agg(F.count("*").alias("edges"))
+        .join(wedges.agg(F.count("*").alias("wedges")))
+        .join(tri.agg(F.count("*").alias("triangles")))
+        .select("edges", "wedges", "triangles")
+    )
+
+
+@query(
+    "fn_width_bucket",
+    oracle="""
+SELECT CAST(CASE WHEN l_quantity >= 50 THEN 11
+            WHEN l_quantity < 0 THEN 0
+            ELSE floor(l_quantity / 5.0) + 1 END AS INTEGER) AS qty_bucket,
+       count(*) AS n,
+       round(min(l_quantity), 2) AS lo,
+       round(max(l_quantity), 2) AS hi
+FROM lineitem
+GROUP BY 1
+""",
+)
+def fn_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width binning with the SQL width_bucket() function (10
+    buckets over [0, 50), overflow bucket 11) — the histogramming
+    primitive. DuckDB lacks width_bucket, so the oracle spells out the
+    same floor arithmetic; l_quantity is integer-valued so bucket
+    edges are exact in both engines.
+
+    Binning is a pure projection (stays in whole-stage codegen); the
+    group-by is over <=12 keys — fully map-side combined."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.expr("width_bucket(l_quantity, 0.0D, 50.0D, 10)")
+            .cast("int")
+            .alias("qty_bucket"),
+            "l_quantity",
+        )
+        .groupBy("qty_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("l_quantity"), 2).alias("lo"),
+            F.round(F.max("l_quantity"), 2).alias("hi"),
+        )
+    )
+
+
+@query(
+    "wl_gini",
+    oracle="""
+WITH r AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS rev FROM orders GROUP BY 1),
+rk AS (SELECT rev, row_number() OVER (ORDER BY rev, o_custkey) AS i FROM r)
+SELECT round(2.0 * sum(i * rev) / (count(*) * sum(rev))
+             - (count(*) + 1.0) / count(*), 6) AS gini
+FROM rk
+""",
+)
+def wl_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of per-customer revenue — the inequality
+    metric behind every 'whales vs long tail' analysis.
+
+    The rank-sum formula G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n needs a
+    GLOBAL ascending rank — the classic single-reducer trap. Done here
+    with the same two-pass range rank as ml._screen_curve: (1)
+    repartitionByRange on (rev, custkey) so partitions hold contiguous
+    slices of the global order, (2) per-partition counts become
+    cumulative offsets via a window over the bounded partition-stats
+    table, (3) in-partition row_number + offset = global rank. Ties
+    contribute identically whatever their relative order (equal x,
+    distinct i: sum(i*x) is invariant under permutation), so the
+    result is deterministic. Input to the rank is the per-customer
+    aggregate, already reduced by one hash agg."""
+    orders = load(spark, sf_dir, "orders")
+    r = orders.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    d = r.repartitionByRange(F.col("rev"), F.col("o_custkey")).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    pstats = d.groupBy("_pid").agg(F.count(F.lit(1)).alias("_pcnt"))
+    w_p = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    offs = pstats.select(
+        "_pid", F.coalesce(F.sum("_pcnt").over(w_p), F.lit(0)).alias("_off")
+    )
+    w_in = W.partitionBy("_pid").orderBy("rev", "o_custkey")
+    ranked = d.join(F.broadcast(offs), "_pid").select(
+        "rev", (F.row_number().over(w_in) + F.col("_off")).alias("i")
+    )
+    return ranked.agg(
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("rev")) / (F.count(F.lit(1)) * F.sum("rev"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            6,
+        ).alias("gini")
+    )
+
+
+@query(
+    "wl_equidepth_bins",
+    oracle="""
+WITH rk AS (
+  SELECT o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders)
+SELECT decile, count(*) AS n,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi,
+       round(sum(o_totalprice), 2) AS total
+FROM rk GROUP BY decile
+""",
+)
+def wl_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) bin report over order values: bin
+    boundaries, counts, and mass — the exact-quantile companion to
+    fn_width_bucket's equi-width bins.
+
+    The oracle's ntile() is a global sort; Spark-side the same bucket
+    assignment comes from the two-pass range rank (contiguous range
+    partitions -> offset join -> in-partition row_number), then
+    ntile's fill rule — first (n mod 10) buckets take one extra row —
+    is applied arithmetically from the broadcast total count. No
+    single-reducer window anywhere."""
+    orders = load(spark, sf_dir, "orders")
+    d = (
+        orders.select("o_totalprice", "o_orderkey")
+        .repartitionByRange(F.col("o_totalprice"), F.col("o_orderkey"))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    pstats = d.groupBy("_pid").agg(F.count(F.lit(1)).alias("_pcnt"))
+    w_p = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    offs = pstats.select(
+        "_pid", F.coalesce(F.sum("_pcnt").over(w_p), F.lit(0)).alias("_off")
+    )
+    n_tot = pstats.agg(F.sum("_pcnt").alias("_n"))
+    w_in = W.partitionBy("_pid").orderBy("o_totalprice", "o_orderkey")
+    ranked = (
+        d.join(F.broadcast(offs), "_pid")
+        .withColumn("rn", F.row_number().over(w_in) + F.col("_off"))
+        .join(F.broadcast(n_tot))
+    )
+    # ntile(10) fill rule: q = n div 10, r = n mod 10; the first r
+    # buckets hold q+1 rows, the rest q.
+    decile = F.when(
+        F.col("rn") <= (F.col("_n") % 10) * (F.floor(F.col("_n") / 10) + 1),
+        (F.col("rn") - 1) / (F.floor(F.col("_n") / 10) + 1) + 1,
+    ).otherwise(
+        (F.col("_n") % 10)
+        + (
+            F.col("rn")
+            - (F.col("_n") % 10) * (F.floor(F.col("_n") / 10) + 1)
+            - 1
+        )
+        / F.floor(F.col("_n") / 10)
+        + 1
+    )
+    return (
+        ranked.withColumn("decile", F.floor(decile).cast("int"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@query(
+    "dedup_cluster_hist",
+    oracle="""
+SELECT sz, count(*) AS n_clusters FROM (
+  SELECT count(*) AS sz FROM documents GROUP BY md5(text)) c
+GROUP BY sz
+""",
+)
+def dedup_cluster_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram — the dedup planning report
+    ('how much of the corpus is exact-dup, in what cluster sizes?').
+
+    Two chained hash aggs, both map-side combinable; the second
+    operates on the already-reduced cluster table. Shuffles carry md5
+    fingerprints, never document text."""
+    docs = load(spark, sf_dir, "documents")
+    clusters = docs.groupBy(F.md5("text").alias("fp")).agg(F.count("*").alias("sz"))
+    return clusters.groupBy("sz").agg(F.count("*").alias("n_clusters"))
+
+
+@query(
+    "fn_epoch",
+    oracle="""
+SELECT event_id,
+       epoch_us(ts) AS us,
+       epoch_ms(ts) AS ms,
+       CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS rendered
+FROM events
+""",
+)
+def fn_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-unit conversion suite (µs / ms / s + formatted render) —
+    the conversions whose silent unit drift broke the round-2
+    streaming tier, now pinned as an oracled operator. All pure
+    codegen projections; UTC session timezone makes the ntz→ltz cast
+    the identity, so both engines see identical instants."""
+    ev = load(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    return ev.select(
+        "event_id",
+        F.unix_micros(ts).alias("us"),
+        F.unix_millis(ts).alias("ms"),
+        F.unix_seconds(ts).alias("sec"),
+        F.date_format(ts, "yyyy-MM-dd HH:mm:ss").alias("rendered"),
+    )
+
+
+@query(
+    "sink_partitioned",
+    oracle="""
+SELECT event_id, user_id, round(value, 2) AS value
+FROM events
+WHERE event_type = 'purchase' AND value > 50
+""",
+)
+def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet sink + pruned readback: write events
+    partitioned by event_type, read back ONE partition directory.
+
+    The readback filter on event_type is satisfied by directory
+    pruning (PartitionFilters, zero data read from other partitions)
+    and the value predicate pushes into the parquet scan of the one
+    surviving partition — the layout every 100 TB event lake uses.
+    Write side: partitionBy on a 5-value column gives 5 output
+    streams per task; at scale you'd repartition on the partition
+    column first to bound small files (done here)."""
+    import os
+    import tempfile
+
+    ev = load(spark, sf_dir, "events")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "systematic_review_classification_spark_sink_part",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    (
+        ev.repartition("event_type")
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return (
+        back.where((F.col("event_type") == "purchase") & (F.col("value") > 50))
+        .select("event_id", "user_id", F.round("value", 2).alias("value"))
+    )

@@ -78,6 +78,16 @@ _PRIORITY: list[str] = [
     "wl_funnel", "agg_time_rollup", "fn_bitwise",
     # --- ~round-4 window boundary ---
     # round-3 late additions (never verified — head of the r4 window)
+    "wl_q11_partvalue", "wl_q20_excess", "wl_seasonality",
+    "wl_skew_report", "wl_resample_ffill", "sample_reservoir",
+    "agg_grouping_id", "agg_corr_matrix", "sql_qualify", "wl_profile",
+    "wl_attribution", "wl_triangles", "fn_width_bucket",
+    "wl_gini", "wl_equidepth_bins", "dedup_cluster_hist", "fn_epoch",
+    "sink_partitioned", "cache_reuse", "scan_observe", "sql_params",
+    "stat_crosstab", "agg_string_agg", "src_csv_corrupt",
+    "sql_pipe", "fn_variant", "fn_collate",
+    "dedup_incremental", "dedup_degree_hist", "agg_approx_topk",
+    "join_dpp",
     "wl_retention", "wl_dau_wau", "wl_anomaly_zscore", "wl_copurchase",
     "wl_q9_profit", "agg_linreg", "txt_collocation", "txt_zipf",
     "fn_struct", "sim_topk_int8", "wl_q16_suppcnt", "wl_q2_mincost",

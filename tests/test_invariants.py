@@ -354,3 +354,26 @@ def test_compression_ratio_band(spark, sf_dir):
     assert len(zlib.compress(rep, 6)) / len(rep) < len(
         zlib.compress(prose, 6)
     ) / len(prose)
+
+
+def test_observe_metrics_match_independent_agg(spark, sf_dir):
+    """scan_observe's piggybacked CollectMetrics must equal an
+    independently computed aggregate over the same predicate."""
+    from pyspark.sql import functions as F
+    from systematic_review_classification_spark.operators.runtime import observed_scan
+    from systematic_review_classification_spark.sources.tables import load
+
+    df, obs = observed_scan(spark, sf_dir)
+    n_rows = df.count()  # action → metrics materialize
+    got = obs.get
+    ref = (
+        load(spark, sf_dir, "lineitem")
+        .where((F.col("l_returnflag") == "R") & (F.col("l_quantity") >= 48))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("s"),
+        )
+        .first()
+    )
+    assert got["n_rows"] == ref["n"] == n_rows
+    assert abs(got["price_sum"] - ref["s"]) < 1e-6

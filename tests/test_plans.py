@@ -410,3 +410,189 @@ def test_markov_lag_partitioned_and_totals_broadcast(spark, sf_dir):
 def test_keep_best_window_partitions_on_fingerprint(spark, sf_dir):
     plan = plan_of(QUERIES["dedup_keep_best"](spark, sf_dir))
     assert "hashpartitioning(fingerprint" in plan, plan
+
+
+def test_q11_scalar_total_broadcast_no_second_scan(spark, sf_dir):
+    """Q11's threshold must come from re-aggregating the reduced
+    part-value table and broadcasting it back; at runtime AQE must
+    reuse the part-value exchange so the fact is scanned ONCE."""
+    df = QUERIES["wl_q11_partvalue"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    df.collect()  # finalize the adaptive plan
+    final = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
+    n_reuse = final.count("ReusedExchange") + final.count("ReusedQueryStage")
+    assert n_reuse >= 1, f"part-value exchange not reused\n{final}"
+
+
+def test_q20_dims_broadcast(spark, sf_dir):
+    plan = plan_of(QUERIES["wl_q20_excess"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_skew_report_topk_take_ordered(spark, sf_dir):
+    """The heavy-key report ends in a bounded top-k, not a full sort."""
+    plan = plan_of(QUERIES["wl_skew_report"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_resample_spine_no_cartesian_blowup(spark, sf_dir):
+    """The date spine is a broadcast product of two tiny inputs; the
+    fact-side join must be an equi hash join on (event_type, d)."""
+    plan = plan_of(QUERIES["wl_resample_ffill"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_profile_single_scan(spark, sf_dir):
+    """All 18 profile aggregates must come from ONE pass over the fact
+    (multi-distinct planned via expand), not three UNION'd scans."""
+    plan = plan_of(QUERIES["wl_profile"](spark, sf_dir))
+    # formatted mode prints each node twice (tree + detail); count details
+    assert plan.count(") Scan parquet") == 1, plan
+
+
+def test_corr_matrix_single_scan(spark, sf_dir):
+    plan = plan_of(QUERIES["agg_corr_matrix"](spark, sf_dir))
+    assert plan.count(") Scan parquet") == 1, plan
+
+
+def test_attribution_single_user_shuffle(spark, sf_dir):
+    """Carry-forward attribution must be one window over a user_id
+    shuffle — no self-join of events against events."""
+    plan = plan_of(QUERIES["wl_attribution"](spark, sf_dir))
+    assert "hashpartitioning(user_id" in plan, plan
+    assert "Join" not in plan.replace("BroadcastNestedLoopJoin", ""), plan
+
+
+def test_triangles_equi_joins_only(spark, sf_dir):
+    plan = plan_of(QUERIES["wl_triangles"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_width_bucket_codegen_projection(spark, sf_dir):
+    """Binning must stay inside whole-stage codegen — no Python UDF."""
+    df = QUERIES["fn_width_bucket"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    cg = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "codegen")
+    assert "WholeStageCodegen" in cg, cg
+
+
+@pytest.mark.parametrize("key", ["wl_gini", "wl_equidepth_bins"])
+def test_global_rank_is_range_partitioned(spark, sf_dir, key):
+    """Exact global ranks must come from the two-pass range rank —
+    every window partitioned (by _pid) or over the bounded
+    partition-stats table; never a partition-less sort of the data."""
+    plan = plan_of(QUERIES[key](spark, sf_dir))
+    assert "rangepartitioning" in plan, plan
+    # the only unpartitioned window is over per-partition stats (_pid rows)
+    assert "Window [" not in plan or "_pid" in plan, plan
+
+
+def test_cluster_hist_shuffles_fingerprints_not_text(spark, sf_dir):
+    plan = plan_of(QUERIES["dedup_cluster_hist"](spark, sf_dir))
+    # text is consumed map-side by md5; only the 32-char fp (pushed
+    # into the grouping expression) and the cluster sizes ever shuffle
+    exchange_args = [
+        l for l in plan.splitlines() if "hashpartitioning(" in l
+    ]
+    assert exchange_args, plan
+    assert all("text" not in l for l in exchange_args), plan
+
+
+def test_epoch_conversions_codegen(spark, sf_dir):
+    df = QUERIES["fn_epoch"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_sink_partitioned_readback_prunes(spark, sf_dir):
+    """The readback must prune to the one event_type directory
+    (PartitionFilters) and push the value predicate into the scan."""
+    df = QUERIES["sink_partitioned"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "PartitionFilters" in plan and "event_type" in plan, plan
+    assert "PushedFilters" in plan and "GreaterThan(value,50.0)" in plan, plan
+
+
+def test_cache_reuse_hits_memory_both_branches(spark, sf_dir):
+    """Both consumers of the persisted daily rollup must read the
+    InMemoryRelation — the fact scan happens at most once."""
+    plan = plan_of(QUERIES["cache_reuse"](spark, sf_dir))
+    assert plan.count(") InMemoryTableScan") >= 2, plan
+    # the one parquet scan in the plan is the cached relation's
+    # DEFINITION (printed under InMemoryRelation), not a live read
+    assert plan.count(") Scan parquet") == 1, (
+        "all reads must come from the cached rollup\n" + plan
+    )
+
+
+def test_sql_params_fold_into_pushdown(spark, sf_dir):
+    """Bound named parameters must reach the parquet scan as pushed
+    filters, exactly like inline literals."""
+    plan = plan_of(QUERIES["sql_params"](spark, sf_dir))
+    assert "PushedFilters" in plan and "GreaterThan(o_totalprice,150000" in plan, plan
+
+
+def test_crosstab_single_scan(spark, sf_dir):
+    plan = plan_of(QUERIES["stat_crosstab"](spark, sf_dir))
+    assert plan.count(") Scan parquet") == 1, plan
+
+
+def test_string_agg_single_aggregate(spark, sf_dir):
+    """collect_list+sort+join must plan as ONE (object) hash aggregate
+    pair — no window, no join."""
+    plan = plan_of(QUERIES["agg_string_agg"](spark, sf_dir))
+    assert "ObjectHashAggregate" in plan, plan
+    assert "Window" not in plan and "Join" not in plan, plan
+
+
+def test_pipe_syntax_same_plan_shape_as_ansi(spark, sf_dir):
+    """The |> dialect must land on the standard pushdown + two-phase
+    hash aggregate plan — frontend sugar, zero physical difference."""
+    plan = plan_of(QUERIES["sql_pipe"](spark, sf_dir))
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(l_quantity,10.0)" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_variant_extraction_is_codegen(spark, sf_dir):
+    plan = plan_of(QUERIES["fn_variant"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_collate_group_is_single_aggregate(spark, sf_dir):
+    """Collated grouping must stay ONE partial→final aggregate pair
+    over the explode (collated keys hash-agg where supported, else
+    sort-agg — still map-side combined) — no lower() pass, no join."""
+    plan = plan_of(QUERIES["fn_collate"](spark, sf_dir))
+    n_agg = plan.count(") HashAggregate") + plan.count(") SortAggregate")
+    assert n_agg >= 2 and "Join" not in plan, plan
+
+
+def test_dpp_prunes_fact_partitions(spark, sf_dir):
+    """The day-partitioned fact scan must carry a dynamic-pruning
+    subquery in its PartitionFilters — only the dim's 3 days are read."""
+    plan = plan_of(QUERIES["join_dpp"](spark, sf_dir))
+    assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_incremental_dedup_shuffles_fingerprints(spark, sf_dir):
+    """The anti join must key on the md5 fingerprint; document text
+    never crosses the wire."""
+    plan = plan_of(QUERIES["dedup_incremental"](spark, sf_dir))
+    exchange_args = [l for l in plan.splitlines() if "hashpartitioning(" in l]
+    assert all("text" not in l for l in exchange_args), plan
+
+
+def test_approx_topk_single_sketch_agg(spark, sf_dir):
+    """One mergeable sketch aggregate — no groupBy-all-keys + sort."""
+    plan = plan_of(QUERIES["agg_approx_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" not in plan, plan
+    assert plan.count(") Scan parquet") == 1, plan
+
+
+def test_degree_hist_blocked_join(spark, sf_dir):
+    plan = plan_of(QUERIES["dedup_degree_hist"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
