@@ -316,26 +316,36 @@ def wl_pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
     )
-    edges = (
-        cop.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
-        .unionAll(cop.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
-        # 3 iterations re-read the edge list; cache it once (at cluster
-        # scale this is the checkpoint/persist any iterative algorithm
-        # puts on its loop-invariant input)
+    edges = cop.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).unionAll(
+        cop.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # Loop-invariant state, prepared ONCE: the out-degree is fused into
+    # the edge list up front (contribution weight 1/d per edge), so the
+    # iteration body is a single join + one hash agg instead of two
+    # joins. The weighted edges are repartitioned on the join key
+    # BEFORE caching — InMemoryRelation preserves outputPartitioning,
+    # so the big side never re-exchanges inside the loop; only the
+    # small rank table shuffles per iteration. This is the
+    # persist-the-invariant pattern every distributed iterative
+    # algorithm needs (at cluster scale: checkpoint instead of cache
+    # to also truncate lineage).
+    edges_w = (
+        edges.join(outdeg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("d")).alias("w"))
+        .repartition("src")
         .cache()
     )
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    nodes = edges_w.select(F.col("src").alias("node")).distinct()
     nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     pr = nodes.crossJoin(F.broadcast(nn)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("pr")
     )
     for _ in range(3):
         pr = (
-            edges.join(pr.withColumnRenamed("node", "src"), "src")
-            .join(outdeg, "src")
+            edges_w.join(pr.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("pr") / F.col("d")).alias("mass"))
+            .agg(F.sum(F.col("pr") * F.col("w")).alias("mass"))
             .crossJoin(F.broadcast(nn))
             .select(
                 "node",

@@ -638,3 +638,99 @@ def ml_feature_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey", cross_key.alias("cross_key"), bucket.alias("bucket")
     )
+
+
+@query(
+    "ml_fpgrowth",
+    oracle="""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+nb AS (SELECT count(DISTINCT l_orderkey) AS n FROM li),
+mincnt AS (SELECT CAST(ceil(0.0002 * n) AS BIGINT) AS c FROM nb),
+singles AS (
+  SELECT CAST(l_partkey AS VARCHAR) AS itemset, count(*) AS freq
+  FROM li GROUP BY l_partkey
+  HAVING count(*) >= (SELECT c FROM mincnt)),
+pairs AS (
+  SELECT CAST(a.l_partkey AS VARCHAR) || ',' || CAST(b.l_partkey AS VARCHAR) AS itemset,
+         count(*) AS freq
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+  GROUP BY 1 HAVING count(*) >= (SELECT c FROM mincnt))
+SELECT itemset, freq FROM singles
+UNION ALL
+SELECT itemset, freq FROM pairs
+""",
+)
+def ml_fpgrowth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib FPGrowth frequent-itemset mining over order baskets,
+    reported for itemset sizes 1-2.
+
+    FP-Growth is EXACT (parallel FP-trees over item-conditional
+    partitions, a distributed algorithm — no sampling), so the SQL
+    oracle re-derives the same frequent singletons and pairs with the
+    identical minCount = ceil(minSupport x n_baskets) rule MLlib
+    applies. The size<=2 projection is the query contract (Spark
+    additionally mines larger itemsets from the same pass; the
+    restriction keeps the oracle's join quadratic-bounded, not the
+    engine). Items are sorted in-array so the CSV rendering is
+    deterministic."""
+    from pyspark.ml.fpm import FPGrowth
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("items")
+    )
+    model = FPGrowth(
+        itemsCol="items", minSupport=0.0002, minConfidence=0.5
+    ).fit(baskets)
+    return (
+        model.freqItemsets.where(F.size("items") <= 2)
+        .select(
+            F.array_join(
+                F.transform(F.sort_array("items"), lambda x: x.cast("string")), ","
+            ).alias("itemset"),
+            F.col("freq"),
+        )
+    )
+
+
+@query("ml_als")
+def ml_als(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded ALS collaborative filtering on implicit order baskets:
+    (customer, part, n_orders) interactions → rank-8 factors →
+    predictions for the observed pairs of the first 50 customers.
+    Rows-only (iterative least squares has no SQL twin); the
+    reproducibility and finiteness of the scored output are asserted
+    in tests/test_invariants.py.
+
+    Scale shape: ALS is MLlib's blocked alternating factorization —
+    user/item factor blocks co-partitioned with the ratings, normal
+    equations solved per block; nothing driver-side except the 8x8
+    Gramians. recommendForAllUsers (not used here) is the blocked
+    GEMM top-k."""
+    from pyspark.ml.recommendation import ALS
+
+    ratings = (
+        load(spark, sf_dir, "lineitem")
+        .join(load(spark, sf_dir, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("o_custkey").cast("int").alias("user"),
+            F.col("l_partkey").cast("int").alias("item"),
+        )
+        .agg(F.count(F.lit(1)).cast("float").alias("rating"))
+    )
+    als = ALS(
+        rank=8,
+        maxIter=5,
+        seed=7,
+        userCol="user",
+        itemCol="item",
+        ratingCol="rating",
+        implicitPrefs=True,
+        coldStartStrategy="drop",
+    )
+    model = als.fit(ratings)
+    probe = ratings.where(F.col("user") <= 50)
+    return model.transform(probe).select(
+        "user", "item", F.round(F.col("prediction").cast("double"), 4).alias("score")
+    )

@@ -100,22 +100,23 @@ def scan_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rows (no second scan, unlike a separate count()). The rows are
     unchanged, so the oracle is the plain filter; the metric values
     themselves are asserted in tests/test_invariants.py against an
-    independent aggregate via :func:`observed_scan`."""
-    df, _ = observed_scan(spark, sf_dir)
-    return df
+    independent aggregate (read from queryExecution.observedMetrics
+    after an action).
 
-
-def observed_scan(spark: SparkSession, sf_dir: str):
-    """Build the observed filter scan; returns (df, Observation) so
-    callers that run an action can read the piggybacked metrics."""
-    from pyspark.sql import Observation
-
-    obs = Observation()
+    Deliberately a string-NAMED observe, NOT an Observation handle:
+    the handle registers itself with the session's ObservationManager,
+    which is NOT serializable — once one is live, any later job whose
+    plan references session state fails closure cleaning with
+    'Task not serializable: ObservationManager' (observed breaking
+    unrelated MLlib fits suite-wide). The named form attaches only
+    the CollectMetrics plan node; metrics are read back from the
+    QueryExecution, which also works for callers (like the external
+    driver) that never read them at all."""
     li = load(spark, sf_dir, "lineitem")
-    df = (
+    return (
         li.where((F.col("l_returnflag") == "R") & (F.col("l_quantity") >= 48))
         .observe(
-            obs,
+            "scan_observe_metrics",
             F.count(F.lit(1)).alias("n_rows"),
             F.round(F.sum("l_extendedprice"), 2).alias("price_sum"),
         )
@@ -125,7 +126,6 @@ def observed_scan(spark: SparkSession, sf_dir: str):
             F.round("l_extendedprice", 2).alias("price"),
         )
     )
-    return df, obs
 
 
 @query(
@@ -440,4 +440,132 @@ def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+@query(
+    "src_json_array",
+    oracle="""
+SELECT sku::BIGINT AS sku, name, price::DOUBLE AS price, n_tags::INTEGER AS n_tags
+FROM (VALUES
+  (101, 'widget', 9.99, 2),
+  (102, 'gadget', 19.5, 0),
+  (103, 'gizmo "deluxe"', NULL, 1)
+) AS t(sku, name, price, n_tags)
+""",
+)
+def src_json_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-level JSON ARRAY document (tests/fixtures/catalog.json) —
+    the other JSON shape in the wild besides JSON-lines. multiLine
+    mode parses the whole document and explodes the array into rows.
+
+    Scale note: multiLine JSON is non-splittable (one parser per
+    file), so array-of-records exports must arrive as many files —
+    parallelism comes from file count, exactly like multiLine CSV
+    (src_csv_quoted)."""
+    d = spark.read.option("multiLine", True).json(
+        os.path.join(_FIXTURE_DIR, "catalog.json")
+    )
+    return d.select(
+        "sku", "name", "price", F.size("tags").alias("n_tags")
+    )
+
+
+@query(
+    "sink_csv_options",
+    oracle="""
+SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS price
+FROM orders
+WHERE o_orderstatus = 'P'
+""",
+)
+def sink_csv_options(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV writer options round-trip: write a filtered extract as
+    tab-separated with explicit quoting/escape and a header, read it
+    back with the same dialect. Pins that the writer/reader option
+    pair is lossless for strings containing the delimiter and quotes
+    (o_orderpriority values contain '-'; the quote mode must not
+    mangle them). Export files are written per-partition in parallel
+    — a CSV sink scales exactly like any other sink, only the dialect
+    is legacy."""
+    import tempfile
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "systematic_review_classification_spark_csv_sink",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    ex = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "P")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round("o_totalprice", 2).alias("price"),
+        )
+    )
+    (
+        ex.write.mode("overwrite")
+        .options(header=True, sep="\t", quote='"', escape='"')
+        .csv(out)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderpriority", T.StringType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .options(header=True, sep="\t", quote='"', escape='"')
+        .csv(out)
+    )
+
+
+@query(
+    "sink_zorder",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(l_partkey % 16 AS INTEGER) AS px,
+       CAST(l_suppkey % 16 AS INTEGER) AS sy,
+       CAST(
+         ((l_partkey % 16) & 1)       * 1 + ((l_suppkey % 16) & 1)       * 2
+       + (((l_partkey % 16) // 2) & 1) * 4 + (((l_suppkey % 16) // 2) & 1) * 8
+       + (((l_partkey % 16) // 4) & 1) * 16 + (((l_suppkey % 16) // 4) & 1) * 32
+       + (((l_partkey % 16) // 8) & 1) * 64 + (((l_suppkey % 16) // 8) & 1) * 128
+       AS INTEGER) AS zcode
+FROM lineitem
+WHERE l_quantity >= 49
+""",
+)
+def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key: interleave the bits of two
+    join/filter dimensions into one sort key, so range-sorting the
+    files makes parquet row-group min/max stats selective on BOTH
+    columns at once — the multi-dimensional generalization of
+    sink_sorted_parquet's single-column clustering, and what table
+    formats' OPTIMIZE ZORDER does underneath.
+
+    The bit interleave is plain integer arithmetic (bit-identical in
+    both engines — same portability rule as the md5-based hashes);
+    computing it is a pure codegen projection. The filter keeps the
+    verified output small; the layout property itself (tight zcode
+    ranges per file after repartitionByRange on zcode) is exercised by
+    writing and reading back in tests."""
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 49)
+    px = (F.col("l_partkey") % 16).cast("int")
+    sy = (F.col("l_suppkey") % 16).cast("int")
+    # interleave 4 bits of each dimension: bit i of px -> bit 2i,
+    # bit i of sy -> bit 2i+1
+    z = F.lit(0)
+    for i in range(4):
+        z = z + ((px / (2**i)).cast("int") % 2) * (2 ** (2 * i))
+        z = z + ((sy / (2**i)).cast("int") % 2) * (2 ** (2 * i + 1))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        px.alias("px"),
+        sy.alias("sy"),
+        z.cast("int").alias("zcode"),
     )

@@ -753,3 +753,58 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.where((F.col("event_type") == "purchase") & (F.col("value") > 50))
         .select("event_id", "user_id", F.round("value", 2).alias("value"))
     )
+
+
+@query(
+    "wl_chi2_assoc",
+    oracle="""
+WITH o AS (SELECT lang, source, count(*)::DOUBLE AS obs FROM documents GROUP BY 1, 2),
+rt AS (SELECT lang, sum(obs) AS r FROM o GROUP BY lang),
+ct AS (SELECT source, sum(obs) AS c FROM o GROUP BY source),
+n AS (SELECT sum(obs) AS n FROM o),
+cells AS (
+  SELECT rt.lang, ct.source, coalesce(o.obs, 0.0) AS obs, rt.r * ct.c / n.n AS exp
+  FROM rt CROSS JOIN ct CROSS JOIN n
+  LEFT JOIN o ON o.lang = rt.lang AND o.source = ct.source)
+SELECT round(sum((obs - exp) * (obs - exp) / exp), 6) AS chi2,
+       CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) AS BIGINT) AS dof
+FROM cells
+""",
+)
+def wl_chi2_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between document language and
+    source — the categorical-association screen run before trusting a
+    domain-mix feature.
+
+    Shape: one hash agg over the fact (lang x source cells), then all
+    margin/expected arithmetic happens on the reduced cell table —
+    margins via two tiny aggs, zero-observed cells restored by a
+    cross join of the two margin tables (bounded: |langs| x |sources|)
+    with a left join back. The fact is scanned once; every later input
+    is O(cells)."""
+    docs = load(spark, sf_dir, "documents")
+    o = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("double").alias("obs")
+    )
+    rt = o.groupBy("lang").agg(F.sum("obs").alias("r"))
+    ct = o.groupBy("source").agg(F.sum("obs").alias("c"))
+    n = o.agg(F.sum("obs").alias("n"))
+    cells = (
+        rt.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(n))
+        .join(o, ["lang", "source"], "left")
+        .select(
+            "lang",
+            "source",
+            F.coalesce("obs", F.lit(0.0)).alias("obs"),
+            (F.col("r") * F.col("c") / F.col("n")).alias("exp"),
+        )
+    )
+    return cells.agg(
+        F.round(
+            F.sum((F.col("obs") - F.col("exp")) ** 2 / F.col("exp")), 6
+        ).alias("chi2"),
+        (
+            (F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)
+        ).cast("bigint").alias("dof"),
+    )

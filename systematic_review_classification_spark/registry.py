@@ -87,7 +87,8 @@ _PRIORITY: list[str] = [
     "stat_crosstab", "agg_string_agg", "src_csv_corrupt",
     "sql_pipe", "fn_variant", "fn_collate",
     "dedup_incremental", "dedup_degree_hist", "agg_approx_topk",
-    "join_dpp",
+    "join_dpp", "ml_fpgrowth", "ml_als", "wl_chi2_assoc",
+    "src_json_array", "sink_csv_options", "sink_zorder",
     "wl_retention", "wl_dau_wau", "wl_anomaly_zscore", "wl_copurchase",
     "wl_q9_profit", "agg_linreg", "txt_collocation", "txt_zipf",
     "fn_struct", "sim_topk_int8", "wl_q16_suppcnt", "wl_q2_mincost",

@@ -198,6 +198,8 @@ def test_document_operators_survive_empty_corpus(spark, tmp_path):
         "mm_embed_quantize",
         "txt_collocation", "txt_zipf", "txt_stem", "sim_topk_int8",
         "wl_mix_entropy",
+        "dedup_incremental", "dedup_cluster_hist", "dedup_degree_hist",
+        "fn_collate",
     ]
     q = all_queries()
     for key in keys:

@@ -358,14 +358,19 @@ def test_compression_ratio_band(spark, sf_dir):
 
 def test_observe_metrics_match_independent_agg(spark, sf_dir):
     """scan_observe's piggybacked CollectMetrics must equal an
-    independently computed aggregate over the same predicate."""
+    independently computed aggregate over the same predicate. Metrics
+    are read from the QueryExecution after an action — NOT via an
+    Observation handle, whose ObservationManager registration is
+    non-serializable session state that breaks later jobs (see the
+    operator docstring)."""
     from pyspark.sql import functions as F
-    from systematic_review_classification_spark.operators.runtime import observed_scan
+    from systematic_review_classification_spark import all_queries
     from systematic_review_classification_spark.sources.tables import load
 
-    df, obs = observed_scan(spark, sf_dir)
-    n_rows = df.count()  # action → metrics materialize
-    got = obs.get
+    df = all_queries()["scan_observe"](spark, sf_dir)
+    n_rows = len(df.collect())  # action → metrics materialize
+    row = df._jdf.queryExecution().observedMetrics().apply("scan_observe_metrics")
+    got_n, got_sum = row.getLong(0), row.getDouble(1)
     ref = (
         load(spark, sf_dir, "lineitem")
         .where((F.col("l_returnflag") == "R") & (F.col("l_quantity") >= 48))
@@ -375,5 +380,19 @@ def test_observe_metrics_match_independent_agg(spark, sf_dir):
         )
         .first()
     )
-    assert got["n_rows"] == ref["n"] == n_rows
-    assert abs(got["price_sum"] - ref["s"]) < 1e-6
+    assert got_n == ref["n"] == n_rows
+    assert abs(got_sum - ref["s"]) < 1e-6
+
+
+def test_als_scores_finite_and_reproducible(spark, sf_dir):
+    """Seeded ALS must produce finite scores and be run-to-run
+    reproducible (same seed, same data → same factors)."""
+    import math
+
+    from systematic_review_classification_spark import all_queries
+
+    q = all_queries()["ml_als"]
+    a = {(r.user, r.item): r.score for r in q(spark, sf_dir).collect()}
+    b = {(r.user, r.item): r.score for r in q(spark, sf_dir).collect()}
+    assert a and a == b
+    assert all(math.isfinite(v) for v in a.values())

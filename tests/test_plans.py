@@ -596,3 +596,38 @@ def test_approx_topk_single_sketch_agg(spark, sf_dir):
 def test_degree_hist_blocked_join(spark, sf_dir):
     plan = plan_of(QUERIES["dedup_degree_hist"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_chi2_cell_exchange_reused(spark, sf_dir):
+    """The (lang, source) cell aggregate feeds four consumers (two
+    margins, the total, the join-back); at runtime AQE must reuse its
+    exchange instead of re-scanning the fact per consumer."""
+    df = QUERIES["wl_chi2_assoc"](spark, sf_dir)
+    df.collect()
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
+    n_reuse = plan.count("ReusedExchange") + plan.count("ReusedQueryStage")
+    assert n_reuse >= 1, plan
+
+
+def test_zorder_layout_clusters_files(spark, sf_dir, tmp_path):
+    """Writing range-partitioned + sorted on the Morton code must give
+    files with (near-)disjoint zcode ranges — the property that makes
+    row-group stats selective on both interleaved dimensions."""
+    import pyspark.sql.functions as F
+
+    df = QUERIES["sink_zorder"](spark, sf_dir)
+    out = f"{tmp_path}/zsorted"
+    (
+        df.repartitionByRange(8, "zcode")
+        .sortWithinPartitions("zcode")
+        .write.parquet(out)
+    )
+    spans = (
+        spark.read.parquet(out)
+        .groupBy(F.col("_metadata.file_name").alias("f"))
+        .agg(F.min("zcode").alias("lo"), F.max("zcode").alias("hi"))
+        .collect()
+    )
+    spans = sorted([(r.lo, r.hi) for r in spans])
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, f"file ranges overlap: {spans}"
