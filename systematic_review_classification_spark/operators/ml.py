@@ -734,3 +734,48 @@ def ml_als(spark: SparkSession, sf_dir: str) -> DataFrame:
     return model.transform(probe).select(
         "user", "item", F.round(F.col("prediction").cast("double"), 4).alias("score")
     )
+
+
+@query("ml_active_screen")
+def ml_active_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active-learning screening simulation — the reference paper's
+    core workflow [PUB]: seed a small labeled pool, then iterate
+    (train → score the unscreened pool → screen the top-ranked batch
+    → add to the labeled pool), reporting per-round recall of the
+    relevant class. This is the loop WSS@95 (ml_eval_wss95) summarizes
+    in one number; here the curve itself is produced.
+
+    Distributed discipline: the driver holds ONLY the round counter;
+    the labeled/unscreened pools stay DataFrames (an id-hash seed
+    split, anti-join to exclude screened ids), scoring is one model
+    broadcast over the pool, and the per-round batch selection is a
+    global top-k (TakeOrderedAndProject), never a full sort. Rounds
+    are bounded (3) and each round's input shrinks. Rows-only: the
+    curve depends on seeded LR fits; monotone-recall and final-recall
+    invariants are pinned in tests/test_invariants.py."""
+    from pyspark.ml.classification import LogisticRegression
+
+    feat = _featurized(spark, sf_dir).select("doc_id", "label", "features").cache()
+    n_pos_total = feat.agg(F.sum("label")).first()[0] or 1.0
+    batch = max(int(feat.count() * 0.1), 10)
+
+    # seed: a deterministic 10% hash sample of the corpus
+    screened = feat.where(F.crc32(F.col("doc_id").cast("string")) % 10 == 0)
+    rows = []
+    for rnd in range(3):
+        model = LogisticRegression(maxIter=10, regParam=0.01).fit(screened)
+        pool = feat.join(screened.select("doc_id"), "doc_id", "left_anti")
+        from pyspark.ml.functions import vector_to_array
+
+        scored = model.transform(pool)
+        prob1 = vector_to_array("probability").getItem(1)
+        picked = (
+            scored.select("doc_id", "label", "features", prob1.alias("p"))
+            .orderBy(F.desc("p"), "doc_id")
+            .limit(batch)
+            .drop("p")
+        )
+        screened = screened.unionByName(picked).cache()
+        found = screened.agg(F.sum("label")).first()[0] or 0.0
+        rows.append((rnd + 1, float(found), round(float(found) / n_pos_total, 6)))
+    return spark.createDataFrame(rows, "round int, n_found double, recall double")

@@ -422,3 +422,88 @@ def sim_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id1", "id2", qdot.cast("bigint").alias("qdot"))
     w = W.partitionBy("id1").orderBy(F.col("qdot").desc(), "id2")
     return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+
+
+@query("sim_pq_adc")  # rows-only: learned codebooks are model-dependent
+def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization with asymmetric distance computation (ADC)
+    — the memory-side of a billion-scale ANN index (IVF-PQ): 64-dim
+    vectors split into 8 subspaces of 8 dims; each subspace gets a
+    seeded 16-centroid KMeans codebook; every corpus vector compresses
+    to 8 one-byte codes (64 bytes -> 8 bytes).
+
+    Query scoring never decompresses the corpus: per query, the
+    distances from the query's 8 subvectors to all 8x16 centroids form
+    a 128-entry lookup table (broadcast — |Q| x 128 rows), and a corpus
+    vector's approximate squared L2 is the sum of 8 table lookups,
+    joined on (subspace, code). That join + hash-agg + per-query top-k
+    window is the whole read path — the corpus side touches only the
+    8-byte codes, which is exactly why PQ scans survive at 100 TB
+    (reads scale with compressed size). Recall and reproducibility are
+    pinned in tests/test_invariants.py. At full scale the corpus side
+    is additionally IVF-blocked (sim_ivf_topk) before ADC scoring."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    M, K, D = 8, 16, 64  # subspaces, centroids each, total dims
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _dbl(F.col("embedding")).alias("v")
+    )
+    # (vec_id, m, subvec[8]) — slice() is 1-indexed
+    subs = emb.select(
+        "vec_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(M - 1)),
+                lambda m: F.struct(
+                    m.alias("m"),
+                    F.slice("v", m * (D // M) + 1, D // M).alias("sub"),
+                ),
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("sub"))
+    subs = subs.withColumn("fv", array_to_vector("sub")).cache()
+
+    codes = None
+    books = []
+    for m in range(M):
+        km = KMeans(k=K, seed=100 + m, maxIter=5, featuresCol="fv")
+        part = subs.where(F.col("m") == m)
+        model = km.fit(part)
+        coded = model.transform(part).select(
+            "vec_id", F.lit(m).alias("m"), F.col("prediction").alias("code")
+        )
+        codes = coded if codes is None else codes.unionByName(coded)
+        centers = spark.createDataFrame(
+            [(m, i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+            "m int, code int, center array<double>",
+        )
+        books.append(centers)
+    codebook = books[0]
+    for b in books[1:]:
+        codebook = codebook.unionByName(b)
+
+    queries = subs.where(F.col("vec_id") % 29 == 0).select(
+        F.col("vec_id").alias("qid"), "m", F.col("sub").alias("qsub")
+    )
+    # per-query LUT: squared L2 from each query subvector to each centroid
+    sq = F.aggregate(
+        F.zip_with(F.col("qsub"), F.col("center"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    lut = queries.join(F.broadcast(codebook), "m").select(
+        "qid", "m", "code", sq.alias("d2")
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .where(F.col("qid") != F.col("vec_id"))
+        .groupBy("qid", "vec_id")
+        .agg(F.round(F.sum("d2"), 6).alias("adc_d2"))
+    )
+    w = W.partitionBy("qid").orderBy("adc_d2", "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .drop("rn")
+    )

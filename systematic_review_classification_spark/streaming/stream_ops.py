@@ -538,3 +538,109 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 2).alias("last_value"),
         "n_changes",
     )
+
+
+_TTL_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("closed_by", T.StringType()),
+    ]
+)
+_TTL_STATE = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+_TTL_GAP_US = 6 * 3600 * 1_000_000  # 6 h session gap
+
+
+@query("stream_stateful_ttl")  # rows-only: timeout closures depend on batch split
+def stream_stateful_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful sessionization with EVENT-TIME state TTL
+    (applyInPandasWithState + EventTimeTimeout): per-user open-session
+    state; an arriving event more than 6 h after the previous one
+    closes the old session inline ('gap'), and the state TTL fires
+    when the WATERMARK passes last_event + 6 h, closing idle sessions
+    without waiting for a successor event ('timeout') — the mechanism
+    that bounds state-store size on a forever stream (state for a
+    departed user is reclaimed by watermark progress, not by memory
+    pressure).
+
+    Event-time (not processing-time) timeout keeps the run
+    replay-deterministic for a fixed batch split: the watermark
+    sequence is a pure function of the staged files. The replay is
+    four chronological quarters (maxFilesPerTrigger=1) so the
+    watermark actually advances between batches and real timeouts
+    fire. Invariants (tests/test_invariants.py): every emitted session
+    is exactly a batch gaps-islands session, and every non-final batch
+    session is emitted."""
+    import os
+
+    from systematic_review_classification_spark.sources.tables import load
+
+    ev = load(spark, sf_dir, "events").orderBy("ts")
+    parts = work_dir(sf_dir, "ttl_parts")
+    ev.withColumn(
+        "bucket", F.ntile(4).over(W.orderBy("ts", "event_id"))
+    ).write.mode("overwrite").partitionBy("bucket").parquet(parts)
+    flat = work_dir(sf_dir, "ttl_flat")
+    t0 = 1_700_000_000
+    n = 0
+    for i in (1, 2, 3, 4):
+        bdir = f"{parts}/bucket={i}"
+        for f in sorted(os.listdir(bdir)):
+            if f.endswith(".parquet"):
+                dst = f"{flat}/{i:02d}_{f}"
+                os.link(f"{bdir}/{f}", dst)
+                os.utime(dst, (t0 + n, t0 + n))
+                n += 1
+
+    def track(key, pdfs, state):
+        out = []
+        if state.hasTimedOut:
+            s, last, cnt = state.get
+            out.append((key[0], s, last, cnt, "timeout"))
+            state.remove()
+        else:
+            s, last, cnt = state.get if state.exists else (None, None, 0)
+            rows = pd.concat(list(pdfs)) if pdfs else pd.DataFrame()
+            if len(rows):
+                rows = rows.sort_values("ts")
+                for t in rows["ts"]:
+                    us = int(t.value // 1_000)  # pandas ns -> µs
+                    if s is None:
+                        s, last, cnt = us, us, 1
+                    elif us - last > _TTL_GAP_US:
+                        out.append((key[0], s, last, cnt, "gap"))
+                        s, last, cnt = us, us, 1
+                    else:
+                        last, cnt = us, cnt + 1
+                state.update((s, last, cnt))
+                # reclaim this user's state once the watermark passes
+                # the session gap horizon
+                state.setTimeoutTimestamp(last // 1_000 + _TTL_GAP_US // 1_000)
+        yield pd.DataFrame(
+            out, columns=["user_id", "start_us", "end_us", "n_events", "closed_by"]
+        )
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(flat).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    sessions = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            track, _TTL_OUT, _TTL_STATE, "append", "EventTimeTimeout"
+        )
+    )
+    qname = run_to_memory(sessions, sf_dir, "ttl", "append")
+    return spark.table(qname)

@@ -396,3 +396,122 @@ def test_als_scores_finite_and_reproducible(spark, sf_dir):
     b = {(r.user, r.item): r.score for r in q(spark, sf_dir).collect()}
     assert a and a == b
     assert all(math.isfinite(v) for v in a.values())
+
+
+def test_pq_adc_beats_random_and_reproduces(spark, sf_dir):
+    """Product-quantization ADC top-5 must be strongly informative:
+    on average well over a third of each query's ADC-top-5 falls in
+    the exact L2 top-50 (random placement would land ~10%); and the
+    seeded codebooks make the whole output run-to-run identical."""
+    import collections
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+    from systematic_review_classification_spark import all_queries
+    from systematic_review_classification_spark.sources.tables import load
+
+    q = all_queries()["sim_pq_adc"]
+    out1 = {(r.qid, r.vec_id, r.adc_d2) for r in q(spark, sf_dir).collect()}
+    out2 = {(r.qid, r.vec_id, r.adc_d2) for r in q(spark, sf_dir).collect()}
+    assert out1 and out1 == out2
+
+    approx = collections.defaultdict(set)
+    for qid, vid, _ in out1:
+        approx[qid].add(vid)
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a = emb.alias("a")
+    b = emb.where(F.col("vec_id") % 29 == 0).alias("b")
+    d2 = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    pairs = b.join(a, F.col("a.vec_id") != F.col("b.vec_id")).select(
+        F.col("b.vec_id").alias("qid"), F.col("a.vec_id").alias("vid"), d2.alias("d2")
+    )
+    w = W.partitionBy("qid").orderBy("d2", "vid")
+    exact = (
+        pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 50).collect()
+    )
+    ex = collections.defaultdict(set)
+    for r in exact:
+        ex[r.qid].add(r.vid)
+    hits = [len(approx[k] & ex[k]) / 5 for k in ex]
+    assert sum(hits) / len(hits) >= 0.35, hits
+
+
+def test_ttl_sessions_match_batch_gaps_islands(spark, sf_dir):
+    """Every session the TTL operator emits must be exactly a batch
+    gaps-islands session (same user, bounds, count), and every
+    NON-final batch session (those closed by a successor event, which
+    is batch-split independent) must have been emitted. Timeout-closed
+    final sessions additionally prove the watermark TTL fired."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+    from systematic_review_classification_spark import all_queries
+    from systematic_review_classification_spark.sources.tables import load
+    from systematic_review_classification_spark.streaming.stream_ops import _TTL_GAP_US
+
+    got = all_queries()["stream_stateful_ttl"](spark, sf_dir).collect()
+    emitted = {(r.user_id, r.start_us, r.end_us, r.n_events) for r in got}
+    assert emitted, "no sessions emitted"
+    assert any(r.closed_by == "timeout" for r in got), "watermark TTL never fired"
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    w = W.partitionBy("user_id").orderBy("us")
+    isl = (
+        ev.withColumn("prev", F.lag("us").over(w))
+        .withColumn(
+            "new_s",
+            (F.col("prev").isNull() | ((F.col("us") - F.col("prev")) > _TTL_GAP_US))
+            .cast("int"),
+        )
+        .withColumn("sid", F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("us").alias("start_us"),
+            F.max("us").alias("end_us"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    w_last = W.partitionBy("user_id")
+    batch = isl.withColumn("max_sid", F.max("sid").over(w_last)).collect()
+    all_sessions = {(r.user_id, r.start_us, r.end_us, r.n_events) for r in batch}
+    non_final = {
+        (r.user_id, r.start_us, r.end_us, r.n_events)
+        for r in batch
+        if r.sid != r.max_sid
+    }
+    assert emitted <= all_sessions, emitted - all_sessions
+    assert non_final <= emitted, non_final - emitted
+
+
+def test_active_screen_curve_monotone_and_beats_random(spark, sf_dir):
+    """The active-learning screening curve must be strictly
+    increasing, and each actively-selected batch must find relevant
+    docs at a rate >= the corpus prevalence (i.e., at least as good as
+    random screening — in practice far better)."""
+    from pyspark.sql import functions as F
+    from systematic_review_classification_spark import all_queries
+    from systematic_review_classification_spark.operators.ml import _featurized
+
+    rows = sorted(
+        all_queries()["ml_active_screen"](spark, sf_dir).collect(),
+        key=lambda r: r.round,
+    )
+    assert [r.round for r in rows] == [1, 2, 3]
+    assert rows[0].n_found < rows[1].n_found < rows[2].n_found
+    assert 0 < rows[2].recall <= 1.0
+
+    feat = _featurized(spark, sf_dir)
+    stats = feat.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("label").alias("pos")
+    ).first()
+    prevalence = stats["pos"] / stats["n"]
+    batch = max(int(stats["n"] * 0.1), 10)
+    for prev, cur in zip(rows, rows[1:]):
+        assert (cur.n_found - prev.n_found) / batch >= prevalence * 0.9
