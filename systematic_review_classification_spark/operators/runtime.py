@@ -307,17 +307,15 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB you parse JSON ONCE into a variant column at ingest and
     bind paths lazily — shredded variant subcolumns make repeated
-    json_extract string-parsing (the oracle's form) unnecessary. All
-    expressions here are codegen'd JVM intrinsics."""
+    json_extract string-parsing (the oracle's form) unnecessary. The
+    parse happens in ONE projection here and all three consumers read
+    the shared variant column; everything is a codegen'd intrinsic."""
     ev = load(spark, sf_dir, "events")
-    v = F.parse_json("props")
-    return ev.select(
+    return ev.select("event_id", F.parse_json("props").alias("v")).select(
         "event_id",
-        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
-        F.to_json(v).alias("canonical"),
-        F.expr("variant_get(parse_json(props), '$.missing', 'string')")
-        .isNull()
-        .alias("missing_is_null"),
+        F.variant_get("v", "$.k", "int").alias("k"),
+        F.to_json("v").alias("canonical"),
+        F.variant_get("v", "$.missing", "string").isNull().alias("missing_is_null"),
     )
 
 
@@ -568,4 +566,79 @@ def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         px.alias("px"),
         sy.alias("sy"),
         z.cast("int").alias("zcode"),
+    )
+
+
+@query(
+    "sink_compaction",
+    oracle="""
+SELECT 'before' AS phase, 32 AS n_files, count(*) AS n_rows FROM events
+UNION ALL
+SELECT 'after' AS phase, 2 AS n_files, count(*) AS n_rows FROM events
+""",
+)
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction — the maintenance job every file-based
+    lake runs: a fragmented 32-file layout is rewritten into 2 large
+    files with coalesce (no shuffle: coalesce only narrows the
+    partitioning, unlike repartition which would pay a full exchange
+    to rebalance — the right trade for compaction, where input
+    partitions are already small and numerous).
+
+    Output reports (phase, n_files, n_rows) for both layouts, with
+    n_files counted from the hidden _metadata.file_name column and
+    row counts proving the rewrite is lossless. At 100 TB this runs
+    per-partition-directory with a target file size, never globally."""
+    import os
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "systematic_review_classification_spark_compact",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    frag, packed = f"{base}/frag", f"{base}/packed"
+    ev = load(spark, sf_dir, "events")
+    ev.repartition(32).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).coalesce(2).write.mode("overwrite").parquet(packed)
+
+    def stats(path, phase):
+        d = spark.read.parquet(path)
+        return d.agg(
+            F.lit(phase).alias("phase"),
+            F.countDistinct(F.col("_metadata.file_name")).cast("int").alias("n_files"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    return stats(frag, "before").unionByName(stats(packed, "after"))
+
+
+@query(
+    "fn_string_more",
+    oracle="""
+SELECT doc_id,
+       ascii(substring(text, 1, 1))             AS first_code,
+       chr(65 + CAST(doc_id % 26 AS INTEGER))   AS letter,
+       left(text, 8)                            AS head8,
+       right(text, 5)                           AS tail5,
+       repeat('=', CAST(doc_id % 4 AS INTEGER)) AS bar,
+       translate(left(text, 20), 'aeiou', '_____') AS devoweled,
+       split_part(text, ' ', 2)                 AS second_word
+FROM documents
+""",
+)
+def fn_string_more(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string-function tranche (ascii/chr/left/right/repeat/
+    translate/split_part) — byte-code, slicing, and field-extraction
+    parity both engines agree on exactly. Pure codegen projections;
+    complements fn_string's core set."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.ascii(F.substring("text", 1, 1)).alias("first_code"),
+        F.chr(65 + F.col("doc_id") % 26).alias("letter"),
+        F.left("text", F.lit(8)).alias("head8"),
+        F.right("text", F.lit(5)).alias("tail5"),
+        F.repeat(F.lit("="), (F.col("doc_id") % 4).cast("int")).alias("bar"),
+        F.translate(F.left("text", F.lit(20)), "aeiou", "_____").alias("devoweled"),
+        F.split_part("text", F.lit(" "), F.lit(2)).alias("second_word"),
     )

@@ -27,7 +27,9 @@ from systematic_review_classification_spark.registry import query
 from systematic_review_classification_spark.streaming.helpers import (
     read_events_stream,
     run_to_memory,
+    sf_tag,
     stage_events_dir,
+    stream_shuffle_partitions,
     work_dir,
 )
 
@@ -644,3 +646,40 @@ def stream_stateful_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qname = run_to_memory(sessions, sf_dir, "ttl", "append")
     return spark.table(qname)
+
+
+@query("stream_progress")  # rows-only: progress metrics are engine telemetry
+def stream_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming observability: run an availableNow aggregation and
+    report the StreamingQueryProgress counters (rows ingested, batches
+    executed, state rows) as a relation — the numbers an operator
+    alarms on in production. The invariant test pins
+    numInputRows == |events| (no rows silently skipped) and
+    batches >= 1."""
+    src = stage_events_dir(sf_dir, "progress_src")
+    stream = read_events_stream(spark, src)
+    agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    qname = f"mem_progress_{sf_tag(sf_dir)}"
+    ckpt = work_dir(sf_dir, "progress_ckpt")
+    with stream_shuffle_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    progress = q.recentProgress
+    rows = [
+        (
+            int(p["batchId"]),
+            int(p["numInputRows"]),
+            int(sum(op.get("numRowsTotal", 0) for op in p.get("stateOperators", []))),
+        )
+        for p in progress
+    ]
+    return spark.createDataFrame(
+        rows, "batch_id long, num_input_rows long, state_rows long"
+    )

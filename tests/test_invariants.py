@@ -515,3 +515,17 @@ def test_active_screen_curve_monotone_and_beats_random(spark, sf_dir):
     batch = max(int(stats["n"] * 0.1), 10)
     for prev, cur in zip(rows, rows[1:]):
         assert (cur.n_found - prev.n_found) / batch >= prevalence * 0.9
+
+
+def test_stream_progress_counts_all_rows(spark, sf_dir):
+    """StreamingQueryProgress must account for every event exactly
+    once across batches, with at least one batch executed and live
+    state rows equal to the grouping cardinality."""
+    from systematic_review_classification_spark import all_queries
+    from systematic_review_classification_spark.sources.tables import load
+
+    rows = all_queries()["stream_progress"](spark, sf_dir).collect()
+    assert rows, "no progress entries"
+    n_events = load(spark, sf_dir, "events").count()
+    assert sum(r.num_input_rows for r in rows) == n_events
+    assert max(r.state_rows for r in rows) >= 1

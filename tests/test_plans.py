@@ -631,3 +631,18 @@ def test_zorder_layout_clusters_files(spark, sf_dir, tmp_path):
     spans = sorted([(r.lo, r.hi) for r in spans])
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2, f"file ranges overlap: {spans}"
+
+
+def test_compaction_no_shuffle(spark, sf_dir):
+    """Compaction must use coalesce (narrow), never a repartition
+    exchange — the rewrite reads and writes, nothing shuffles."""
+    plan = plan_of(QUERIES["sink_compaction"](spark, sf_dir))
+    # the reporting aggregates exchange their 1-row partials; the scan
+    # side of the compacted read must carry a Coalesce, not an
+    # Exchange RoundRobinPartitioning
+    assert "roundrobinpartitioning" not in plan.lower(), plan
+
+
+def test_string_more_codegen(spark, sf_dir):
+    plan = plan_of(QUERIES["fn_string_more"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
