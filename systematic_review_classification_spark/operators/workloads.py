@@ -907,7 +907,8 @@ def wl_q16_suppcnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH ps AS (
   SELECT l_partkey AS pk, l_suppkey AS sk,
-         round(avg(l_extendedprice / l_quantity), 4) AS avg_price
+         ((2 * sum(CAST(round(round(l_extendedprice / l_quantity, 6) * 1000000, 0) AS BIGINT))
+           + 100 * count(*)) // (200 * count(*))) / 10000.0 AS avg_price
   FROM lineitem GROUP BY 1, 2),
 ranked AS (
   SELECT pk, sk, avg_price,
@@ -936,11 +937,29 @@ def wl_q2_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
     noise. Dimension joins happen AFTER rn=1 cuts the row set to one
     per part; nation broadcasts."""
     li = load(spark, sf_dir, "lineitem")
-    ps = li.groupBy(
-        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
-    ).agg(
-        F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias(
-            "avg_price"
+    # avg of RATIOS is the one average where round(avg(x), 4) is not
+    # cross-engine safe: the true mean can land EXACTLY on a 5 in the
+    # 5th decimal (seen at sf0.1: a 1-row group at 89.11625), and the
+    # engines then disagree by construction — Spark rounds the decimal
+    # repr HALF_UP while DuckDB rounds the binary double / rounds
+    # decimal ties down. The only bit-deterministic form is integer
+    # arithmetic: scale each ratio to an exact micro-unit bigint
+    # (round(r,6)*1e6 is within 1e-9 of an integer in BOTH engines, so
+    # round(...,0) agrees), sum exactly, and compute
+    # HALF_UP(S / (100*C)) as (2*S + 100*C) div (200*C) — pure bigint
+    # math, identical everywhere, then one exact /10000.0 for display.
+    micro = F.round(
+        F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6) * 1_000_000, 0
+    ).cast("long")
+    ps = (
+        li.groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .agg(F.sum(micro).alias("s"), F.count(F.lit(1)).alias("c"))
+        .select(
+            "pk",
+            "sk",
+            (
+                F.expr("(2 * s + 100 * c) div (200 * c)") / 10000.0
+            ).alias("avg_price"),
         )
     )
     w = W.partitionBy("pk").orderBy("avg_price", "sk")
