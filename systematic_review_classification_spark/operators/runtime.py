@@ -642,3 +642,56 @@ def fn_string_more(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.translate(F.left("text", F.lit(20)), "aeiou", "_____").alias("devoweled"),
         F.split_part("text", F.lit(" "), F.lit(2)).alias("second_word"),
     )
+
+
+@query(
+    "fn_mask",
+    oracle="""
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(left(text, 40),
+         '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') AS masked,
+       regexp_replace(left(text, 40), '[0-9]', '*', 'g') AS digits_starred
+FROM documents
+""",
+)
+def fn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mask() — the built-in data-masking function (upper→X, lower→x,
+    digit→n, other kept), plus a digits-only variant — the
+    de-identification primitive for sharing derived tables. DuckDB has
+    no mask(), so the oracle spells out the same character-class
+    substitution. Pure codegen projection; complements the regex-based
+    txt_pii_scrub with the engine-native masking path."""
+    d = load(spark, sf_dir, "documents")
+    head = F.left("text", F.lit(40))
+    return d.select(
+        "doc_id",
+        F.mask(head).alias("masked"),
+        F.mask(
+            head,
+            upperChar=F.lit(None),
+            lowerChar=F.lit(None),
+            digitChar=F.lit("*"),
+        ).alias("digits_starred"),
+    )
+
+
+@query(
+    "sql_natural_join",
+    oracle="""
+SELECT n_name, r_name
+FROM (SELECT n_nationkey, n_name, n_regionkey AS r_regionkey FROM nation) n
+NATURAL JOIN region
+""",
+)
+def sql_natural_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATURAL JOIN / USING frontend parity: the join condition is
+    inferred from the shared column name. Desugars to the identical
+    broadcast equi-join as an explicit ON — pinning that the frontend
+    sugar carries no plan cost. (NATURAL JOIN is listed for parity;
+    production code should prefer USING/ON — an accidental shared
+    column silently changes the join.)"""
+    load(spark, sf_dir, "nation").selectExpr(
+        "n_nationkey", "n_name", "n_regionkey AS r_regionkey"
+    ).createOrReplaceTempView("nation_nj")
+    load(spark, sf_dir, "region").createOrReplaceTempView("region_nj")
+    return spark.sql("SELECT n_name, r_name FROM nation_nj NATURAL JOIN region_nj")

@@ -284,3 +284,34 @@ def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         """
     )
+
+
+@query(
+    "win_nth_value",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       nth_value(o_totalprice, 2) OVER w AS second_price,
+       nth_value(o_orderkey, 3)  OVER w AS third_key
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value over a running frame — the positional window
+    accessor completing first/last (win_first_last): each order sees
+    the customer's 2nd order value and 3rd order key so far (NULL
+    until the frame holds that many rows). Same single user-partition
+    shuffle as every per-customer window."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        F.nth_value("o_orderkey", 3).over(w).alias("third_key"),
+    )
