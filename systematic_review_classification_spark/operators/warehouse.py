@@ -808,3 +808,117 @@ def wl_chi2_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)
         ).cast("bigint").alias("dof"),
     )
+
+
+@query(
+    "wl_mad_outliers",
+    oracle="""
+WITH med AS (
+  SELECT event_type, round(median(value), 6) AS med_v
+  FROM events GROUP BY event_type),
+mad AS (
+  SELECT e.event_type, med.med_v,
+         round(median(abs(e.value - med.med_v)), 6) AS mad_v
+  FROM events e JOIN med USING (event_type)
+  GROUP BY e.event_type, med.med_v)
+SELECT e.event_id, e.event_type,
+       round((e.value - m.med_v) / m.mad_v, 4) AS mad_score
+FROM events e JOIN mad m USING (event_type)
+WHERE abs((e.value - m.med_v) / m.mad_v) > 1.8
+""",
+)
+def wl_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier detection — the robust
+    alternative to z-scores (wl_anomaly_zscore) that a heavy-tailed
+    metric needs: medians don't move when the outliers themselves do.
+
+    Shape: per-type exact median (percentile over a per-type
+    partition, bounded by type cardinality — both engines interpolate
+    the same two middle doubles), broadcast back; a second per-type
+    median over the absolute deviations; then one broadcast join
+    flags |score| > 1.8. Two bounded aggregates + two broadcast joins;
+    the fact never self-joins."""
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.median("value"), 6).alias("med_v")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med_v")
+        .agg(F.round(F.median(F.abs(F.col("value") - F.col("med_v"))), 6).alias("mad_v"))
+    )
+    score = (F.col("value") - F.col("med_v")) / F.col("mad_v")
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .where(F.abs(score) > 1.8)
+        .select("event_id", "event_type", F.round(score, 4).alias("mad_score"))
+    )
+
+
+@query(
+    "wl_source_overlap",
+    oracle="""
+WITH vocab AS (
+  SELECT DISTINCT source, w FROM (
+    SELECT source, unnest(string_split(lower(regexp_replace(text, '[^a-zA-Z ]', ' ', 'g')), ' ')) AS w
+    FROM documents) t
+  WHERE length(w) >= 3),
+sizes AS (SELECT source, count(*) AS n FROM vocab GROUP BY source),
+inter AS (
+  SELECT a.source AS s1, b.source AS s2, count(*) AS n_common
+  FROM vocab a JOIN vocab b ON a.w = b.w AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT i.s1, i.s2, i.n_common,
+       round(i.n_common / (x.n + y.n - i.n_common), 6) AS jaccard
+FROM inter i
+JOIN sizes x ON i.s1 = x.source
+JOIN sizes y ON i.s2 = y.source
+""",
+)
+def wl_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary overlap matrix between corpus sources: pairwise
+    Jaccard of each source pair's distinct token sets — the
+    domain-similarity diagnostic behind mixture-weight decisions
+    (wl_domain_mix) and contamination checks.
+
+    Shape: one explode + distinct to the (source, token) grain, then
+    the pairwise intersection is an equi-join ON THE TOKEN (each token
+    contributes its source pairs — never an all-pairs vocabulary
+    comparison); union sizes come from a bounded per-source count
+    broadcast back. Token-key join cardinality is bounded by sources
+    per token (<= 5 here)."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            "source",
+            F.explode(
+                F.split(F.lower(F.regexp_replace("text", "[^a-zA-Z ]", " ")), " ")
+            ).alias("w"),
+        )
+        .where(F.length("w") >= 3)
+        .distinct()
+    )
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = vocab.alias("a"), vocab.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(F.col("a.source").alias("s1"), F.col("b.source").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    x = sizes.select(F.col("source").alias("s1"), F.col("n").alias("nx"))
+    y = sizes.select(F.col("source").alias("s2"), F.col("n").alias("ny"))
+    return (
+        inter.join(F.broadcast(x), "s1")
+        .join(F.broadcast(y), "s2")
+        .select(
+            "s1",
+            "s2",
+            "n_common",
+            F.round(
+                F.col("n_common") / (F.col("nx") + F.col("ny") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+    )

@@ -315,3 +315,33 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
         F.nth_value("o_orderkey", 3).over(w).alias("third_key"),
     )
+
+
+@query(
+    "win_lag_ignore_nulls",
+    oracle="""
+SELECT event_id, user_id,
+       lag(CASE WHEN event_type <> 'error' THEN round(value, 2) END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS last_good_value,
+       lead(CASE WHEN event_type <> 'error' THEN round(value, 2) END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_good_value
+FROM events
+""",
+)
+def win_lag_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead with IGNORE NULLS — the gap-jumping offset accessors:
+    each event sees the previous/next NON-error value for its user,
+    skipping over error events entirely (plain lag would return NULL
+    whenever the adjacent row is an error). Same one-shuffle
+    user-partitioned window as win_lag_lead; the null-skipping happens
+    inside the window frame evaluator, not via a second pass."""
+    ev = load(spark, sf_dir, "events")
+    # python F.lag has no ignoreNulls parameter; the SQL form does
+    good = "CASE WHEN event_type <> 'error' THEN round(value, 2) END"
+    over = "OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.expr(f"lag({good}, 1) IGNORE NULLS {over}").alias("last_good_value"),
+        F.expr(f"lead({good}, 1) IGNORE NULLS {over}").alias("next_good_value"),
+    )
