@@ -695,3 +695,66 @@ def sql_natural_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).createOrReplaceTempView("nation_nj")
     load(spark, sf_dir, "region").createOrReplaceTempView("region_nj")
     return spark.sql("SELECT n_name, r_name FROM nation_nj NATURAL JOIN region_nj")
+
+
+@query(
+    "agg_percentile_disc",
+    oracle="""
+SELECT o_orderpriority,
+       round(quantile_disc(o_totalprice, 0.25), 2) AS p25,
+       round(quantile_disc(o_totalprice, 0.50), 2) AS p50,
+       round(quantile_disc(o_totalprice, 0.75), 2) AS p75
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete quantiles (percentile_disc WITHIN GROUP): the reported
+    quartile is an ACTUAL data element, never an interpolated value —
+    what a latency or spend report wants (agg_median_pct covers the
+    interpolated percentile_cont family). Element selection — the
+    smallest value whose cume_dist reaches p — agrees between engines,
+    so the oracle matches exactly; round(2) only normalizes the
+    double."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_pd")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               round(percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p25,
+               round(percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p50,
+               round(percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p75
+        FROM orders_pd GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap aggregates (Spark 3.5+):
+    keys bucket into 32k-bit bitmaps (bitmap_bucket_number /
+    bitmap_bit_position), each group x bucket ORs its bitmap together
+    (bitmap_construct_agg — mergeable, fixed 4 KB state), and the
+    distinct count is the sum of per-bucket popcounts.
+
+    This is the exact-count analogue of HLL (agg_approx_distinct /
+    agg_hll_sketch): linear state in key-range/32k rather than the
+    sketch's constant, but no error — the materialized-view pattern
+    for COUNT(DISTINCT) at 100 TB. The oracle is the plain
+    count(DISTINCT)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_bm")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, sum(cnt) AS n_cust FROM (
+          SELECT o_orderpriority,
+                 bitmap_bucket_number(o_custkey) AS bkt,
+                 bitmap_count(bitmap_construct_agg(bitmap_bit_position(o_custkey))) AS cnt
+          FROM orders_bm
+          GROUP BY o_orderpriority, bitmap_bucket_number(o_custkey)
+        ) GROUP BY o_orderpriority
+        """
+    )

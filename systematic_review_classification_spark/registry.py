@@ -93,6 +93,7 @@ _PRIORITY: list[str] = [
     "sink_compaction", "fn_string_more", "stream_progress",
     "fn_mask", "sql_natural_join", "win_nth_value",
     "win_lag_ignore_nulls", "wl_mad_outliers", "wl_source_overlap",
+    "agg_percentile_disc", "agg_bitmap_distinct",
     "wl_retention", "wl_dau_wau", "wl_anomaly_zscore", "wl_copurchase",
     "wl_q9_profit", "agg_linreg", "txt_collocation", "txt_zipf",
     "fn_struct", "sim_topk_int8", "wl_q16_suppcnt", "wl_q2_mincost",
