@@ -43,6 +43,7 @@ _OPERATOR_MODULES = [
     "systematic_review_classification_spark.operators.analytics",
     "systematic_review_classification_spark.operators.reshape",
     "systematic_review_classification_spark.operators.warehouse",
+    "systematic_review_classification_spark.operators.ir",
     "systematic_review_classification_spark.operators.runtime",
     "systematic_review_classification_spark.streaming.batch_twins",
     "systematic_review_classification_spark.streaming.stream_ops",

@@ -1,0 +1,324 @@
+"""Information-retrieval operators over the document corpus: BM25
+ranking, an inverted index, asymmetric containment near-dup,
+blocked fuzzy (edit-distance) bibliographic dedup, and a portable
+count-min sketch for heavy-hitter counts.
+
+These extend the reference's screening surface (rank documents for a
+reviewer query — /root/reference/README.md:1-6; SURVEY.md §2.I) with
+the classic IR data structures a 100 TB corpus engine needs. All
+shapes are linear or blocked: one explode + hash-agg for the index,
+a broadcast scalar join for corpus stats, and candidate-pair joins
+only within equality blocks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from systematic_review_classification_spark.registry import query
+from systematic_review_classification_spark.sources.tables import load
+
+# Query terms for the BM25 / sketch demos — fixed so both engines see
+# the same literals (the corpus vocabulary is synthetic Spark jargon).
+_QUERY_TERMS = ("spark", "join", "stream", "hash")
+_QUERY_TERMS_SQL = ", ".join(f"'{t}'" for t in _QUERY_TERMS)
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "txt_bm25_topk",
+    oracle=f"""
+WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+  WHERE token IN ({_QUERY_TERMS_SQL})
+  GROUP BY doc_id, token),
+idf AS (
+  SELECT token, ln(1.0 + (s.n_docs - count(DISTINCT doc_id) + 0.5)
+                         / (count(DISTINCT doc_id) + 0.5)) AS idf
+  FROM tf, stats s GROUP BY token, s.n_docs),
+scored AS (
+  SELECT tf.doc_id,
+         sum(idf.idf * tf.tf * ({_BM25_K1} + 1.0)
+             / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * d.dl / s.avgdl))) AS score
+  FROM tf JOIN idf USING (token) JOIN d USING (doc_id), stats s
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 6) AS score
+FROM scored ORDER BY round(score, 6) DESC, doc_id LIMIT 20
+""",
+)
+def txt_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 ranking of the corpus against a fixed query — the
+    reviewer-facing ranking step of a screening pipeline (the
+    reference's rank-then-screen loop, SURVEY.md §2.I).
+
+    Plan shape for 100 TB: one explode filtered to query terms (the
+    filter lands BEFORE the aggregate, so the shuffle carries only
+    matching postings, not the corpus), a tiny per-term idf table and
+    1-row corpus stats both broadcast, and the final top-k is
+    orderBy+limit => TakeOrderedAndProject (per-partition partial
+    top-k, never a single-reducer global sort). Rank is computed on
+    the ROUNDED score with doc_id tie-break so both engines cut the
+    same top-20 set."""
+    d = load(spark, sf_dir, "documents")
+    dl = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token").isin(*_QUERY_TERMS))
+        .groupBy("doc_id", "token")
+        .count()
+        .withColumnRenamed("count", "tf")
+    )
+    idf = (
+        tf.groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .join(F.broadcast(stats), how="cross")
+        .select(
+            "token",
+            F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)).alias(
+                "idf"
+            ),
+        )
+    )
+    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+    scored = (
+        tf.join(F.broadcast(idf), "token")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats), how="cross")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("idf")
+                * F.col("tf")
+                * (k1 + 1.0)
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+            ).alias("score")
+        )
+    )
+    return (
+        scored.select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@query(
+    "wl_inverted_index",
+    oracle="""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+SELECT token,
+       count(DISTINCT doc_id) AS df,
+       count(*) AS tf_total,
+       list_sort(list(DISTINCT doc_id)) AS postings
+FROM tok GROUP BY token
+""",
+)
+def wl_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index: token -> (document frequency, total term
+    frequency, sorted posting list). One explode + one hash aggregate
+    keyed on token — the shuffle carries (token, doc_id) pairs and the
+    posting lists only materialize reduce-side. At 100 TB, postings
+    for ultra-common tokens are the skew risk; the production layout
+    segments them (posting blocks per token bucket, delta-encoded),
+    which changes the sink format, not this plan."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    return tok.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count("*").alias("tf_total"),
+        F.sort_array(F.collect_set("doc_id")).alias("postings"),
+    )
+
+
+@query(
+    "txt_containment",
+    oracle="""
+WITH g AS (
+  SELECT doc_id, source,
+         list_distinct(list_filter(
+           list_transform(list_zip(t, list_slice(t, 2, len(t))),
+                          p -> CASE WHEN p[2] IS NULL THEN NULL
+                                    ELSE p[1] || '_' || p[2] END),
+           x -> x IS NOT NULL)) AS grams
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents)),
+pairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / len(a.grams) AS c
+  FROM g a JOIN g b ON a.source = b.source AND a.doc_id <> b.doc_id)
+SELECT id1, id2, round(c, 6) AS containment
+FROM pairs WHERE c >= 0.25
+""",
+)
+def txt_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT near-dup: |A∩B| / |A| over bigram shingle
+    sets — the asymmetric cousin of Jaccard that catches a short
+    document embedded inside a longer one (quote inclusion, boilerplate
+    wrapping), which symmetric Jaccard under-scores. Ordered pairs
+    (a consumed-by b ≠ b consumed-by a) within source blocks; at
+    100 TB the block key becomes the MinHash band bucket exactly as in
+    dedup_minhash_portable."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = F.array_distinct(
+        F.filter(
+            F.zip_with(
+                toks,
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(1))),
+                lambda a, b: F.when(b.isNull(), None).otherwise(
+                    F.concat(a, F.lit("_"), b)
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    g = d.select("doc_id", "source", grams.alias("grams"))
+    a, b = g.alias("a"), g.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") != F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id1"),
+        F.col("b.doc_id").alias("id2"),
+        (
+            F.size(F.array_intersect("a.grams", "b.grams")).cast("double")
+            / F.size("a.grams")
+        ).alias("c"),
+    )
+    return pairs.filter(F.col("c") >= 0.25).select(
+        "id1", "id2", F.round("c", 6).alias("containment")
+    )
+
+
+@query(
+    "dedup_biblio",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text, lang, n_chars // 16 AS nb
+  FROM documents WHERE length(text) = strlen(text))
+SELECT a.doc_id AS id1, b.doc_id AS id2, levenshtein(a.text, b.text) AS dist
+FROM d a JOIN d b ON a.lang = b.lang AND a.nb = b.nb AND a.doc_id < b.doc_id
+WHERE levenshtein(a.text, b.text) <= 64
+""",
+)
+def dedup_biblio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bibliographic-record fuzzy dedup: block on (lang, length
+    bucket), verify candidates with edit distance — the classic
+    citation-dedup step of a systematic-review pipeline (same records
+    exported by different databases with small field diffs). Blocking
+    keeps the verify quadratic only WITHIN a block; Spark's
+    levenshtein(l, r, threshold) abandons a pair early once the
+    distance provably exceeds the bound, so cost per surviving pair is
+    O(len * threshold), not O(len^2).
+
+    Scope note: restricted to single-byte (ASCII) texts via
+    length = octet_length on BOTH engines, because DuckDB's
+    levenshtein counts UTF-8 bytes while Spark counts characters
+    (proven divergent in tests/test_edge_values.py) — the filter is
+    engine-consistent, the metric beyond it is not."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length("text") == F.octet_length("text"))
+        .select(
+            "doc_id", "text", "lang", F.expr("n_chars div 16").alias("nb")
+        )
+    )
+    a, b = d.alias("a"), d.alias("b")
+    dist = F.levenshtein(F.col("a.text"), F.col("b.text"), 64)
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.nb") == F.col("b.nb"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            dist.alias("dist"),
+        )
+        .filter(F.col("dist") >= 0)  # threshold form returns -1 past 64
+    )
+
+
+@query(
+    "agg_cms_portable",
+    oracle=f"""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+rb AS (
+  SELECT r.i AS di, CAST(CAST(('0x' || substring(md5(CAST(r.i AS VARCHAR) || ':' || token), 1, 8))
+                              AS BIGINT) % 32 AS INTEGER) AS bucket
+  FROM tok, (SELECT unnest([0, 1, 2, 3]) AS i) r),
+sketch AS (SELECT di, bucket, count(*) AS cnt FROM rb GROUP BY di, bucket),
+keys AS (SELECT unnest(['spark', 'join', 'stream', 'zzz_absent']) AS key),
+kb AS (
+  SELECT key, r.i AS di,
+         CAST(CAST(('0x' || substring(md5(CAST(r.i AS VARCHAR) || ':' || key), 1, 8))
+                   AS BIGINT) % 32 AS INTEGER) AS bucket
+  FROM keys, (SELECT unnest([0, 1, 2, 3]) AS i) r),
+est AS (
+  SELECT key, min(coalesce(s.cnt, 0)) AS est
+  FROM kb LEFT JOIN sketch s USING (di, bucket) GROUP BY key),
+exact AS (SELECT token AS key, count(*) AS exact FROM tok GROUP BY token)
+SELECT e.key, e.est, coalesce(x.exact, 0) AS exact
+FROM est e LEFT JOIN exact x USING (key)
+""",
+)
+def agg_cms_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch built from DataFrame primitives: depth 4 ×
+    width 32 counters, portable md5-prefix hashing (same rule as
+    dedup_minhash_portable — Spark murmur3 and DuckDB's native hash
+    differ by construction, md5 arithmetic is bit-equal). The sketch
+    IS a groupBy(row, bucket) count, so it builds with map-side
+    partial aggregation and merges associatively — the property that
+    lets 1000 executors each sketch their shard and a coordinator sum
+    the 128 counters. Query side: per-key bucket probe against the
+    broadcast sketch, min over rows; `exact` is joined alongside to
+    exhibit the one-sided error (est >= exact always, asserted in
+    tests/test_invariants.py)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("token"))
+
+    def _bucket(col):
+        return F.posexplode(
+            F.array(
+                *[
+                    (
+                        F.conv(
+                            F.substring(F.md5(F.concat(F.lit(f"{i}:"), col)), 1, 8),
+                            16,
+                            10,
+                        ).cast("bigint")
+                        % 32
+                    ).cast("int")
+                    for i in range(4)
+                ]
+            )
+        )
+
+    sketch = (
+        tok.select(_bucket(F.col("token")).alias("di", "bucket"))
+        .groupBy("di", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    keys = spark.createDataFrame(
+        [("spark",), ("join",), ("stream",), ("zzz_absent",)], "key string"
+    )
+    kb = keys.select("key", _bucket(F.col("key")).alias("di", "bucket"))
+    est = (
+        kb.join(F.broadcast(sketch), ["di", "bucket"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
+    )
+    exact = tok.groupBy("token").agg(F.count("*").alias("exact"))
+    return est.join(
+        F.broadcast(exact.withColumnRenamed("token", "key")), "key", "left"
+    ).select("key", "est", F.coalesce("exact", F.lit(0)).alias("exact"))

@@ -78,6 +78,8 @@ _PRIORITY: list[str] = [
     "wl_funnel", "agg_time_rollup", "fn_bitwise",
     # --- ~round-4 window boundary ---
     # round-3 late additions (never verified — head of the r4 window)
+    "txt_bm25_topk", "wl_inverted_index", "txt_containment",
+    "dedup_biblio", "agg_cms_portable",
     "wl_q11_partvalue", "wl_q20_excess", "wl_seasonality",
     "wl_skew_report", "wl_resample_ffill", "sample_reservoir",
     "agg_grouping_id", "agg_corr_matrix", "sql_qualify", "wl_profile",

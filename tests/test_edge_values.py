@@ -200,6 +200,8 @@ def test_document_operators_survive_empty_corpus(spark, tmp_path):
         "wl_mix_entropy",
         "dedup_incremental", "dedup_cluster_hist", "dedup_degree_hist",
         "fn_collate",
+        "txt_bm25_topk", "wl_inverted_index", "txt_containment",
+        "dedup_biblio", "agg_cms_portable",
     ]
     q = all_queries()
     for key in keys:

@@ -529,3 +529,40 @@ def test_stream_progress_counts_all_rows(spark, sf_dir):
     n_events = load(spark, sf_dir, "events").count()
     assert sum(r.num_input_rows for r in rows) == n_events
     assert max(r.state_rows for r in rows) >= 1
+
+
+def test_cms_one_sided_error(spark, sf_dir):
+    """Count-min sketch guarantees est >= exact for every key (hash
+    collisions only ever ADD counts), with total over-estimate bounded
+    by the collision mass. The absent probe key must report exact=0
+    while its estimate may be positive — the signature CMS behavior."""
+    from systematic_review_classification_spark import all_queries
+
+    rows = {r.key: r for r in all_queries()["agg_cms_portable"](spark, sf_dir).collect()}
+    assert set(rows) == {"spark", "join", "stream", "zzz_absent"}
+    for r in rows.values():
+        assert r.est >= r.exact, f"{r.key}: CMS under-estimated"
+    assert rows["zzz_absent"].exact == 0
+
+
+def test_bm25_ranks_are_positive_and_bounded(spark, sf_dir):
+    """BM25 with the 1+ idf form is strictly positive; top-20 of a
+    corpus where every query term is common must fill all 20 slots and
+    come back sorted-compatible (no duplicate doc_ids)."""
+    from systematic_review_classification_spark import all_queries
+
+    rows = all_queries()["txt_bm25_topk"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    assert len({r.doc_id for r in rows}) == len(rows)
+    assert all(r.score > 0 for r in rows)
+
+
+def test_inverted_index_postings_consistent(spark, sf_dir):
+    """df must equal the posting-list length for every token (the
+    postings ARE the distinct docs), and tf_total >= df."""
+    from systematic_review_classification_spark import all_queries
+
+    for r in all_queries()["wl_inverted_index"](spark, sf_dir).collect():
+        assert r.df == len(r.postings)
+        assert r.tf_total >= r.df
+        assert list(r.postings) == sorted(set(r.postings))
