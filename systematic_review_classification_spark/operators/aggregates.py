@@ -552,3 +552,50 @@ def agg_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(F.avg(F.log(F.col("l_quantity")))), 6).alias("geomean_qty"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+WITH pw AS (
+  SELECT l_returnflag AS flag, l_extendedprice AS price, sum(l_quantity) AS w
+  FROM lineitem GROUP BY 1, 2),
+cum AS (
+  SELECT flag, price,
+         sum(w) OVER (PARTITION BY flag ORDER BY price) AS cw,
+         sum(w) OVER (PARTITION BY flag) AS tw
+  FROM pw)
+SELECT flag, min(price) AS w_median
+FROM cum WHERE cw >= 0.5 * tw GROUP BY flag
+""",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median (price weighted by quantity) per group —
+    the order statistic percentile_cont cannot express because each
+    row carries a weight.
+
+    Two-stage shape: pre-aggregate weights per (group, value) FIRST —
+    the cumulative window then runs over distinct values, not raw rows,
+    shrinking the sorted partition by the value-duplication factor and
+    making ROWS/RANGE framing equivalent (no ties). The window
+    partitions by group; at 100 TB with few groups this is the
+    documented skew point — the production path is approx (weighted
+    t-digest) or a two-pass range-partitioned rank like ml_eval_auc's.
+    Weights stay integral so cw >= 0.5*tw compares exactly in both
+    engines."""
+    li = load(spark, sf_dir, "lineitem")
+    pw = li.groupBy(
+        F.col("l_returnflag").alias("flag"), F.col("l_extendedprice").alias("price")
+    ).agg(F.sum("l_quantity").alias("w"))
+    wflag = W.partitionBy("flag")
+    cum = pw.select(
+        "flag",
+        "price",
+        F.sum("w").over(wflag.orderBy("price")).alias("cw"),
+        F.sum("w").over(wflag).alias("tw"),
+    )
+    return (
+        cum.filter(F.col("cw") >= 0.5 * F.col("tw"))
+        .groupBy("flag")
+        .agg(F.min("price").alias("w_median"))
+    )

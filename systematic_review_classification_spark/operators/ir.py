@@ -322,3 +322,88 @@ def agg_cms_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(
         F.broadcast(exact.withColumnRenamed("token", "key")), "key", "left"
     ).select("key", "est", F.coalesce("exact", F.lit(0)).alias("exact"))
+
+
+@query(
+    "wl_vocab_growth",
+    oracle="""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+first AS (SELECT token, min(doc_id) // 20 AS first_bin FROM tok GROUP BY token),
+newb AS (SELECT first_bin, count(*) AS new_tokens FROM first GROUP BY first_bin),
+bins AS (SELECT DISTINCT doc_id // 20 AS bin FROM documents)
+SELECT b.bin, CAST(coalesce(n.new_tokens, 0) AS BIGINT) AS new_tokens,
+       CAST(sum(coalesce(n.new_tokens, 0)) OVER (ORDER BY b.bin) AS BIGINT) AS vocab_size
+FROM bins b LEFT JOIN newb n ON n.first_bin = b.bin
+""",
+)
+def wl_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) curve: distinct tokens seen as
+    the corpus grows, per ingestion bin of 20 docs. Running
+    "distinct so far" without any stateful scan: each token
+    contributes only at its FIRST bin (min(doc_id) per token — one
+    hash agg), then a cumulative sum over the BINNED axis. The window
+    is over bins, not docs, so its partition stays bounded no matter
+    the corpus size — the same bounded-axis trick as wl_shard_shuffle;
+    resolution is a knob, not a scale risk."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    first = tok.groupBy("token").agg(
+        F.expr("min(doc_id) div 20").alias("first_bin")
+    )
+    newb = first.groupBy("first_bin").agg(F.count(F.lit(1)).alias("new_tokens"))
+    bins = d.select(F.expr("doc_id div 20").alias("bin")).distinct()
+    from pyspark.sql import Window as W
+
+    joined = bins.join(
+        F.broadcast(newb), bins.bin == newb.first_bin, "left"
+    ).select("bin", F.coalesce("new_tokens", F.lit(0)).alias("new_tokens"))
+    return joined.select(
+        "bin",
+        "new_tokens",
+        F.sum("new_tokens").over(W.orderBy("bin")).alias("vocab_size"),
+    )
+
+
+_LEXICON = [("fast", 2), ("small", 1), ("scan", 1), ("merge", -1), ("dup", -2)]
+_LEXICON_SQL = ", ".join(f"('{w}', {s})" for w, s in _LEXICON)
+
+
+@query(
+    "txt_sentiment_lexicon",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+hits AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits, CAST(sum(wt) AS BIGINT) AS raw
+  FROM tok JOIN (VALUES {_LEXICON_SQL}) lex(word, wt) ON token = word
+  GROUP BY doc_id),
+dl AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents)
+SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits, coalesce(h.raw, 0) AS raw,
+       round(CAST(coalesce(h.raw, 0) AS DOUBLE) / d.n_tok, 6) AS score
+FROM dl d LEFT JOIN hits h USING (doc_id)
+""",
+)
+def txt_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based scoring (the sentiment/toxicity/domain-term
+    pattern): token stream equi-joined to a BROADCAST weighted
+    lexicon, weights summed per document, normalized by length. The
+    lexicon side is always small (10^4-10^6 terms) — broadcast it and
+    the corpus never shuffles; the per-doc aggregate combines
+    map-side. Swapping in a real sentiment/quality lexicon changes
+    the VALUES, not the plan."""
+    d = load(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(_LEXICON, "word string, wt int")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    hits = (
+        tok.join(F.broadcast(lex), tok.token == lex.word)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"), F.sum("wt").cast("bigint").alias("raw"))
+    )
+    dl = d.select("doc_id", F.size(F.split("text", " ")).alias("n_tok"))
+    return dl.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        F.coalesce("raw", F.lit(0)).alias("raw"),
+        F.round(F.coalesce("raw", F.lit(0)).cast("double") / F.col("n_tok"), 6).alias(
+            "score"
+        ),
+    )

@@ -922,3 +922,158 @@ def wl_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@query(
+    "wl_data_quality",
+    oracle="""
+WITH o AS (
+  SELECT count(*) AS orders_rows,
+         sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_totalprice,
+         sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)::BIGINT AS nonpos_totalprice,
+         count(*) - count(DISTINCT o_orderkey) AS dup_orderkeys
+  FROM orders),
+l AS (
+  SELECT count(*) AS lineitem_rows,
+         sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)::BIGINT AS qty_out_of_range,
+         sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)::BIGINT AS discount_out_of_range
+  FROM lineitem),
+orph AS (
+  SELECT count(*) AS orphan_lineitems
+  FROM lineitem li WHERE NOT EXISTS (SELECT 1 FROM orders o2 WHERE o2.o_orderkey = li.l_orderkey))
+SELECT o.orders_rows, o.null_totalprice, o.nonpos_totalprice, o.dup_orderkeys,
+       l.lineitem_rows, l.qty_out_of_range, l.discount_out_of_range,
+       orph.orphan_lineitems
+FROM o, l, orph
+""",
+)
+def wl_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract validation report — the expectations check every
+    production pipeline runs before publishing a table: row counts,
+    null checks, range checks, key uniqueness, and referential
+    integrity (orphan facts), all in ONE row.
+
+    Shape for 100 TB: each table is scanned ONCE with all its checks
+    fused into a single partial-aggregating pass (conditional sums,
+    not one job per rule); the only shuffle is the orphan check's
+    left-anti join on the fact key plus three 1-row cross joins. A
+    rules engine adds rules by adding agg columns, not passes."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    o_rep = o.agg(
+        F.count(F.lit(1)).alias("orders_rows"),
+        F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)).alias(
+            "null_totalprice"
+        ),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "nonpos_totalprice"
+        ),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dup_orderkeys"),
+    )
+    l_rep = li.agg(
+        F.count(F.lit(1)).alias("lineitem_rows"),
+        F.sum(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1).otherwise(0)
+        ).alias("qty_out_of_range"),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(0)
+        ).alias("discount_out_of_range"),
+    )
+    orph = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_lineitems"))
+    )
+    return o_rep.join(F.broadcast(l_rep)).join(F.broadcast(orph))
+
+
+@query(
+    "wl_merge_upsert",
+    oracle="""
+WITH src AS (
+  SELECT o_custkey AS key, round(sum(o_totalprice), 2) AS delta
+  FROM orders WHERE o_orderdate >= DATE '1997-01-01' GROUP BY o_custkey
+  UNION ALL
+  SELECT o_custkey + 1000000 AS key, round(sum(o_totalprice), 2) AS delta
+  FROM orders WHERE o_orderdate >= DATE '1997-01-01' AND o_custkey % 50 = 0
+  GROUP BY o_custkey)
+SELECT coalesce(t.c_custkey, s.key) AS key,
+       coalesce(t.c_name, 'NEW-' || CAST(s.key AS VARCHAR)) AS name,
+       round(coalesce(t.c_acctbal, 0) + coalesce(s.delta, 0), 2) AS acctbal,
+       CASE WHEN t.c_custkey IS NULL THEN 'INSERT'
+            WHEN s.key IS NULL THEN 'KEEP'
+            ELSE 'UPDATE' END AS action
+FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.key
+""",
+)
+def wl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE INTO (upsert) semantics via full-outer join — the
+    warehouse three-branch merge: WHEN MATCHED update (balance +=
+    period spend), WHEN NOT MATCHED insert (synthetic late-arriving
+    customers, key-shifted so the branch is non-empty at every SF),
+    WHEN NOT MATCHED BY SOURCE keep.
+
+    MERGE fundamentally requires co-partitioning target and source on
+    the merge key — expressed here as one shuffle-on-key full-outer
+    SMJ (a full outer can never broadcast). At 100 TB the win comes
+    from bucketing the target on the key so only the source side
+    shuffles; the branch logic is identical."""
+    t = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= F.lit("1997-01-01"))
+    upd = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("delta")
+    )
+    ins = (
+        o.filter(F.col("o_custkey") % 50 == 0)
+        .groupBy((F.col("o_custkey") + 1000000).alias("key"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("delta"))
+    )
+    s = upd.unionByName(ins)
+    m = t.join(s, t.c_custkey == s.key, "full_outer")
+    return m.select(
+        F.coalesce(t.c_custkey, s.key).alias("key"),
+        F.coalesce(t.c_name, F.concat(F.lit("NEW-"), s.key.cast("string"))).alias("name"),
+        F.round(
+            F.coalesce(t.c_acctbal, F.lit(0)) + F.coalesce(s.delta, F.lit(0)), 2
+        ).alias("acctbal"),
+        F.when(t.c_custkey.isNull(), "INSERT")
+        .when(s.key.isNull(), "KEEP")
+        .otherwise("UPDATE")
+        .alias("action"),
+    )
+
+
+@query(
+    "wl_benford",
+    oracle="""
+WITH d AS (
+  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INTEGER) AS digit
+  FROM orders WHERE o_totalprice >= 1),
+c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+t AS (SELECT sum(n) AS tot FROM c)
+SELECT digit, n, round(CAST(n AS DOUBLE) / tot, 6) AS observed,
+       round(log10(1.0 + 1.0 / digit), 6) AS benford_expected
+FROM c, t
+""",
+)
+def wl_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit on order totals — the
+    fraud/synthetic-data smell test: leading-digit frequencies vs the
+    log10(1 + 1/d) law. One scan + a 9-row aggregate + a broadcast
+    1-row total. Digit extraction floors BOTH engines before the
+    bigint cast (DuckDB CAST(double AS BIGINT) rounds half-even,
+    Spark truncates — the proj_cast dialect trap)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("tot"))
+    return c.join(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("observed"),
+        F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford_expected"),
+    )

@@ -345,3 +345,79 @@ def win_lag_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"lag({good}, 1) IGNORE NULLS {over}").alias("last_good_value"),
         F.expr(f"lead({good}, 1) IGNORE NULLS {over}").alias("next_good_value"),
     )
+
+
+@query(
+    "win_running_distinct",
+    oracle="""
+WITH fl AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS is_first
+  FROM events)
+SELECT user_id, event_id,
+       CAST(sum(is_first) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS BIGINT) AS types_so_far
+FROM fl
+""",
+)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) per user — a frame no SQL window can
+    express directly (DISTINCT is not frameable). Decomposed into two
+    plain windows: flag each (user, type)'s FIRST occurrence, then
+    running-sum the flags. Both windows partition on user (and
+    user×type), so state per partition is a row counter — nothing
+    set-valued is ever carried, which is what makes this linear at
+    100 TB where a naive per-row set accumulation is quadratic
+    memory."""
+    ev = load(spark, sf_dir, "events")
+    first = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    run = W.partitionBy("user_id").orderBy("ts", "event_id")
+    fl = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.row_number().over(first) == 1, 1).otherwise(0).alias("is_first"),
+    )
+    return fl.select(
+        "user_id", "event_id", F.sum("is_first").over(run).alias("types_so_far")
+    )
+
+
+@query(
+    "win_ewma",
+    oracle="""
+WITH s AS (
+  SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+  FROM events GROUP BY user_id)
+SELECT user_id, CAST(len(vs) AS INTEGER) AS n,
+       round(list_reduce(vs, (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma
+FROM s
+""",
+)
+def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user (alpha = 0.3) —
+    the sequential recurrence ewma_t = a*x_t + (1-a)*ewma_{t-1} that
+    no built-in window aggregate expresses. Computed as a higher-order
+    FOLD over the time-ordered value array (sort_array of
+    (ts, event_id, value) structs gives deterministic order; the fold
+    runs JVM-side, no UDF). Both engines execute the identical
+    left-to-right float recurrence, so results are bit-equal before
+    rounding. Per-user arrays are bounded by user activity — the
+    right unit of parallelism; an unbounded global series would
+    instead chunk with carry like wl_resample_ffill."""
+    ev = load(spark, sf_dir, "events")
+    vs = F.transform(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda s: s.value,
+    )
+    agg = ev.groupBy("user_id").agg(vs.alias("vs"))
+    ewma = F.aggregate(
+        F.slice(F.col("vs"), 2, F.greatest(F.size("vs") - 1, F.lit(0))),
+        F.element_at(F.col("vs"), 1),
+        lambda acc, x: 0.3 * x + 0.7 * acc,
+    )
+    return agg.select(
+        "user_id", F.size("vs").alias("n"), F.round(ewma, 6).alias("ewma")
+    )

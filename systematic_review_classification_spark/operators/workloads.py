@@ -983,3 +983,25 @@ def wl_q2_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_price",
         )
     )
+
+
+@query(
+    "wl_hour_heatmap",
+    oracle="""
+SELECT isodow(ts) AS dow, hour(ts) AS hr,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+""",
+)
+def wl_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity heatmap over event time — the
+    operational dashboard staple. One scan, one 168-cell hash
+    aggregate (fully map-side combinable); the ISO weekday is
+    weekday()+1 in Spark to match DuckDB's isodow (Mon=1..Sun=7),
+    dodging the dayofweek() Sunday-origin dialect trap."""
+    from systematic_review_classification_spark.sources.tables import load as _load
+
+    ev = _load(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.weekday("ts") + 1).alias("dow"), F.hour("ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))

@@ -80,6 +80,10 @@ _PRIORITY: list[str] = [
     # round-3 late additions (never verified — head of the r4 window)
     "txt_bm25_topk", "wl_inverted_index", "txt_containment",
     "dedup_biblio", "agg_cms_portable",
+    "wl_data_quality", "wl_merge_upsert", "agg_weighted_median",
+    "wl_hour_heatmap",
+    "wl_vocab_growth", "txt_sentiment_lexicon", "win_running_distinct",
+    "win_ewma", "wl_benford",
     "wl_q11_partvalue", "wl_q20_excess", "wl_seasonality",
     "wl_skew_report", "wl_resample_ffill", "sample_reservoir",
     "agg_grouping_id", "agg_corr_matrix", "sql_qualify", "wl_profile",

@@ -202,6 +202,7 @@ def test_document_operators_survive_empty_corpus(spark, tmp_path):
         "fn_collate",
         "txt_bm25_topk", "wl_inverted_index", "txt_containment",
         "dedup_biblio", "agg_cms_portable",
+        "wl_vocab_growth", "txt_sentiment_lexicon",
     ]
     q = all_queries()
     for key in keys:
