@@ -599,3 +599,35 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("flag")
         .agg(F.min("price").alias("w_median"))
     )
+
+
+@query("agg_sketch_merge")  # rows-only: HLL estimate is engine-specific
+def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed-sketch ALGEBRA: per-group HLL sketches built
+    independently (one per order priority — stand-ins for 1000
+    executors' shards), union-merged into a global distinct-customer
+    estimate. This mergeability — sketch(A ∪ B) = merge(sketch(A),
+    sketch(B)) — is why sketches beat exact distinct at 100 TB: the
+    shuffle carries fixed-size binaries, not customer keys. Rows-only
+    by design (Apache DataSketches HLL has no DuckDB twin);
+    tests/test_invariants.py bounds the estimate against the exact
+    count (lgConfigK=12 → ~1.6% standard error)."""
+    o = load(spark, sf_dir, "orders")
+    shard = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey", F.lit(12)).alias("sk")
+    )
+    merged = shard.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_distinct"),
+        F.count(F.lit(1)).alias("n_shards"),
+    )
+    exact = o.agg(F.countDistinct("o_custkey").alias("exact_distinct"))
+    return merged.join(F.broadcast(exact)).select(
+        "n_shards",
+        "est_distinct",
+        "exact_distinct",
+        F.round(
+            F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            6,
+        ).alias("rel_err"),
+    )

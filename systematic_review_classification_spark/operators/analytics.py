@@ -963,3 +963,85 @@ def wl_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "wl_ks_test",
+    oracle="""
+WITH s AS (
+  SELECT CAST(floor(value) AS BIGINT) AS g,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ia,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ib
+  FROM events WHERE event_type IN ('purchase', 'click')),
+pts AS (SELECT g, CAST(sum(ia) AS BIGINT) AS ca, CAST(sum(ib) AS BIGINT) AS cb
+        FROM s GROUP BY g),
+tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM pts),
+cdf AS (
+  SELECT CAST(sum(ca) OVER (ORDER BY g) AS DOUBLE) / t.na AS fa,
+         CAST(sum(cb) OVER (ORDER BY g) AS DOUBLE) / t.nb AS fb
+  FROM pts, tot t)
+SELECT round(max(abs(fa - fb)), 6) AS ks_stat,
+       (SELECT na FROM tot) AS n_a, (SELECT nb FROM tot) AS n_b
+FROM cdf
+""",
+)
+def wl_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic (purchase vs click
+    value distributions) on a QUANTIZED grid: values floor to unit
+    bins first, so the ECDF window runs over a bounded axis (≤ range
+    bins) instead of one row per distinct double — the same
+    bounded-axis discipline as wl_vocab_growth; grid width trades
+    resolution, never scalability. Both CDFs come from ONE scan
+    (conditional partial sums), the supremum is a plain max."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    s = ev.select(
+        F.floor("value").cast("bigint").alias("g"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("ia"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("ib"),
+    )
+    pts = s.groupBy("g").agg(F.sum("ia").alias("ca"), F.sum("ib").alias("cb"))
+    tot = pts.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    cdf = pts.join(F.broadcast(tot)).select(
+        (F.sum("ca").over(W.orderBy("g")).cast("double") / F.col("na")).alias("fa"),
+        (F.sum("cb").over(W.orderBy("g")).cast("double") / F.col("nb")).alias("fb"),
+    )
+    return cdf.agg(F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 6).alias("ks_stat")).join(
+        F.broadcast(tot.select(F.col("na").alias("n_a"), F.col("nb").alias("n_b")))
+    )
+
+
+@query(
+    "wl_path_trigrams",
+    oracle="""
+WITH e AS (
+  SELECT event_type AS t1,
+         lead(event_type) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT t1 || '>' || t2 || '>' || t3 AS trigram, count(*) AS n
+FROM e WHERE t3 IS NOT NULL AND t2 IS NOT NULL GROUP BY 1
+""",
+)
+def wl_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: frequency of every 3-step event-type
+    sequence per user journey — the sequence-mining extension of
+    wl_markov_transitions (pairs). Two leads over ONE per-user window
+    (single shuffle on user_id, one sort), then a hash aggregate on
+    the composed trigram key. Path cardinality is |types|^3, bounded,
+    so the final agg broadcasts trivially into dashboards."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type").over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    return (
+        e.filter(F.col("t3").isNotNull() & F.col("t2").isNotNull())
+        .select(F.concat_ws(">", "t1", "t2", "t3").alias("trigram"))
+        .groupBy("trigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

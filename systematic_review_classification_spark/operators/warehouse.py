@@ -1077,3 +1077,26 @@ def wl_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("observed"),
         F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford_expected"),
     )
+
+
+@query(
+    "sql_group_by_all",
+    oracle="""
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_quantity), 2) AS qty, round(avg(l_discount), 6) AS avg_disc
+FROM lineitem GROUP BY ALL
+""",
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL parity (modern-SQL ergonomics, Spark 3.4+ and
+    DuckDB agree on the rule: group on every non-aggregate select
+    item). Resolves to the identical hash aggregate as an explicit
+    column list — sugar at the analyzer, not a new plan."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gba")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               round(sum(l_quantity), 2) AS qty, round(avg(l_discount), 6) AS avg_disc
+        FROM lineitem_gba GROUP BY ALL
+        """
+    )

@@ -84,6 +84,7 @@ _PRIORITY: list[str] = [
     "wl_hour_heatmap",
     "wl_vocab_growth", "txt_sentiment_lexicon", "win_running_distinct",
     "win_ewma", "wl_benford",
+    "wl_ks_test", "wl_path_trigrams", "sql_group_by_all", "agg_sketch_merge",
     "wl_q11_partvalue", "wl_q20_excess", "wl_seasonality",
     "wl_skew_report", "wl_resample_ffill", "sample_reservoir",
     "agg_grouping_id", "agg_corr_matrix", "sql_qualify", "wl_profile",

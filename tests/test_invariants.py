@@ -566,3 +566,23 @@ def test_inverted_index_postings_consistent(spark, sf_dir):
         assert r.df == len(r.postings)
         assert r.tf_total >= r.df
         assert list(r.postings) == sorted(set(r.postings))
+
+
+def test_hll_merge_estimate_bounded(spark, sf_dir):
+    """Merged per-shard HLL sketches must estimate the global distinct
+    count within ~5x the configured standard error (lgConfigK=12 →
+    ~1.6%), and the merge must see every shard."""
+    from systematic_review_classification_spark import all_queries
+
+    r = all_queries()["agg_sketch_merge"](spark, sf_dir).first()
+    assert r.n_shards >= 2
+    assert r.exact_distinct > 0
+    assert r.rel_err <= 0.08, f"HLL union drifted: {r.rel_err}"
+
+
+def test_ks_stat_in_unit_interval(spark, sf_dir):
+    from systematic_review_classification_spark import all_queries
+
+    r = all_queries()["wl_ks_test"](spark, sf_dir).first()
+    assert 0.0 <= r.ks_stat <= 1.0
+    assert r.n_a > 0 and r.n_b > 0
