@@ -646,3 +646,59 @@ def test_compaction_no_shuffle(spark, sf_dir):
 def test_string_more_codegen(spark, sf_dir):
     plan = plan_of(QUERIES["fn_string_more"](spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_bm25_topk_is_take_ordered_with_broadcast_stats(spark, sf_dir):
+    """BM25's global top-20 must compile to TakeOrderedAndProject
+    (distributed partial top-k) and its idf/corpus-stats joins must
+    broadcast — the corpus side never shuffles for a scalar join."""
+    plan = plan_of(QUERIES["txt_bm25_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_merge_upsert_full_outer_never_broadcasts(spark, sf_dir):
+    """MERGE's full-outer join must be a shuffle join on the merge key
+    (a full outer cannot broadcast) — pinning that nobody 'optimizes'
+    the target table into a broadcast that OOMs at scale."""
+    plan = plan_of(QUERIES["wl_merge_upsert"](spark, sf_dir))
+    assert "FullOuter" in plan, plan
+    assert "BroadcastHashJoin FullOuter" not in plan, plan
+
+
+def test_sentiment_lexicon_broadcasts_lexicon(spark, sf_dir):
+    """The lexicon join must broadcast the lexicon side so the token
+    stream never shuffles for it."""
+    plan = plan_of(QUERIES["txt_sentiment_lexicon"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_biblio_dedup_pushes_ascii_filter_to_scan(spark, sf_dir):
+    """The ASCII guard and block-key equi-conditions must appear as a
+    join on block keys, never a cartesian: the plan must contain an
+    equi-join (SortMergeJoin/ShuffledHashJoin/BroadcastHashJoin) and
+    no CartesianProduct / BroadcastNestedLoopJoin."""
+    plan = plan_of(QUERIES["dedup_biblio"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    ), plan
+
+
+def test_cms_sketch_join_broadcasts_sketch(spark, sf_dir):
+    """The CMS probe must broadcast the 128-row sketch, and the sketch
+    build must be a partial-aggregating groupBy (HashAggregate pair)."""
+    plan = plan_of(QUERIES["agg_cms_portable"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_data_quality_single_pass_per_table(spark, sf_dir):
+    """The contract report must scan orders at most twice (agg pass +
+    anti-join build) and lineitem at most twice (agg pass + anti-join
+    probe) — rules are fused into aggregates, not one job per rule."""
+    plan = plan_of(QUERIES["wl_data_quality"](spark, sf_dir))
+    assert plan.count("orders.parquet") <= 2, plan
+    assert plan.count("lineitem.parquet") <= 2, plan
