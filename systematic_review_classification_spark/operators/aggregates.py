@@ -631,3 +631,61 @@ def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_err"),
     )
+
+
+@query(
+    "agg_higher_moments",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag AS flag, CAST(count(*) AS DOUBLE) AS n,
+         sum(l_quantity) AS s1,
+         sum(l_quantity * l_quantity) AS s2,
+         sum(l_quantity * l_quantity * l_quantity) AS s3,
+         sum(l_quantity * l_quantity * l_quantity * l_quantity) AS s4
+  FROM lineitem GROUP BY 1)
+SELECT flag, CAST(n AS BIGINT) AS n,
+       round((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * pow(s1 / n, 3))
+             / pow(s2 / n - pow(s1 / n, 2), 1.5), 6) AS skew,
+       round((s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * pow(s1 / n, 2) * (s2 / n)
+              - 3 * pow(s1 / n, 4))
+             / pow(s2 / n - pow(s1 / n, 2), 2) - 3, 6) AS ex_kurtosis
+FROM m
+""",
+)
+def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness + excess kurtosis per group from RAW POWER SUMS — not
+    the engine-native skewness()/kurtosis() aggregates, whose
+    sample-vs-population bias conventions differ between engines.
+    Moment algebra is the portable contract: one partial-aggregating
+    pass accumulates (n, Σx, Σx², Σx³, Σx⁴) — a fixed-size mergeable
+    state, the same property that distributes agg_corr_matrix — and
+    the statistics are derived by an IDENTICAL expression tree on both
+    sides. Because l_quantity is integer-valued, every partial sum
+    stays an exact double (< 2^53), so the comparison is bit-equal,
+    not merely close."""
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    m = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum(q * q).alias("s2"),
+        F.sum(q * q * q).alias("s3"),
+        F.sum(q * q * q * q).alias("s4"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - F.pow(mean, 2)
+    skew = (
+        F.col("s3") / F.col("n") - 3 * mean * (F.col("s2") / F.col("n")) + 2 * F.pow(mean, 3)
+    ) / F.pow(var, 1.5)
+    kurt = (
+        F.col("s4") / F.col("n")
+        - 4 * mean * (F.col("s3") / F.col("n"))
+        + 6 * F.pow(mean, 2) * (F.col("s2") / F.col("n"))
+        - 3 * F.pow(mean, 4)
+    ) / F.pow(var, 2) - 3
+    return m.select(
+        "flag",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(skew, 6).alias("skew"),
+        F.round(kurt, 6).alias("ex_kurtosis"),
+    )

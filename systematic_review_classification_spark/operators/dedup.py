@@ -896,3 +896,113 @@ def dedup_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = pairs.select(F.explode(F.array("id1", "id2")).alias("node"))
     deg = nodes.groupBy("node").agg(F.count("*").alias("degree"))
     return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
+@query(
+    "dedup_minhash_eval",
+    oracle="""
+WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+             FROM documents),
+sig AS (
+  SELECT doc_id, i, min(md5(i::VARCHAR || ':' || token)) AS mh
+  FROM tok CROSS JOIN (SELECT unnest(range(0, 16)) AS i) AS hi
+  GROUP BY doc_id, i),
+band AS (
+  SELECT doc_id, i // 8 AS band, md5(string_agg(mh, '|' ORDER BY i)) AS bkey
+  FROM sig GROUP BY doc_id, i // 8),
+src AS (SELECT doc_id, source FROM documents),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM band a JOIN band b ON a.band = b.band AND a.bkey = b.bkey
+                          AND a.doc_id < b.doc_id
+  JOIN src sa ON sa.doc_id = a.doc_id
+  JOIN src sb ON sb.doc_id = b.doc_id AND sa.source = sb.source),
+t AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
+      FROM documents),
+truth AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2
+  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8),
+nums AS (
+  SELECT (SELECT count(*) FROM truth) AS n_truth,
+         (SELECT count(*) FROM cand) AS n_cand,
+         (SELECT count(*) FROM cand JOIN truth USING (id1, id2)) AS tp)
+SELECT CAST(n_truth AS BIGINT) AS n_truth, CAST(n_cand AS BIGINT) AS n_cand,
+       CAST(tp AS BIGINT) AS tp,
+       round(CASE WHEN n_truth = 0 THEN NULL
+                  ELSE CAST(tp AS DOUBLE) / n_truth END, 6) AS recall,
+       round(CASE WHEN n_cand = 0 THEN NULL
+                  ELSE CAST(tp AS DOUBLE) / n_cand END, 6) AS precision
+FROM nums
+""",
+)
+def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH QUALITY evaluation: candidate recall and precision
+    of the banded signatures (dedup_minhash_portable's exact
+    configuration, 16 hashes × 2 bands) against exact token-set
+    Jaccard ≥ 0.8 ground truth, measured on the same-source stratum —
+    at corpus scale the global truth is uncomputable by definition, so
+    production dedup QA samples strata where exact all-pairs IS
+    affordable and extrapolates; this operator is that measurement.
+
+    Everything is md5-deterministic, so unlike every library LSH the
+    quality numbers themselves are oracle-checkable. One row:
+    (n_truth, n_cand, tp, recall, precision)."""
+    d = load(spark, sf_dir, "documents")
+    band = _minhash_bands(d)
+    src = d.select("doc_id", "source")
+    a, b = band.alias("a"), band.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .join(src.select(F.col("doc_id").alias("id1"), F.col("source").alias("s1")), "id1")
+        .join(src.select(F.col("doc_id").alias("id2"), F.col("source").alias("s2")), "id2")
+        .filter(F.col("s1") == F.col("s2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    t = d.select(
+        "doc_id", "source", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    ta, tb = t.alias("ta"), t.alias("tb")
+    nc = F.size(F.array_intersect("ta.toks", "tb.toks"))
+    jac = nc.cast("double") / (F.size("ta.toks") + F.size("tb.toks") - nc)
+    truth = (
+        ta.join(
+            tb,
+            (F.col("ta.source") == F.col("tb.source"))
+            & (F.col("ta.doc_id") < F.col("tb.doc_id")),
+        )
+        .filter(jac >= 0.8)
+        .select(F.col("ta.doc_id").alias("id1"), F.col("tb.doc_id").alias("id2"))
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    tp = cand.join(truth, ["id1", "id2"]).agg(F.count(F.lit(1)).alias("tp"))
+    return (
+        n_truth.join(F.broadcast(n_cand))
+        .join(F.broadcast(tp))
+        .select(
+            "n_truth",
+            "n_cand",
+            "tp",
+            F.round(
+                F.when(F.col("n_truth") == 0, None).otherwise(
+                    F.col("tp").cast("double") / F.col("n_truth")
+                ),
+                6,
+            ).alias("recall"),
+            F.round(
+                F.when(F.col("n_cand") == 0, None).otherwise(
+                    F.col("tp").cast("double") / F.col("n_cand")
+                ),
+                6,
+            ).alias("precision"),
+        )
+    )

@@ -407,3 +407,73 @@ def txt_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score"
         ),
     )
+
+
+@query(
+    "txt_bigram_lm_score",
+    oracle="""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bg AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM tok CROSS JOIN (SELECT unnest(range(1, 200)) AS i) r
+  WHERE i + 1 <= len(t)),
+uni AS (
+  SELECT token AS w1, count(*) AS cu
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) GROUP BY token),
+vocab AS (SELECT count(*) AS v FROM uni),
+bic AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+scored AS (
+  SELECT bg.doc_id,
+         ln(CAST(bic.cb + 1 AS DOUBLE) / (uni.cu + vocab.v)) AS lp
+  FROM bg JOIN bic USING (w1, w2) JOIN uni USING (w1), vocab)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(lp), 6) AS avg_logprob
+FROM scored GROUP BY doc_id
+""",
+)
+def txt_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model scoring with add-one
+    smoothing: lp(w2|w1) = ln((C(w1,w2)+1) / (C(w1)+V)), averaged per
+    document — the KenLM-style perplexity filter of LLM data pipelines
+    (low avg log-prob ⇒ gibberish / OCR noise / wrong-language).
+
+    Train and score are the SAME two linear aggregates: bigram counts
+    and unigram counts over one pass, then the document bigram stream
+    joins the count tables on their keys. No model object, no UDF —
+    the 'model' is a relation, which is exactly what makes it
+    trainable on 100 TB (counts partial-aggregate map-side; at that
+    scale the count join is a shuffle join on w1/w2, with the head of
+    the Zipf curve broadcast as a hot-key side table)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    bg = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.zip_with(
+                F.col("t"),
+                F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(1))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("i", "p"),
+    ).filter(F.col("p.w2").isNotNull()).select("doc_id", "p.w1", "p.w2")
+    uni = (
+        d.select(F.explode(F.split("text", " ")).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    bic = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    scored = (
+        bg.join(bic, ["w1", "w2"])
+        .join(uni, "w1")
+        .join(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log((F.col("cb") + 1).cast("double") / (F.col("cu") + F.col("v"))).alias(
+                "lp"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"), F.round(F.avg("lp"), 6).alias("avg_logprob")
+    )

@@ -507,3 +507,64 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .drop("rn")
     )
+
+
+@query(
+    "wl_embedding_drift",
+    oracle="""
+WITH e AS (SELECT vec_id, label, vec_id % 2 AS half, embedding::DOUBLE[] AS v
+           FROM embeddings),
+dims AS (
+  SELECT label, half, i, avg(v[i]) AS c
+  FROM e CROSS JOIN (SELECT unnest(range(1, 200)) AS i) r
+  WHERE i <= len(v)
+  GROUP BY label, half, i),
+pair AS (
+  SELECT a.label,
+         sum(a.c * b.c) AS dot,
+         sqrt(sum(a.c * a.c)) AS na, sqrt(sum(b.c * b.c)) AS nb
+  FROM dims a JOIN dims b ON a.label = b.label AND a.i = b.i
+  WHERE a.half = 0 AND b.half = 1
+  GROUP BY a.label)
+SELECT label, round(dot / (na * nb), 6) AS centroid_cos
+FROM pair
+""",
+)
+def wl_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-drift monitor: split the vector population into two
+    cohorts (even/odd id — stand-ins for last-week/this-week), compare
+    per-label CENTROIDS by cosine. Near-1 cosine = stable manifold;
+    a drop says the upstream encoder or data mix moved — the standard
+    serve-time drift alarm for vector search.
+
+    Centroids via posexplode + (label, half, dim) hash agg — the
+    sim_centroid shape, linear, partial-aggregating; the final cosine
+    touches |labels| × dims rows only. Never pairs raw vectors."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    dims = (
+        e.select("label", "half", F.posexplode("v").alias("i", "x"))
+        .groupBy("label", "half", "i")
+        .agg(F.avg("x").alias("c"))
+    )
+    a = dims.filter(F.col("half") == 0).select(
+        "label", "i", F.col("c").alias("ca")
+    )
+    b = dims.filter(F.col("half") == 1).select(
+        F.col("label").alias("lb"), F.col("i").alias("ib"), F.col("c").alias("cb")
+    )
+    pair = (
+        a.join(b, (a.label == b.lb) & (a.i == b.ib))
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).alias("dot"),
+            F.sqrt(F.sum(F.col("ca") * F.col("ca"))).alias("na"),
+            F.sqrt(F.sum(F.col("cb") * F.col("cb"))).alias("nb"),
+        )
+    )
+    return pair.select(
+        "label", F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("centroid_cos")
+    )

@@ -203,6 +203,7 @@ def test_document_operators_survive_empty_corpus(spark, tmp_path):
         "txt_bm25_topk", "wl_inverted_index", "txt_containment",
         "dedup_biblio", "agg_cms_portable",
         "wl_vocab_growth", "txt_sentiment_lexicon",
+        "txt_bigram_lm_score", "wl_embedding_drift", "dedup_minhash_eval",
     ]
     q = all_queries()
     for key in keys:
