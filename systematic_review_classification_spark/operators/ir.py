@@ -477,3 +477,181 @@ def txt_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"), F.round(F.avg("lp"), 6).alias("avg_logprob")
     )
+
+
+@query(
+    "sim_sparse_cosine",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(
+    list_transform(list_zip(t, list_slice(t, 2, len(t))),
+                   p -> CASE WHEN p[2] IS NULL THEN NULL
+                             ELSE p[1] || '_' || p[2] END),
+    x -> x IS NOT NULL)) AS token
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+n_docs AS (SELECT count(DISTINCT doc_id) AS n FROM tok),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+w AS (
+  SELECT tf.doc_id, tf.token, tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS w
+  FROM tf JOIN df USING (token), n_docs n),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nn FROM w GROUP BY doc_id),
+u AS (SELECT w.doc_id, w.token, w.w / nrm.nn AS u
+      FROM w JOIN nrm USING (doc_id) JOIN df USING (token), n_docs n
+      WHERE df.df <= 0.05 * n.n),
+pairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, sum(a.u * b.u) AS sim
+  FROM u a JOIN u b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT id1, id2, round(sim, 6) AS rare_term_cos
+FROM pairs WHERE sim >= 0.1
+""",
+)
+def sim_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine via the INVERTED INDEX: documents pair
+    only through shared bigram shingles (shingle-key equi-join), with the
+    posting-list join restricted to discriminative tokens
+    (df ≤ 5% of docs) — the cutoff that keeps the pair generation
+    sub-quadratic at corpus scale, because a token with df=f emits
+    f·(f−1)/2 partials and stop-like tokens would emit ~n². Scores
+    are the rare-term partial cosine normalized by FULL TF-IDF norms
+    (a lower bound on true cosine — the standard prune-then-verify
+    candidate score). The dense counterpart is sim_cosine_topk; this
+    is the memory-sparse regime where vectors never materialize."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(1))),
+            lambda a, b: F.when(b.isNull(), None).otherwise(F.concat(a, F.lit("_"), b)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    tok = d.select("doc_id", F.explode(grams).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = tok.agg(F.countDistinct("doc_id").alias("n"))
+    w = (
+        tf.join(df_t, "token")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "df",
+            "n",
+            (F.col("tf") * F.log(F.col("n").cast("double") / F.col("df"))).alias("w"),
+        )
+    )
+    nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nn"))
+    u = (
+        w.join(nrm, "doc_id")
+        .filter(F.col("df") <= 0.05 * F.col("n"))
+        .select("doc_id", "token", (F.col("w") / F.col("nn")).alias("u"))
+    )
+    a, b = u.alias("a"), u.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.sum(F.col("a.u") * F.col("b.u")).alias("sim"))
+    )
+    return pairs.filter(F.col("sim") >= 0.1).select(
+        "id1", "id2", F.round("sim", 6).alias("rare_term_cos")
+    )
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle="""
+WITH dim AS (SELECT DISTINCT o_custkey AS k FROM orders
+             WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 200000),
+bits AS (
+  SELECT DISTINCT CAST(CAST(('0x' || substring(md5(i::VARCHAR || '#' || k::VARCHAR), 1, 8))
+                            AS BIGINT) % 1024 AS INTEGER) AS bit
+  FROM dim CROSS JOIN (SELECT unnest(range(0, 3)) AS i) h),
+probe AS (
+  SELECT c_custkey, c_acctbal,
+         (SELECT count(*)
+          FROM (SELECT unnest(range(0, 3)) AS i) h
+          WHERE CAST(CAST(('0x' || substring(md5(i::VARCHAR || '#' || c_custkey::VARCHAR), 1, 8))
+                          AS BIGINT) % 1024 AS INTEGER) IN (SELECT bit FROM bits)) AS nhit
+  FROM customer),
+passed AS (SELECT c_custkey, c_acctbal FROM probe WHERE nhit = 3)
+SELECT (SELECT count(*) FROM customer) AS probe_rows,
+       (SELECT count(*) FROM passed) AS bloom_pass,
+       (SELECT count(*) FROM passed p JOIN dim ON dim.k = p.c_custkey) AS true_match,
+       (SELECT count(*) FROM passed p
+        WHERE NOT EXISTS (SELECT 1 FROM dim WHERE dim.k = p.c_custkey)) AS false_positives
+""",
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning, built portably: the small
+    (filtered) dim side hashes each key into k=3 bit positions of a
+    1024-bit filter (md5-prefix arithmetic — bit-equal across
+    engines); the probe side drops every row missing ANY of its 3
+    bits BEFORE the expensive join. Catalyst injects exactly this
+    (spark.sql.optimizer.runtime.bloomFilter) when thresholds allow —
+    here the mechanism is explicit, so its effect is measurable and
+    oracle-checkable: one report row with probe_rows → bloom_pass →
+    true_match and the false-positive residue the verify join must
+    still remove. The bit set is a broadcast array; the probe is a
+    map-side higher-order ALL-bits-present check — no shuffle touches
+    the probe side until after pruning."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    dim = (
+        o.filter(
+            (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 200000)
+        )
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+
+    def _bits(col):
+        return F.array(
+            *[
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"{i}#"), col.cast("string"))), 1, 8
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint")
+                    % 1024
+                ).cast("int")
+                for i in range(3)
+            ]
+        )
+
+    bloom = (
+        dim.select(F.explode(_bits(F.col("k"))).alias("bit"))
+        .distinct()
+        .agg(F.sort_array(F.collect_set("bit")).alias("bits"))
+    )
+    probe = c.join(F.broadcast(bloom)).select(
+        "c_custkey",
+        F.size(F.array_intersect(_bits(F.col("c_custkey")), F.col("bits"))).alias(
+            "nhit"
+        ),
+    )
+    passed = probe.filter(F.col("nhit") == 3).select("c_custkey")
+    probe_rows = c.agg(F.count(F.lit(1)).alias("probe_rows"))
+    bloom_pass = passed.agg(F.count(F.lit(1)).alias("bloom_pass"))
+    true_match = (
+        passed.join(F.broadcast(dim), passed.c_custkey == dim.k)
+        .agg(F.count(F.lit(1)).alias("true_match"))
+    )
+    false_pos = (
+        passed.join(F.broadcast(dim), passed.c_custkey == dim.k, "left_anti")
+        .agg(F.count(F.lit(1)).alias("false_positives"))
+    )
+    return (
+        probe_rows.join(F.broadcast(bloom_pass))
+        .join(F.broadcast(true_match))
+        .join(F.broadcast(false_pos))
+    )

@@ -568,3 +568,93 @@ def wl_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pair.select(
         "label", F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("centroid_cos")
     )
+
+
+@query(
+    "ml_knn_classify",
+    oracle="""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, label, v,
+             sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nn
+      FROM e),
+q AS (SELECT * FROM n WHERE vec_id % 25 = 0),
+c AS (SELECT * FROM n WHERE vec_id % 25 <> 0),
+sims AS (
+  SELECT q.vec_id AS qid, q.label AS true_label, c.vec_id AS cid, c.label AS clabel,
+         round(list_reduce(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]),
+                           (a, b) -> a + b) / (q.nn * c.nn), 9) AS sim
+  FROM q CROSS JOIN c),
+top AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+        FROM sims),
+votes AS (SELECT qid, true_label, clabel, count(*) AS nv
+          FROM top WHERE rn <= 3 GROUP BY qid, true_label, clabel),
+pred AS (SELECT qid, true_label, clabel AS pred_label,
+                row_number() OVER (PARTITION BY qid ORDER BY nv DESC, clabel) AS pr
+         FROM votes)
+SELECT qid AS vec_id, true_label, pred_label,
+       CASE WHEN pred_label = true_label THEN 1 ELSE 0 END AS correct
+FROM pred WHERE pr = 1
+""",
+)
+def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classifier (k=3, cosine, majority vote with deterministic
+    tie-breaks) over the embedding table: every 25th vector is a query
+    classified from the rest — the vector-search SERVING loop as a
+    relation. Queries are the SMALL side and broadcast, so the
+    candidate corpus never shuffles; at 100 TB the cross probe is
+    replaced by sim_ivf_topk's cell-blocked candidates and this exact
+    vote tail is unchanged. Similarities rank on a 9-dp rounding so
+    both engines cut identical neighbor sets; votes tie-break to the
+    smallest label."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    nn = F.sqrt(
+        F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    n = e.select("vec_id", "label", "v", nn.alias("nn"))
+    q = n.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("true_label"),
+        F.col("v").alias("qv"),
+        F.col("nn").alias("qn"),
+    )
+    c = n.filter(F.col("vec_id") % 25 != 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clabel"),
+        F.col("v").alias("cv"),
+        F.col("nn").alias("cn"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+    )
+    sims = c.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "true_label",
+        "cid",
+        "clabel",
+        F.round(dot / (F.col("qn") * F.col("cn")), 9).alias("sim"),
+    )
+    from pyspark.sql import Window as W
+
+    top = sims.withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("qid").orderBy(F.col("sim").desc(), "cid")),
+    ).filter(F.col("rn") <= 3)
+    votes = top.groupBy("qid", "true_label", "clabel").agg(
+        F.count(F.lit(1)).alias("nv")
+    )
+    pred = votes.withColumn(
+        "pr",
+        F.row_number().over(
+            W.partitionBy("qid").orderBy(F.col("nv").desc(), "clabel")
+        ),
+    ).filter(F.col("pr") == 1)
+    return pred.select(
+        F.col("qid").alias("vec_id"),
+        "true_label",
+        F.col("clabel").alias("pred_label"),
+        F.when(F.col("clabel") == F.col("true_label"), 1).otherwise(0).alias("correct"),
+    )

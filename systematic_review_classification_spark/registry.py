@@ -87,6 +87,7 @@ _PRIORITY: list[str] = [
     "wl_ks_test", "wl_path_trigrams", "sql_group_by_all", "agg_sketch_merge",
     "txt_bigram_lm_score", "wl_embedding_drift", "agg_higher_moments",
     "dedup_minhash_eval",
+    "sim_sparse_cosine", "join_bloom_prefilter", "ml_knn_classify",
     "wl_q11_partvalue", "wl_q20_excess", "wl_seasonality",
     "wl_skew_report", "wl_resample_ffill", "sample_reservoir",
     "agg_grouping_id", "agg_corr_matrix", "sql_qualify", "wl_profile",
