@@ -640,3 +640,43 @@ def fn_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hex(seg_bin).alias("seg_hex"),
         F.unhex(F.hex(seg_bin)).cast("string").alias("seg_back"),
     )
+
+
+_XML_ROWS = [
+    (1, "<rec><title>Spark at scale</title><year>2024</year><cites>12</cites></rec>"),
+    (2, "<rec><title>Dedup &amp; LSH</title><year>2021</year><cites>5</cites></rec>"),
+    (3, "<rec><title>Untitled</title></rec>"),
+]
+
+
+@query(
+    "fn_xml",
+    oracle="""
+SELECT * FROM (VALUES
+  (1, 'Spark at scale', 2024, 12, 'Spark at scale'),
+  (2, 'Dedup & LSH', 2021, 5, 'Dedup & LSH'),
+  (3, 'Untitled', NULL, NULL, 'Untitled')
+) t(id, title, year, cites, xp_title)
+""",
+)
+def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion functions (the bibliographic-export format every
+    systematic-review database also speaks): from_xml with an explicit
+    schema (entity decoding, missing elements → NULL, numeric
+    coercion) plus the xpath_* accessor family on the same payload.
+    Literal-oracle contract like src_csv_quoted: the expected relation
+    is frozen as VALUES, so any parser drift (entity handling, null
+    coercion) fails the diff. Both functions are row-local projections
+    — codegen, no shuffle."""
+    df = spark.createDataFrame(_XML_ROWS, "id int, xml string")
+    return df.select(
+        "id",
+        F.from_xml("xml", "title STRING, year INT, cites INT").alias("r"),
+        F.xpath_string("xml", F.lit("/rec/title")).alias("xp_title"),
+    ).select(
+        "id",
+        F.col("r.title").alias("title"),
+        F.col("r.year").alias("year"),
+        F.col("r.cites").alias("cites"),
+        "xp_title",
+    )

@@ -1045,3 +1045,43 @@ def wl_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("trigram")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "wl_concurrency",
+    oracle="""
+WITH d AS (
+  SELECT date_trunc('minute', ts) AS m, 1 AS delta FROM events
+  UNION ALL
+  SELECT date_trunc('minute', ts + INTERVAL 5 MINUTE), -1 FROM events),
+g AS (SELECT m, CAST(sum(delta) AS BIGINT) AS dl FROM d GROUP BY m),
+c AS (SELECT m, sum(dl) OVER (ORDER BY m) AS concurrent FROM g)
+SELECT CAST(CAST(date_trunc('day', m) AS TIMESTAMP) AS VARCHAR) AS day,
+       CAST(max(concurrent) AS BIGINT) AS peak_concurrent
+FROM c GROUP BY 1
+""",
+)
+def wl_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per day via the sweep-line trick: each event
+    contributes +1 at its start minute and −1 five minutes later
+    (synthetic session length), deltas collapse onto the MINUTE grid
+    first (bounded axis — the ks_test/vocab_growth discipline), then
+    one cumulative sum walks the grid and a per-day max reports the
+    peak. The classic interval-overlap question answered with two
+    linear passes — no interval self-join, which is the O(n²) trap."""
+    ev = load(spark, sf_dir, "events")
+    starts = ev.select(F.date_trunc("minute", "ts").alias("m"), F.lit(1).alias("delta"))
+    ends = ev.select(
+        F.date_trunc("minute", F.col("ts") + F.expr("INTERVAL 5 MINUTE")).alias("m"),
+        F.lit(-1).alias("delta"),
+    )
+    g = (
+        starts.unionByName(ends)
+        .groupBy("m")
+        .agg(F.sum("delta").cast("bigint").alias("dl"))
+    )
+    c = g.select("m", F.sum("dl").over(W.orderBy("m")).alias("concurrent"))
+    return (
+        c.groupBy(F.date_trunc("day", "m").cast("string").alias("day"))
+        .agg(F.max("concurrent").cast("bigint").alias("peak_concurrent"))
+    )

@@ -655,3 +655,56 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(true_match))
         .join(F.broadcast(false_pos))
     )
+
+
+@query(
+    "txt_bpe_pair_counts",
+    oracle="""
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+wc AS (SELECT word, count(*) AS wn FROM w GROUP BY word),
+ch AS (SELECT word, wn, regexp_extract_all(word, '.') AS cs FROM wc),
+pr AS (
+  SELECT unnest(list_filter(
+           list_transform(list_zip(cs, list_slice(cs, 2, len(cs))),
+                          p -> CASE WHEN p[2] IS NULL THEN NULL
+                                    ELSE p[1] || p[2] END),
+           x -> x IS NOT NULL)) AS pair,
+         wn
+  FROM ch),
+agg AS (SELECT pair, CAST(sum(wn) AS BIGINT) AS cnt FROM pr GROUP BY pair)
+SELECT pair, cnt FROM agg ORDER BY cnt DESC, pair LIMIT 10
+""",
+)
+def txt_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, round 1: the top-10 adjacent
+    symbol-pair counts that the first merge rule would be chosen from.
+    The load-bearing scale property of BPE training is here: pair
+    counting runs over the DISTINCT VOCABULARY weighted by word
+    frequency — the corpus collapses to its vocab (bounded even at
+    100 TB) in one hash agg, and all character work happens on that
+    small relation. Subsequent merge rounds iterate this exact plan
+    with a re-derived symbol list (cf. wl_pagerank3's unrolled-loop
+    pattern). Top-10 cut ranks on (count, pair) so both engines pick
+    identical merges."""
+    d = load(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wn"))
+    )
+    cs = F.split(F.col("word"), "")
+    pairs = F.filter(
+        F.zip_with(
+            cs,
+            F.slice(cs, 2, F.greatest(F.size(cs) - 1, F.lit(1))),
+            lambda a, b: F.when(b.isNull(), None).otherwise(F.concat(a, b)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    pr = wc.select(F.explode(pairs).alias("pair"), "wn")
+    return (
+        pr.groupBy("pair")
+        .agg(F.sum("wn").cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(10)
+    )

@@ -1100,3 +1100,69 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem_gba GROUP BY ALL
         """
     )
+
+
+@query(
+    "wl_forget_users",
+    oracle="""
+WITH deny AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'signup' AND user_id % 7 = 0),
+tagged AS (
+  SELECT e.event_type,
+         CASE WHEN d.user_id IS NULL THEN 0 ELSE 1 END AS hit
+  FROM events e LEFT JOIN deny d ON e.user_id = d.user_id)
+SELECT event_type,
+       CAST(sum(hit) AS BIGINT) AS purged,
+       CAST(sum(1 - hit) AS BIGINT) AS kept
+FROM tagged GROUP BY event_type
+""",
+)
+def wl_forget_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade (GDPR art. 17): a deny-list of
+    requesting users propagates through every fact table, reported as
+    purged/kept per event type — the audit record a deletion job must
+    emit. The deny-list is small by nature → broadcast; the fact scan
+    tags rows map-side (no shuffle before the count agg). At 100 TB
+    the same broadcast drives an actual partition-rewrite sink;
+    the report and the rewrite share this one plan."""
+    ev = load(spark, sf_dir, "events")
+    deny = (
+        ev.filter((F.col("event_type") == "signup") & (F.col("user_id") % 7 == 0))
+        .select("user_id")
+        .distinct()
+    )
+    tagged = ev.join(
+        F.broadcast(deny.withColumnRenamed("user_id", "d_uid")),
+        ev.user_id == F.col("d_uid"),
+        "left",
+    ).select(
+        "event_type", F.when(F.col("d_uid").isNull(), 0).otherwise(1).alias("hit")
+    )
+    return tagged.groupBy("event_type").agg(
+        F.sum("hit").cast("bigint").alias("purged"),
+        F.sum(1 - F.col("hit")).cast("bigint").alias("kept"),
+    )
+
+
+@query(
+    "sql_cluster_by",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+""",
+)
+def sql_cluster_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTE BY + SORT BY frontend parity — the layout-control
+    clauses ETL jobs use to co-locate and pre-order output before a
+    partitioned write (cheaper than a global ORDER BY because no
+    total order is imposed across partitions). Row content is
+    unchanged (the oracle is the plain projection); what matters is
+    the plan: one hash Exchange on the clustering key + an
+    intra-partition Sort, pinned in tests/test_plans.py."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_cb")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice FROM orders_cb
+        DISTRIBUTE BY o_custkey SORT BY o_custkey, o_totalprice
+        """
+    )

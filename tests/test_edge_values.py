@@ -204,7 +204,7 @@ def test_document_operators_survive_empty_corpus(spark, tmp_path):
         "dedup_biblio", "agg_cms_portable",
         "wl_vocab_growth", "txt_sentiment_lexicon",
         "txt_bigram_lm_score", "wl_embedding_drift", "dedup_minhash_eval",
-        "sim_sparse_cosine", "ml_knn_classify",
+        "sim_sparse_cosine", "ml_knn_classify", "txt_bpe_pair_counts",
     ]
     q = all_queries()
     for key in keys:

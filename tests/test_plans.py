@@ -702,3 +702,22 @@ def test_data_quality_single_pass_per_table(spark, sf_dir):
     plan = plan_of(QUERIES["wl_data_quality"](spark, sf_dir))
     assert plan.count("orders.parquet") <= 2, plan
     assert plan.count("lineitem.parquet") <= 2, plan
+
+
+def test_cluster_by_is_hash_exchange_plus_local_sort(spark, sf_dir):
+    """DISTRIBUTE BY + SORT BY must produce one hash-partitioning
+    Exchange and a NON-global Sort (no range exchange — that would be
+    ORDER BY's total sort)."""
+    plan = plan_of(QUERIES["sql_cluster_by"](spark, sf_dir))
+    assert "hashpartitioning" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "Sort" in plan, plan
+
+
+def test_bpe_pair_counts_is_take_ordered_over_vocab(spark, sf_dir):
+    """BPE pair counting must aggregate over the vocabulary (two
+    HashAggregates: word counts, then pair counts) and cut the top-10
+    with TakeOrderedAndProject, never a global sort."""
+    plan = plan_of(QUERIES["txt_bpe_pair_counts"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "HashAggregate" in plan, plan
