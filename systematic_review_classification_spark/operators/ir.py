@@ -633,11 +633,16 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .agg(F.sort_array(F.collect_set("bit")).alias("bits"))
     )
+    # membership per hash row (NOT array_intersect, which dedups: a key
+    # whose 3 hash rows collide into 2 distinct bits must still pass)
     probe = c.join(F.broadcast(bloom)).select(
         "c_custkey",
-        F.size(F.array_intersect(_bits(F.col("c_custkey")), F.col("bits"))).alias(
-            "nhit"
-        ),
+        F.size(
+            F.filter(
+                _bits(F.col("c_custkey")),
+                lambda b: F.array_contains(F.col("bits"), b),
+            )
+        ).alias("nhit"),
     )
     passed = probe.filter(F.col("nhit") == 3).select("c_custkey")
     probe_rows = c.agg(F.count(F.lit(1)).alias("probe_rows"))
