@@ -537,3 +537,73 @@ def wl_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sharded.select(
         "doc_id", "shard", F.row_number().over(w).alias("pos")
     )
+
+
+@query(
+    "wl_pretrain_pipeline",
+    oracle="""
+WITH base AS (SELECT doc_id, text, source, lang, n_chars FROM documents),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM base),
+kept AS (SELECT doc_id, text, source, lang, n_chars FROM ranked WHERE rn = 1),
+quality AS (
+  SELECT source, lang, len(string_split(text, ' ')) AS n_tok
+  FROM kept WHERE n_chars >= 64),
+i AS (SELECT source, lang, count(*) AS docs_in FROM base GROUP BY 1, 2),
+e AS (SELECT source, lang, count(*) AS docs_exact FROM kept GROUP BY 1, 2),
+q AS (SELECT source, lang, count(*) AS docs_quality,
+             CAST(sum(n_tok) AS BIGINT) AS tokens_total
+      FROM quality GROUP BY 1, 2)
+SELECT i.source, i.lang, i.docs_in,
+       coalesce(e.docs_exact, 0) AS docs_exact,
+       coalesce(q.docs_quality, 0) AS docs_quality,
+       coalesce(q.tokens_total, 0) AS tokens_total,
+       (coalesce(q.tokens_total, 0) + 511) // 512 AS seqs_512
+FROM i
+LEFT JOIN e ON i.source = e.source AND i.lang = e.lang
+LEFT JOIN q ON i.source = q.source AND i.lang = q.lang
+""",
+)
+def wl_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END pretraining-corpus pipeline manifest: raw corpus →
+    exact dedup (fingerprint keeper) → quality gate (length) → token
+    accounting → 512-token sequence budget, reported per
+    (source, lang) — the one table a data lead reads before a training
+    run (what survived each stage, and how many packed sequences the
+    mix yields). Composes the engine's own building blocks
+    (dedup_exact's keeper, txt_quality_filter's gate,
+    wl_pack_sequences' budget) into ONE lazy plan: Catalyst fuses the
+    stage filters into a single corpus scan + one fingerprint window +
+    three group-by roll-ups joined on the bounded (source, lang) key.
+    Integer arithmetic end to end, so the manifest is bit-exact."""
+    d = load(spark, sf_dir, "documents")
+    ranked = d.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy(F.md5("text")).orderBy("doc_id")
+        ),
+    )
+    kept = ranked.filter(F.col("rn") == 1).drop("rn")
+    quality = kept.filter(F.col("n_chars") >= 64).select(
+        "source", "lang", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    i = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("docs_in"))
+    e = kept.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("docs_exact"))
+    q = quality.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("docs_quality"),
+        F.sum("n_tok").cast("bigint").alias("tokens_total"),
+    )
+    return (
+        i.join(e, ["source", "lang"], "left")
+        .join(q, ["source", "lang"], "left")
+        .select(
+            "source",
+            "lang",
+            "docs_in",
+            F.coalesce("docs_exact", F.lit(0)).alias("docs_exact"),
+            F.coalesce("docs_quality", F.lit(0)).alias("docs_quality"),
+            F.coalesce("tokens_total", F.lit(0)).alias("tokens_total"),
+            F.expr("(coalesce(tokens_total, 0) + 511) div 512").alias("seqs_512"),
+        )
+    )

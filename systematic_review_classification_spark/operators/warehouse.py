@@ -1166,3 +1166,32 @@ def sql_cluster_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         DISTRIBUTE BY o_custkey SORT BY o_custkey, o_totalprice
         """
     )
+
+
+@query(
+    "sql_window_clause",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER w, 2) AS run_spend,
+       rank() OVER w AS rnk
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def sql_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named WINDOW clause parity: one spec shared by multiple window
+    functions — both engines compile the shared spec into a SINGLE
+    sort+window pass (vs repeating the OVER spec, which naive planners
+    window twice). The running sum accumulates in identical
+    (o_orderdate, o_orderkey) order on both sides, so even the float
+    partial sums agree bit-for-bit before rounding."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_w")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER w, 2) AS run_spend,
+               rank() OVER w AS rnk
+        FROM orders_w
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """
+    )
