@@ -658,3 +658,135 @@ def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("clabel").alias("pred_label"),
         F.when(F.col("clabel") == F.col("true_label"), 1).otherwise(0).alias("correct"),
     )
+
+
+@query(
+    "sim_rp_lsh",
+    oracle="""
+WITH rr AS (
+  SELECT i, d,
+         CAST(CAST(('0x' || substring(md5(i::VARCHAR || ':' || d::VARCHAR), 1, 8))
+                   AS BIGINT) AS DOUBLE) / 4294967296.0 - 0.5 AS rv
+  FROM (SELECT unnest(range(0, 16)) AS i), (SELECT unnest(range(1, 65)) AS d)),
+r AS (SELECT i, list(rv ORDER BY d) AS rvec FROM rr GROUP BY i),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+proj AS (
+  SELECT vec_id, i,
+         list_reduce(list_transform(list_zip(v, rvec), p -> p[1] * p[2]),
+                     (a, b) -> a + b) AS pr
+  FROM e CROSS JOIN r),
+sig AS (
+  SELECT vec_id, i // 8 AS band,
+         CAST(sum(CASE WHEN pr > 0 THEN CAST(pow(2, i % 8) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS bkey
+  FROM proj GROUP BY vec_id, i // 8),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+  FROM sig a JOIN sig b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+ev AS (SELECT vec_id, v,
+              sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nn
+       FROM e)
+SELECT id1, id2,
+       round(list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]),
+                         (x, y) -> x + y) / (a.nn * b.nn), 6) AS cos_sim
+FROM cand JOIN ev a ON a.vec_id = id1 JOIN ev b ON b.vec_id = id2
+WHERE list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]),
+                  (x, y) -> x + y) / (a.nn * b.nn) >= 0.3
+""",
+)
+def sim_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection (SimHash-for-cosine) LSH with PORTABLE
+    pseudo-random hyperplanes: component r(i,d) is md5-prefix
+    arithmetic, so — unlike BucketedRandomProjectionLSH's JVM-seeded
+    planes (sim_ann_lsh, rows-only) — the whole ANN pipeline is
+    bit-equal in any engine and therefore end-to-end oracle-checkable.
+    16 sign bits banded 2×8 (the minhash S-curve trick, here for the
+    COSINE metric): candidates pair on (band, 8-bit bucket) equi-join,
+    exact cosine verifies only candidates.
+
+    Scale shape: the 16×64 plane matrix is a BROADCAST relation; each
+    projection is a JVM higher-order fold (deterministic left-to-right
+    order — no explode+groupBy whose re-association could flip a
+    near-zero sign); signatures are one groupBy(vec); the bucket join
+    is sub-quadratic. The verify kernel is dedup_embed_cos's."""
+    dims = (
+        spark.range(0, 16)
+        .select(F.col("id").cast("int").alias("i"))
+        .crossJoin(spark.range(1, 65).select(F.col("id").cast("int").alias("d")))
+    )
+    rv = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("d").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        .cast("double")
+        / 4294967296.0
+        - 0.5
+    )
+    r = (
+        dims.select("i", "d", rv.alias("rv"))
+        .groupBy("i")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("d", "rv"))), lambda s: s.rv
+            ).alias("rvec")
+        )
+    )
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    pr = F.aggregate(
+        F.zip_with("v", "rvec", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+    )
+    proj = e.crossJoin(F.broadcast(r)).select("vec_id", "i", pr.alias("pr"))
+    sig = proj.groupBy(
+        "vec_id", F.expr("i div 8").alias("band")
+    ).agg(
+        F.sum(
+            F.when(F.col("pr") > 0, F.pow(2, F.col("i") % 8).cast("bigint")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("bkey")
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id1"), F.col("b.vec_id").alias("id2"))
+        .distinct()
+    )
+    nn = F.sqrt(
+        F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    ev = e.select("vec_id", "v", nn.alias("nn"))
+    dot = F.aggregate(
+        F.zip_with("v1", "v2", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    out = (
+        cand.join(
+            ev.select(
+                F.col("vec_id").alias("id1"), F.col("v").alias("v1"), F.col("nn").alias("n1")
+            ),
+            "id1",
+        )
+        .join(
+            ev.select(
+                F.col("vec_id").alias("id2"), F.col("v").alias("v2"), F.col("nn").alias("n2")
+            ),
+            "id2",
+        )
+        .select("id1", "id2", (dot / (F.col("n1") * F.col("n2"))).alias("cos"))
+    )
+    return out.filter(F.col("cos") >= 0.3).select(
+        "id1", "id2", F.round("cos", 6).alias("cos_sim")
+    )
