@@ -28,6 +28,8 @@ HEADLINE = [
     "ml_eval_wss95",        # distributed two-pass global rank
     "dedup_minhash_canonical",  # banded MinHash LSH, linear star-edge output
     "wl_pagerank3",         # iterative frontier joins (graph workload)
+    "txt_bm25_topk",        # IR ranking: filtered postings + broadcast idf + TakeOrdered
+    "wl_pretrain_pipeline", # end-to-end corpus manifest (dedup→quality→budget, one fused plan)
 ]
 
 

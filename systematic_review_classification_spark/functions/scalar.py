@@ -680,3 +680,33 @@ def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.cites").alias("cites"),
         "xp_title",
     )
+
+
+_AUTHOR_ROWS = [
+    (0, "Smith"), (1, "Smyth"), (2, "Johnson"), (3, "Jonsen"),
+    (4, "Garcia"), (5, "Gracia"), (6, "Lee"), (7, "Leigh"),
+]
+
+
+@query(
+    "fn_phonetic",
+    oracle="""
+SELECT * FROM (VALUES
+  (0, 'Smith', 'S530'), (1, 'Smyth', 'S530'),
+  (2, 'Johnson', 'J525'), (3, 'Jonsen', 'J525'),
+  (4, 'Garcia', 'G620'), (5, 'Gracia', 'G620'),
+  (6, 'Lee', 'L000'), (7, 'Leigh', 'L200')
+) t(id, name, sx)
+""",
+)
+def fn_phonetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic encoding (soundex) — the classic author-name blocking
+    key for bibliographic dedup: Smith/Smyth and Johnson/Jonsen
+    collapse to one code, so records block together before an
+    edit-distance verify (dedup_biblio's block key, upgraded for name
+    fields). DuckDB has no soundex, so the contract is a frozen
+    literal oracle (the fn_xml pattern): any drift in Spark's
+    American-Soundex table fails the diff. Row-local codegen
+    projection — the blocking join it feeds is dedup_biblio's."""
+    df = spark.createDataFrame(_AUTHOR_ROWS, "id int, name string")
+    return df.select("id", "name", F.soundex("name").alias("sx"))

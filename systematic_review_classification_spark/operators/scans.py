@@ -512,3 +512,40 @@ def src_parquet_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(f"{_EVOLVE_DIR}/v1", f"{_EVOLVE_DIR}/v2")
         .select("o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority")
     )
+
+
+@query(
+    "src_fixed_width",
+    oracle=f"""
+WITH lines AS (
+  SELECT unnest(string_split(content, chr(10))) AS line
+  FROM read_text('{os.path.join(_FIXTURE_DIR, "ledger.fwf")}')),
+parsed AS (
+  SELECT substring(line, 1, 8) AS acct,
+         trim(substring(line, 9, 10)) AS holder,
+         CAST(substring(line, 19, 10) AS DOUBLE) AS amount,
+         substring(line, 29, 3) AS ccy,
+         substring(line, 32, 10) AS booked
+  FROM lines WHERE length(line) > 0)
+SELECT acct, holder, round(amount, 2) AS amount, ccy, booked FROM parsed
+""",
+)
+def src_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width (mainframe/COBOL ledger export) source: byte-offset
+    column slicing over spark.read.text — the format with no
+    delimiter to push down, so the parse IS the projection
+    (substring + trim + cast, all codegen). Offsets live in one
+    layout spec; at scale the text source still splits by byte range,
+    and the slice projection prunes to referenced fields exactly like
+    a columnar reader would."""
+    lines = spark.read.text(os.path.join(_FIXTURE_DIR, "ledger.fwf"))
+    parsed = lines.filter(F.length("value") > 0).select(
+        F.substring("value", 1, 8).alias("acct"),
+        F.trim(F.substring("value", 9, 10)).alias("holder"),
+        F.substring("value", 19, 10).cast("double").alias("amount"),
+        F.substring("value", 29, 3).alias("ccy"),
+        F.substring("value", 32, 10).alias("booked"),  # ISO date kept textual: engines render DATE differently through pandas
+    )
+    return parsed.select(
+        "acct", "holder", F.round("amount", 2).alias("amount"), "ccy", "booked"
+    )

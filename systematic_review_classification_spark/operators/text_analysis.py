@@ -650,3 +650,64 @@ def txt_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("n_chars"),
         comp_ratio(F.col("text")).alias("comp_ratio"),
     )
+
+
+@query(
+    "txt_ocr_artifact_filter",
+    oracle="""
+WITH f AS (
+  SELECT doc_id,
+         CASE WHEN regexp_matches(text, '[bcdfghjklmnpqrstvwxz]{5,}')
+              THEN 1 ELSE 0 END AS consonant_run,
+         round(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+               / length(text), 6) AS digit_ratio,
+         round(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+               / length(text), 6) AS symbol_ratio
+  FROM documents)
+SELECT doc_id, consonant_run, digit_ratio, symbol_ratio,
+       CASE WHEN consonant_run = 1 OR digit_ratio > 0.3 OR symbol_ratio > 0.2
+            THEN 0 ELSE 1 END AS keep
+FROM f
+""",
+)
+def txt_ocr_artifact_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCR/extraction-artifact gate (the C4-style hygiene rule family
+    beyond txt_quality_filter's length/stopword gates): long consonant
+    runs (broken hyphenation / column-merge garbage), digit density
+    (tables read as prose), and symbol density (formula/markup
+    spillover). Pure regex-count projections — codegen, one scan, no
+    UDF; thresholds are corpus-policy knobs, not plan changes. The
+    regex subset (plain character classes) is portable between Java
+    regex and RE2 (the txt_pii_scrub discipline)."""
+    d = load(spark, sf_dir, "documents")
+    consonant_run = F.when(
+        F.regexp_count(F.col("text"), F.lit("[bcdfghjklmnpqrstvwxz]{5,}")) > 0, 1
+    ).otherwise(0)
+    digit_ratio = F.round(
+        F.regexp_count(F.col("text"), F.lit("[0-9]")).cast("double") / F.length("text"), 6
+    )
+    symbol_ratio = F.round(
+        F.regexp_count(F.col("text"), F.lit("[^a-zA-Z0-9 ]")).cast("double")
+        / F.length("text"),
+        6,
+    )
+    f = d.select(
+        "doc_id",
+        consonant_run.alias("consonant_run"),
+        digit_ratio.alias("digit_ratio"),
+        symbol_ratio.alias("symbol_ratio"),
+    )
+    return f.select(
+        "doc_id",
+        "consonant_run",
+        "digit_ratio",
+        "symbol_ratio",
+        F.when(
+            (F.col("consonant_run") == 1)
+            | (F.col("digit_ratio") > 0.3)
+            | (F.col("symbol_ratio") > 0.2),
+            0,
+        )
+        .otherwise(1)
+        .alias("keep"),
+    )

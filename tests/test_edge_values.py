@@ -205,7 +205,7 @@ def test_document_operators_survive_empty_corpus(spark, tmp_path):
         "wl_vocab_growth", "txt_sentiment_lexicon",
         "txt_bigram_lm_score", "wl_embedding_drift", "dedup_minhash_eval",
         "sim_sparse_cosine", "ml_knn_classify", "txt_bpe_pair_counts",
-        "wl_pretrain_pipeline", "sim_rp_lsh",
+        "wl_pretrain_pipeline", "sim_rp_lsh", "txt_ocr_artifact_filter",
     ]
     q = all_queries()
     for key in keys:
