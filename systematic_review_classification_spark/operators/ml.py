@@ -779,3 +779,186 @@ def ml_active_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         found = screened.agg(F.sum("label")).first()[0] or 0.0
         rows.append((rnd + 1, float(found), round(float(found) / n_pos_total, 6)))
     return spark.createDataFrame(rows, "round int, n_found double, recall double")
+
+
+_GD_STOP_SQL = "'the', 'a', 'of', 'and', 'to', 'in', 'is'"
+_GD_STOP = ("the", "a", "of", "and", "to", "in", "is")
+
+
+@query(
+    "ml_logreg_gd",
+    oracle=f"""
+WITH feat AS (
+  SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         1.0 AS x0,
+         len(string_split(text, ' ')) / 100.0 AS x1,
+         CAST(len(list_filter(string_split(text, ' '), t -> t IN ({_GD_STOP_SQL})))
+              AS DOUBLE) / len(string_split(text, ' ')) AS x2
+  FROM documents),
+w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
+g1 AS (
+  SELECT avg((1.0 / (1.0 + exp(-(w.w0 * x0 + w.w1 * x1 + w.w2 * x2))) - y) * x0) AS g0,
+         avg((1.0 / (1.0 + exp(-(w.w0 * x0 + w.w1 * x1 + w.w2 * x2))) - y) * x1) AS g1,
+         avg((1.0 / (1.0 + exp(-(w.w0 * x0 + w.w1 * x1 + w.w2 * x2))) - y) * x2) AS g2
+  FROM feat, w0 w),
+w1 AS (SELECT w0 - 1.0 * g0 AS w0, w1 - 1.0 * g1 AS w1, w2 - 1.0 * g2 AS w2 FROM w0, g1),
+g2 AS (
+  SELECT avg((1.0 / (1.0 + exp(-(w.w0 * x0 + w.w1 * x1 + w.w2 * x2))) - y) * x0) AS g0,
+         avg((1.0 / (1.0 + exp(-(w.w0 * x0 + w.w1 * x1 + w.w2 * x2))) - y) * x1) AS g1,
+         avg((1.0 / (1.0 + exp(-(w.w0 * x0 + w.w1 * x1 + w.w2 * x2))) - y) * x2) AS g2
+  FROM feat, w1 w),
+w2 AS (SELECT w.w0 - 1.0 * g.g0 AS w0, w.w1 - 1.0 * g.g1 AS w1, w.w2 - 1.0 * g.g2 AS w2
+       FROM w1 w, g2 g),
+g3 AS (
+  SELECT avg((1.0 / (1.0 + exp(-(w.w0 * x0 + w.w1 * x1 + w.w2 * x2))) - y) * x0) AS g0,
+         avg((1.0 / (1.0 + exp(-(w.w0 * x0 + w.w1 * x1 + w.w2 * x2))) - y) * x1) AS g1,
+         avg((1.0 / (1.0 + exp(-(w.w0 * x0 + w.w1 * x1 + w.w2 * x2))) - y) * x2) AS g2
+  FROM feat, w2 w),
+w3 AS (SELECT w.w0 - 1.0 * g.g0 AS w0, w.w1 - 1.0 * g.g1 AS w1, w.w2 - 1.0 * g.g2 AS w2
+       FROM w2 w, g3 g),
+acc AS (
+  SELECT avg(CASE WHEN (w.w0 * x0 + w.w1 * x1 + w.w2 * x2 >= 0) = (y = 1.0)
+                  THEN 1.0 ELSE 0.0 END) AS train_acc,
+         count(*) AS n
+  FROM feat, w3 w)
+SELECT round(w.w0, 6) AS w0, round(w.w1, 6) AS w1, round(w.w2, 6) AS w2,
+       round(a.train_acc, 6) AS train_acc, CAST(a.n AS BIGINT) AS n
+FROM w3 w, acc a
+""",
+)
+def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression trained by 3 unrolled full-batch gradient
+    steps IN PURE RELATIONAL ALGEBRA — the iterative-ML counterpart of
+    wl_pagerank3, and unlike the MLlib classifiers (seeded, rows-only)
+    every weight is oracle-checkable. Each step is ONE aggregate over
+    the cached feature relation: the gradient Σ(σ(w·x)−y)·x is an
+    associative, partial-aggregating sum — the distributed-training
+    contract (1000 executors emit partial gradients, the driver-side
+    state is 3 doubles). Weights chain as broadcast 1-row relations,
+    so the whole 3-step training is one lazy plan, no collect() in
+    the loop. Prediction thresholds on the LINEAR score z ≥ 0 (≡
+    σ(z) ≥ 0.5 exactly, dodging the sigmoid's float boundary)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    feat = d.select(
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        F.lit(1.0).alias("x0"),
+        (F.size(toks) / 100.0).alias("x1"),
+        (
+            F.size(F.filter(toks, lambda t: t.isin(*_GD_STOP))).cast("double")
+            / F.size(toks)
+        ).alias("x2"),
+    )
+    w = spark.createDataFrame([(0.0, 0.0, 0.0)], "w0 double, w1 double, w2 double")
+    for _ in range(3):
+        z = F.col("w0") * F.col("x0") + F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2")
+        p = 1.0 / (1.0 + F.exp(-z))
+        g = feat.join(F.broadcast(w)).agg(
+            F.avg((p - F.col("y")) * F.col("x0")).alias("g0"),
+            F.avg((p - F.col("y")) * F.col("x1")).alias("g1"),
+            F.avg((p - F.col("y")) * F.col("x2")).alias("g2"),
+        )
+        w = w.join(F.broadcast(g)).select(
+            (F.col("w0") - 1.0 * F.col("g0")).alias("w0"),
+            (F.col("w1") - 1.0 * F.col("g1")).alias("w1"),
+            (F.col("w2") - 1.0 * F.col("g2")).alias("w2"),
+        )
+    z = F.col("w0") * F.col("x0") + F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2")
+    acc = feat.join(F.broadcast(w)).agg(
+        F.avg(
+            F.when((z >= 0) == (F.col("y") == 1.0), 1.0).otherwise(0.0)
+        ).alias("train_acc"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return w.join(F.broadcast(acc)).select(
+        F.round("w0", 6).alias("w0"),
+        F.round("w1", 6).alias("w1"),
+        F.round("w2", 6).alias("w2"),
+        F.round("train_acc", 6).alias("train_acc"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+@query(
+    "ml_nb_portable",
+    oracle="""
+WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM tok),
+cls AS (SELECT lang AS c, count(DISTINCT doc_id) AS nc FROM tok GROUP BY lang),
+vocab AS (SELECT count(DISTINCT w) AS v FROM tok),
+cw AS (SELECT lang AS c, w, count(*) AS cnt FROM tok GROUP BY lang, w),
+ctot AS (SELECT c, CAST(sum(cnt) AS DOUBLE) AS tot FROM cw GROUP BY c),
+scored AS (
+  SELECT t.doc_id, t.lang AS true_lang, cls.c,
+         ln(CAST(cls.nc AS DOUBLE) / nd.n)
+         + sum(ln((coalesce(cw.cnt, 0) + 1.0) / (ctot.tot + vocab.v))) AS score
+  FROM tok t
+  CROSS JOIN cls
+  JOIN ctot ON ctot.c = cls.c
+  LEFT JOIN cw ON cw.c = cls.c AND cw.w = t.w, nd, vocab
+  GROUP BY t.doc_id, t.lang, cls.c, cls.nc, nd.n),
+pred AS (
+  SELECT doc_id, true_lang, c AS pred_lang,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY round(score, 6) DESC, c) AS rn
+  FROM scored)
+SELECT doc_id, true_lang, pred_lang,
+       CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END AS correct
+FROM pred WHERE rn = 1
+""",
+)
+def ml_nb_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes trained AND applied as relations —
+    language identification from token counts with add-one smoothing,
+    argmax over ln priors + ln likelihoods. The model is two count
+    tables (class totals, class×word counts): training is a pair of
+    partial-aggregating groupBys, classification is the token stream
+    left-joined to the model (unseen pairs coalesce to the smoothing
+    floor) and summed per (doc, class). Unlike ml_nb (MLlib, seeded
+    pipeline, rows-only) every posterior is oracle-checked; the argmax
+    ranks on the 6-dp-rounded score with class-name tie-break so both
+    engines pick identical labels."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
+    nd = tok.agg(F.countDistinct("doc_id").alias("n"))
+    cls = tok.groupBy(F.col("lang").alias("c")).agg(
+        F.countDistinct("doc_id").alias("nc")
+    )
+    vocab = tok.agg(F.countDistinct("w").alias("v"))
+    cw = tok.groupBy(F.col("lang").alias("c"), "w").agg(F.count(F.lit(1)).alias("cnt"))
+    ctot = cw.groupBy("c").agg(F.sum("cnt").cast("double").alias("tot"))
+    model = cls.join(ctot, "c")
+    scored = (
+        tok.crossJoin(F.broadcast(model))
+        .join(
+            F.broadcast(cw.select(F.col("c").alias("cw_c"), F.col("w").alias("cw_w"), "cnt")),
+            (F.col("c") == F.col("cw_c")) & (F.col("w") == F.col("cw_w")),
+            "left",
+        )
+        .join(F.broadcast(nd))
+        .join(F.broadcast(vocab))
+        .groupBy("doc_id", F.col("lang").alias("true_lang"), "c", "nc", "n")
+        .agg(
+            F.sum(
+                F.log(
+                    (F.coalesce("cnt", F.lit(0)) + 1.0) / (F.col("tot") + F.col("v"))
+                )
+            ).alias("ll")
+        )
+        .withColumn(
+            "score",
+            F.log(F.col("nc").cast("double") / F.col("n")) + F.col("ll"),
+        )
+    )
+    pred = scored.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy(F.round("score", 6).desc(), "c")
+        ),
+    ).filter(F.col("rn") == 1)
+    return pred.select(
+        "doc_id",
+        "true_lang",
+        F.col("c").alias("pred_lang"),
+        F.when(F.col("c") == F.col("true_lang"), 1).otherwise(0).alias("correct"),
+    )

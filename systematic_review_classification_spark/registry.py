@@ -93,6 +93,7 @@ _PRIORITY: list[str] = [
     "wl_pretrain_pipeline", "sql_window_clause",
     "sim_rp_lsh",
     "src_fixed_width", "fn_phonetic", "txt_ocr_artifact_filter",
+    "ml_logreg_gd", "ml_nb_portable",
     "wl_q11_partvalue", "wl_q20_excess", "wl_seasonality",
     "wl_skew_report", "wl_resample_ffill", "sample_reservoir",
     "agg_grouping_id", "agg_corr_matrix", "sql_qualify", "wl_profile",
