@@ -689,3 +689,104 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(skew, 6).alias("skew"),
         F.round(kurt, 6).alias("ex_kurtosis"),
     )
+
+
+@query(
+    "agg_variance_merge",
+    oracle="""
+WITH sh AS (
+  SELECT l_orderkey % 4 AS shard, CAST(count(*) AS DOUBLE) AS n,
+         sum(l_quantity) AS s1, sum(l_quantity * l_quantity) AS s2
+  FROM lineitem GROUP BY 1),
+st AS (SELECT shard, n, s1 / n AS mean, s2 - s1 * s1 / n AS m2 FROM sh),
+m01 AS (
+  SELECT a.n + b.n AS n,
+         a.mean + (b.mean - a.mean) * b.n / (a.n + b.n) AS mean,
+         a.m2 + b.m2 + (b.mean - a.mean) * (b.mean - a.mean) * a.n * b.n / (a.n + b.n) AS m2
+  FROM (SELECT * FROM st WHERE shard = 0) a, (SELECT * FROM st WHERE shard = 1) b),
+m23 AS (
+  SELECT a.n + b.n AS n,
+         a.mean + (b.mean - a.mean) * b.n / (a.n + b.n) AS mean,
+         a.m2 + b.m2 + (b.mean - a.mean) * (b.mean - a.mean) * a.n * b.n / (a.n + b.n) AS m2
+  FROM (SELECT * FROM st WHERE shard = 2) a, (SELECT * FROM st WHERE shard = 3) b),
+merged AS (
+  SELECT a.n + b.n AS n,
+         a.m2 + b.m2 + (b.mean - a.mean) * (b.mean - a.mean) * a.n * b.n / (a.n + b.n) AS m2
+  FROM m01 a, m23 b),
+direct AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(l_quantity) AS s1,
+         sum(l_quantity * l_quantity) AS s2
+  FROM lineitem)
+SELECT CAST(m.n AS BIGINT) AS n,
+       round(m.m2 / m.n, 6) AS var_merged,
+       round((d.s2 - d.s1 * d.s1 / d.n) / d.n, 6) AS var_direct
+FROM merged m, direct d
+""",
+)
+def agg_variance_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel variance via CHAN'S MERGE FORMULA, made explicit: four
+    hash shards each reduce to the mergeable state (n, mean, M2), then
+    a merge tree combines them — M2_AB = M2_A + M2_B + δ²·n_A·n_B/n —
+    and the merged population variance is compared against the direct
+    one-pass answer in the same row. This is the algebra hiding inside
+    every distributed var_pop/stddev: executors emit (n, mean, M2)
+    partials, the exchange carries 3 doubles per partition, and
+    merging is associative. Quantities are integer-valued so the power
+    sums are exact and both engines' merge trees agree bit-for-bit."""
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    sh = li.groupBy((F.col("l_orderkey") % 4).alias("shard")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum(q * q).alias("s2"),
+    )
+    st = sh.select(
+        "shard",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")).alias("m2"),
+    )
+
+    def _merge(a, b):
+        n = F.col(f"{a}.n") + F.col(f"{b}.n")
+        delta = F.col(f"{b}.mean") - F.col(f"{a}.mean")
+        return [
+            n.alias("n"),
+            (F.col(f"{a}.mean") + delta * F.col(f"{b}.n") / n).alias("mean"),
+            (
+                F.col(f"{a}.m2")
+                + F.col(f"{b}.m2")
+                + delta * delta * F.col(f"{a}.n") * F.col(f"{b}.n") / n
+            ).alias("m2"),
+        ]
+
+    s0 = st.filter(F.col("shard") == 0).alias("a")
+    s1_ = st.filter(F.col("shard") == 1).alias("b")
+    m01 = s0.join(s1_).select(*_merge("a", "b")).alias("a")
+    s2_ = st.filter(F.col("shard") == 2).alias("a")
+    s3 = st.filter(F.col("shard") == 3).alias("b")
+    m23 = s2_.join(s3).select(*_merge("a", "b")).alias("b")
+    merged = m01.join(m23).select(
+        (F.col("a.n") + F.col("b.n")).alias("n"),
+        (
+            F.col("a.m2")
+            + F.col("b.m2")
+            + (F.col("b.mean") - F.col("a.mean"))
+            * (F.col("b.mean") - F.col("a.mean"))
+            * F.col("a.n")
+            * F.col("b.n")
+            / (F.col("a.n") + F.col("b.n"))
+        ).alias("m2"),
+    )
+    direct = li.agg(
+        F.count(F.lit(1)).cast("double").alias("dn"),
+        F.sum(q).alias("ds1"),
+        F.sum(q * q).alias("ds2"),
+    )
+    return merged.join(F.broadcast(direct)).select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("m2") / F.col("n"), 6).alias("var_merged"),
+        F.round(
+            (F.col("ds2") - F.col("ds1") * F.col("ds1") / F.col("dn")) / F.col("dn"), 6
+        ).alias("var_direct"),
+    )

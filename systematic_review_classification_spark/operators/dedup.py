@@ -1006,3 +1006,58 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("precision"),
         )
     )
+
+
+@query(
+    "dedup_exact_substring",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+wins AS (
+  SELECT doc_id, md5(array_to_string(list_slice(toks, i, i + 15), ' ')) AS fp
+  FROM t CROSS JOIN (SELECT unnest(range(1, 200)) AS i) r
+  WHERE i + 15 <= len(toks)),
+pairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         count(DISTINCT a.fp) AS n_shared_spans
+  FROM wins a JOIN wins b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id1, id2, n_shared_spans FROM pairs
+""",
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING dedup (the Lee et al. 'Deduplicating Training
+    Data' method, window-fingerprint form): every 16-token sliding
+    window is fingerprinted; two documents sharing ANY window share a
+    verbatim 16-token span — catching copied sentences that
+    whole-document fingerprints (dedup_exact) and set-similarity
+    (Jaccard/MinHash) both miss. Output: document pairs with shared
+    span counts.
+
+    Scale shape: windows are a row-local slice projection (no
+    suffix array materializes); the only shuffle keys WINDOW
+    FINGERPRINTS — text never moves (the dedup_paragraph discipline).
+    A boilerplate span shared by k docs emits k(k-1)/2 pairs — the
+    same density caveat as dedup_minhash_portable; the linear-output
+    production form groups by fingerprint to a min-doc representative
+    (dedup_minhash_canonical's star-edge trick) instead of pairing."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    starts = F.when(
+        F.size("toks") >= 16, F.sequence(F.lit(1), F.size("toks") - 15)
+    ).otherwise(F.array().cast("array<int>"))
+    wins = t.select(
+        "doc_id", F.explode(starts).alias("i"), "toks"
+    ).select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice("toks", F.col("i"), 16))).alias("fp"),
+    )
+    a, b = wins.alias("a"), wins.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.countDistinct("a.fp").alias("n_shared_spans"))
+    )

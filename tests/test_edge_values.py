@@ -206,7 +206,7 @@ def test_document_operators_survive_empty_corpus(spark, tmp_path):
         "txt_bigram_lm_score", "wl_embedding_drift", "dedup_minhash_eval",
         "sim_sparse_cosine", "ml_knn_classify", "txt_bpe_pair_counts",
         "wl_pretrain_pipeline", "sim_rp_lsh", "txt_ocr_artifact_filter",
-        "ml_logreg_gd", "ml_nb_portable",
+        "ml_logreg_gd", "ml_nb_portable", "dedup_exact_substring",
     ]
     q = all_queries()
     for key in keys:
