@@ -962,3 +962,82 @@ def ml_nb_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("pred_lang"),
         F.when(F.col("c") == F.col("true_lang"), 1).otherwise(0).alias("correct"),
     )
+
+
+@query(
+    "ml_kmeans_portable",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+vd AS (SELECT vec_id, i AS d, v[i] AS x
+       FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) r WHERE i <= len(v)),
+c0 AS (SELECT CAST(vec_id / 100 AS INTEGER) AS j, d, x AS c
+       FROM vd WHERE vec_id IN (0, 100, 200, 300)),
+d1 AS (SELECT vd.vec_id, c0.j, sum((vd.x - c0.c) * (vd.x - c0.c)) AS dist
+       FROM vd JOIN c0 USING (d) GROUP BY vd.vec_id, c0.j),
+a1 AS (SELECT vec_id, j FROM (
+         SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY dist, j) AS rn FROM d1)
+       WHERE rn = 1),
+c1 AS (SELECT a1.j, vd.d, avg(vd.x) AS c
+       FROM a1 JOIN vd USING (vec_id) GROUP BY a1.j, vd.d),
+d2 AS (SELECT vd.vec_id, c1.j, sum((vd.x - c1.c) * (vd.x - c1.c)) AS dist
+       FROM vd JOIN c1 USING (d) GROUP BY vd.vec_id, c1.j),
+a2 AS (SELECT vec_id, j FROM (
+         SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY dist, j) AS rn FROM d2)
+       WHERE rn = 1),
+c2 AS (SELECT a2.j, vd.d, avg(vd.x) AS c
+       FROM a2 JOIN vd USING (vec_id) GROUP BY a2.j, vd.d)
+SELECT s.j, s.cluster_size, round(n.sqnorm, 6) AS centroid_sqnorm
+FROM (SELECT j, CAST(count(*) AS BIGINT) AS cluster_size FROM a2 GROUP BY j) s
+JOIN (SELECT j, sum(c * c) AS sqnorm FROM c2 GROUP BY j) n USING (j)
+""",
+)
+def ml_kmeans_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (k=4) with DETERMINISTIC seeding and two unrolled Lloyd
+    iterations in pure relational algebra — the third member of the
+    from-scratch ML trio (ml_logreg_gd, ml_nb_portable), and unlike
+    MLlib's ml_kmeans (JVM-seeded, rows-only) the converged assignment
+    is oracle-checked. Seeds are fixed vectors (ids 0/100/200/300 —
+    a deterministic stand-in for k-means|| oversampling); each Lloyd
+    step is two hash aggregates: per-(vector, centroid) squared-L2
+    (dimension join, partial-summing) and argmin by window, then
+    per-(cluster, dim) mean — both associative and shuffle-bounded by
+    |vectors|×k and k×dims. Argmin compares RAW distances (inter-
+    centroid gaps are O(1), float noise is 1e-14 — no rounding before
+    comparison, which would create boundary flips)."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    vd = e.select("vec_id", F.posexplode("v").alias("d", "x"))
+    c = (
+        vd.filter(F.col("vec_id").isin(0, 100, 200, 300))
+        .select((F.col("vec_id") / 100).cast("int").alias("j"), "d", F.col("x").alias("c"))
+    )
+    assign = None
+    for _ in range(2):
+        dist = (
+            vd.join(c, "d")
+            .groupBy("vec_id", "j")
+            .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("dist"))
+        )
+        assign = (
+            dist.withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("vec_id").orderBy("dist", "j")
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "j")
+        )
+        c = (
+            assign.join(vd, "vec_id")
+            .groupBy("j", "d")
+            .agg(F.avg("x").alias("c"))
+        )
+    sizes = assign.groupBy("j").agg(F.count(F.lit(1)).cast("bigint").alias("cluster_size"))
+    norms = c.groupBy("j").agg(F.sum(F.col("c") * F.col("c")).alias("sqnorm"))
+    return sizes.join(norms, "j").select(
+        "j", "cluster_size", F.round("sqnorm", 6).alias("centroid_sqnorm")
+    )

@@ -95,6 +95,7 @@ _PRIORITY: list[str] = [
     "src_fixed_width", "fn_phonetic", "txt_ocr_artifact_filter",
     "ml_logreg_gd", "ml_nb_portable",
     "dedup_exact_substring", "agg_variance_merge",
+    "ml_kmeans_portable",
     "wl_q11_partvalue", "wl_q20_excess", "wl_seasonality",
     "wl_skew_report", "wl_resample_ffill", "sample_reservoir",
     "agg_grouping_id", "agg_corr_matrix", "sql_qualify", "wl_profile",
