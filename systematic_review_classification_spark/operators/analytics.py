@@ -1085,3 +1085,83 @@ def wl_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.groupBy(F.date_trunc("day", "m").cast("string").alias("day"))
         .agg(F.max("concurrent").cast("bigint").alias("peak_concurrent"))
     )
+
+
+@query(
+    "graph_bfs_levels",
+    oracle="""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+ed AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2),
+edges AS (
+  SELECT p1 AS src, p2 AS dst FROM ed WHERE n >= 2
+  UNION ALL
+  SELECT p2 AS src, p1 AS dst FROM ed WHERE n >= 2),
+seed AS (SELECT min(l_partkey) AS node FROM li),
+l0 AS (SELECT node, 0 AS lvl FROM seed),
+f1 AS (SELECT DISTINCT e.dst AS node FROM l0 JOIN edges e ON e.src = l0.node),
+l1 AS (SELECT node, lvl FROM l0
+       UNION ALL
+       SELECT f1.node, 1 AS lvl FROM f1
+       WHERE NOT EXISTS (SELECT 1 FROM l0 WHERE l0.node = f1.node)),
+f2 AS (SELECT DISTINCT e.dst AS node FROM l1 JOIN edges e ON e.src = l1.node),
+l2 AS (SELECT node, lvl FROM l1
+       UNION ALL
+       SELECT f2.node, 2 AS lvl FROM f2
+       WHERE NOT EXISTS (SELECT 1 FROM l1 WHERE l1.node = f2.node)),
+f3 AS (SELECT DISTINCT e.dst AS node FROM l2 JOIN edges e ON e.src = l2.node),
+l3 AS (SELECT node, lvl FROM l2
+       UNION ALL
+       SELECT f3.node, 3 AS lvl FROM f3
+       WHERE NOT EXISTS (SELECT 1 FROM l2 WHERE l2.node = f3.node))
+SELECT lvl, CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(min(node) AS BIGINT) AS min_node
+FROM l3 GROUP BY lvl
+""",
+)
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first reachability over the co-purchase graph: 3
+    unrolled frontier expansions from a deterministic seed, reporting
+    node counts per BFS level — the shortest-path-length sibling of
+    wl_pagerank3 (value propagation) and dedup_components (label
+    convergence). Each round is one frontier⋈edges equi-join plus an
+    anti-join against the visited set — the Pregel superstep in
+    DataFrame form; the frontier relation is the only state that
+    moves. Edges materialize once (support ≥ 2 co-purchase pairs,
+    symmetrized) — at 100 TB they would be bucketed on src so every
+    superstep's join is exchange-free."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    ed = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    edges = ed.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).unionByName(
+        ed.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+    )
+    visited = (
+        li.agg(F.min("l_partkey").alias("node")).select("node", F.lit(0).alias("lvl"))
+    )
+    for lvl in (1, 2, 3):
+        frontier = (
+            visited.join(edges, visited.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(lvl).alias("lvl"))
+        )
+        visited = visited.unionByName(frontier)
+    return visited.groupBy("lvl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.min("node").cast("bigint").alias("min_node"),
+    )
