@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import os
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -161,4 +162,47 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("text"), (F.col("frame_idx") * 16 + 1).cast("int"), 16
             )
         ).alias("frame_md5"),
+    )
+
+
+_BLOBS_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "fixtures", "blobs",
+)
+
+
+@query(
+    "mm_modality_router",
+    oracle=f"""
+WITH b AS (
+  SELECT regexp_extract(replace(filename, '\\', '/'), '([^/]+)$', 1) AS name,
+         upper(substring(hex(content), 1, 8)) AS magic,
+         octet_length(content) AS n_bytes
+  FROM read_blob('{_BLOBS_DIR}/*'))
+SELECT name,
+       CASE WHEN magic = '89504E47' THEN 'image/png'
+            WHEN magic = '52494646' THEN 'audio/riff'
+            ELSE 'application/octet-stream' END AS modality,
+       CAST(n_bytes AS BIGINT) AS n_bytes
+FROM b
+""",
+)
+def mm_modality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modality ROUTER for mixed binary ingest: sniff the magic bytes
+    of each blob and tag it with the pipeline branch it belongs to
+    (PNG → image decode, RIFF → audio decode, else passthrough) — the
+    dispatch step in front of mm_decode_stub/mm_frame_sample when one
+    landing table carries heterogeneous assets. Row-local projection
+    on the first 4 bytes (at scale: substring BEFORE hex so the codec
+    tag never materializes the payload); binaryFile already carries
+    length, so routing costs no extra scan."""
+    b = spark.read.format("binaryFile").load(_BLOBS_DIR)
+    magic = F.upper(F.hex(F.substring(F.col("content"), 1, 4)))
+    return b.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("name"),
+        F.when(magic == "89504E47", "image/png")
+        .when(magic == "52494646", "audio/riff")
+        .otherwise("application/octet-stream")
+        .alias("modality"),
+        F.col("length").cast("bigint").alias("n_bytes"),
     )
