@@ -549,3 +549,47 @@ def src_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select(
         "acct", "holder", F.round("amount", 2).alias("amount"), "ccy", "booked"
     )
+
+
+_CLF_RE = r'^(\S+) \S+ (\S+) \[([^\]]+)\] "(\S+) (\S+) [^"]*" (\d+) (\S+)'
+
+
+@query(
+    "src_weblog",
+    oracle=f"""
+WITH lines AS (
+  SELECT unnest(string_split(content, chr(10))) AS line
+  FROM read_text('{os.path.join(_FIXTURE_DIR, "access.log")}')),
+parsed AS (
+  SELECT regexp_extract(line, '{_CLF_RE}', 1) AS ip,
+         regexp_extract(line, '{_CLF_RE}', 2) AS client,
+         regexp_extract(line, '{_CLF_RE}', 4) AS method,
+         regexp_extract(line, '{_CLF_RE}', 5) AS path,
+         CAST(regexp_extract(line, '{_CLF_RE}', 6) AS INTEGER) AS status,
+         TRY_CAST(regexp_extract(line, '{_CLF_RE}', 7) AS BIGINT) AS n_bytes
+  FROM lines WHERE length(line) > 0)
+SELECT ip, client, method, path, status, n_bytes FROM parsed
+""",
+)
+def src_weblog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combined-log-format (Apache/nginx access log) ingestion: one
+    anchored regex with numbered capture groups projects the raw line
+    into typed columns; '-' byte counts TRY_CAST to NULL instead of
+    failing the row (the PERMISSIVE discipline of src_csv_corrupt
+    applied to regex parsing). The regex subset (\\S, \\d, bracket
+    classes) is Java/RE2 portable. Log files split by byte range like
+    any text source, and the parse is a codegen projection — the
+    standard clickstream on-ramp at any scale."""
+    lines = spark.read.text(os.path.join(_FIXTURE_DIR, "access.log"))
+    v = F.col("value")
+    parsed = lines.filter(F.length(v) > 0).select(
+        F.regexp_extract(v, _CLF_RE, 1).alias("ip"),
+        F.regexp_extract(v, _CLF_RE, 2).alias("client"),
+        F.regexp_extract(v, _CLF_RE, 4).alias("method"),
+        F.regexp_extract(v, _CLF_RE, 5).alias("path"),
+        F.regexp_extract(v, _CLF_RE, 6).cast("int").alias("status"),
+        F.when(F.regexp_extract(v, _CLF_RE, 7) == "-", None)
+        .otherwise(F.regexp_extract(v, _CLF_RE, 7).cast("bigint"))
+        .alias("n_bytes"),
+    )
+    return parsed
