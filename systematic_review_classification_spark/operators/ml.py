@@ -1041,3 +1041,120 @@ def ml_kmeans_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.join(norms, "j").select(
         "j", "cluster_size", F.round("sqnorm", 6).alias("centroid_sqnorm")
     )
+
+
+@query(
+    "wl_prisma_flow",
+    oracle="""
+WITH identified AS (SELECT doc_id, text, lang, n_chars FROM documents),
+deduped AS (
+  SELECT doc_id, lang, n_chars FROM (
+    SELECT doc_id, lang, n_chars,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM identified) WHERE rn = 1),
+screened AS (SELECT doc_id, lang FROM deduped WHERE n_chars >= 64),
+included AS (SELECT doc_id FROM screened WHERE lang = 'en')
+SELECT stage, n, stage_order FROM (
+  SELECT 'identified' AS stage, CAST(count(*) AS BIGINT) AS n, 1 AS stage_order FROM identified
+  UNION ALL
+  SELECT 'after_dedup', CAST(count(*) AS BIGINT), 2 FROM deduped
+  UNION ALL
+  SELECT 'screened_in', CAST(count(*) AS BIGINT), 3 FROM screened
+  UNION ALL
+  SELECT 'included', CAST(count(*) AS BIGINT), 4 FROM included)
+""",
+)
+def wl_prisma_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRISMA flow-diagram counts — the reporting artifact every
+    systematic review publishes (records identified → after duplicate
+    removal → screened in → included; the reference's own paper
+    reports exactly this funnel). Each stage is a lazy filter over the
+    previous one, so Catalyst computes the whole cascade from ONE
+    corpus scan + one fingerprint window; the four counts are
+    unioned 1-row aggregates. The eligibility rules here are the
+    engine's hygiene gates (length, language) standing in for the
+    reviewer's criteria — swap predicates, not plan."""
+    d = load(spark, sf_dir, "documents")
+    deduped = (
+        d.withColumn(
+            "rn", F.row_number().over(W.partitionBy(F.md5("text")).orderBy("doc_id"))
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    screened = deduped.filter(F.col("n_chars") >= 64)
+    included = screened.filter(F.col("lang") == "en")
+
+    def stage(df, name, order):
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias("n")).select(
+            F.lit(name).alias("stage"), "n", F.lit(order).alias("stage_order")
+        )
+
+    return (
+        stage(d, "identified", 1)
+        .unionByName(stage(deduped, "after_dedup", 2))
+        .unionByName(stage(screened, "screened_in", 3))
+        .unionByName(stage(included, "included", 4))
+    )
+
+
+@query(
+    "wl_cohens_kappa",
+    oracle="""
+WITH rated AS (
+  SELECT CASE WHEN n_chars >= 96 THEN 1 ELSE 0 END AS a,
+         CASE WHEN len(string_split(text, ' ')) >= 18 THEN 1 ELSE 0 END AS b
+  FROM documents),
+cm AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(a * b) AS DOUBLE) AS n11,
+         CAST(sum(a * (1 - b)) AS DOUBLE) AS n10,
+         CAST(sum((1 - a) * b) AS DOUBLE) AS n01,
+         CAST(sum((1 - a) * (1 - b)) AS DOUBLE) AS n00
+  FROM rated)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(n11 AS BIGINT) AS both_include, CAST(n00 AS BIGINT) AS both_exclude,
+       round((n11 + n00) / n, 6) AS observed_agreement,
+       round(((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) / (n * n), 6)
+         AS expected_agreement,
+       round(((n11 + n00) / n
+              - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) / (n * n))
+             / (1 - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) / (n * n)),
+             6) AS kappa
+FROM cm
+""",
+)
+def wl_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa inter-rater agreement — the dual-screening QA
+    metric of every systematic review (two reviewers screen the same
+    records; kappa corrects raw agreement for chance). The two
+    'raters' are deterministic eligibility rules (length vs token
+    count) so the 2×2 confusion cells are exact integers; kappa =
+    (p_o − p_e)/(1 − p_e) derives from ONE conditional-sum aggregate
+    pass — the agg_higher_moments discipline applied to agreement
+    statistics. Identical expression trees on both engines ⇒
+    bit-equal before rounding."""
+    d = load(spark, sf_dir, "documents")
+    a = F.when(F.col("n_chars") >= 96, 1).otherwise(0)
+    b = F.when(F.size(F.split("text", " ")) >= 18, 1).otherwise(0)
+    rated = d.select(a.alias("a"), b.alias("b"))
+    cm = rated.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("double").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("double").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("double").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("double").alias("n00"),
+    )
+    po = (F.col("n11") + F.col("n00")) / F.col("n")
+    pe = (
+        (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
+        + (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00"))
+    ) / (F.col("n") * F.col("n"))
+    return cm.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n11").cast("bigint").alias("both_include"),
+        F.col("n00").cast("bigint").alias("both_exclude"),
+        F.round(po, 6).alias("observed_agreement"),
+        F.round(pe, 6).alias("expected_agreement"),
+        F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+    )

@@ -207,7 +207,7 @@ def test_document_operators_survive_empty_corpus(spark, tmp_path):
         "sim_sparse_cosine", "ml_knn_classify", "txt_bpe_pair_counts",
         "wl_pretrain_pipeline", "sim_rp_lsh", "txt_ocr_artifact_filter",
         "ml_logreg_gd", "ml_nb_portable", "dedup_exact_substring",
-        "ml_kmeans_portable",
+        "ml_kmeans_portable", "wl_prisma_flow", "wl_cohens_kappa",
     ]
     q = all_queries()
     for key in keys:
