@@ -333,11 +333,12 @@ WITH g AS (
                                     ELSE p[1] || '_' || p[2] END),
            x -> x IS NOT NULL)) AS grams
   FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents)),
+gnz AS (SELECT * FROM g WHERE len(grams) > 0),
 pairs AS (
   SELECT a.doc_id AS id1, b.doc_id AS id2,
          len(list_intersect(a.grams, b.grams)) AS nc,
          len(a.grams) AS n1, len(b.grams) AS n2
-  FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id)
+  FROM gnz a JOIN gnz b ON a.source = b.source AND a.doc_id < b.doc_id)
 SELECT id1, id2, round(CAST(nc AS DOUBLE) / (n1 + n2 - nc), 6) AS jaccard
 FROM pairs WHERE CAST(nc AS DOUBLE) / (n1 + n2 - nc) >= 0.08
 """,
@@ -360,7 +361,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: x.isNotNull(),
         )
     )
-    g = d.select("doc_id", "source", grams.alias("grams"))
+    # two bigram-less docs would make the union size 0 — an ANSI
+    # divide-by-zero under the Jaccard ratio (test_property.py class)
+    g = d.select("doc_id", "source", grams.alias("grams")).filter(
+        F.size(F.col("grams")) > 0
+    )
     a, b = g.alias("a"), g.alias("b")
     pairs = a.join(
         b,

@@ -149,10 +149,11 @@ WITH g AS (
                                     ELSE p[1] || '_' || p[2] END),
            x -> x IS NOT NULL)) AS grams
   FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents)),
+gnz AS (SELECT * FROM g WHERE len(grams) > 0),
 pairs AS (
   SELECT a.doc_id AS id1, b.doc_id AS id2,
          CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / len(a.grams) AS c
-  FROM g a JOIN g b ON a.source = b.source AND a.doc_id <> b.doc_id)
+  FROM gnz a JOIN gnz b ON a.source = b.source AND a.doc_id <> b.doc_id)
 SELECT id1, id2, round(c, 6) AS containment
 FROM pairs WHERE c >= 0.25
 """,
@@ -179,7 +180,12 @@ def txt_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: x.isNotNull(),
         )
     )
-    g = d.select("doc_id", "source", grams.alias("grams"))
+    # single-token docs have NO bigrams; they can neither contain nor be
+    # contained, and an unguarded |A∩B|/|A| is an ANSI divide-by-zero
+    # (found by tests/test_property.py fuzzing)
+    g = d.select("doc_id", "source", grams.alias("grams")).filter(
+        F.size(F.col("grams")) > 0
+    )
     a, b = g.alias("a"), g.alias("b")
     pairs = a.join(
         b,
@@ -498,7 +504,7 @@ w AS (
 nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nn FROM w GROUP BY doc_id),
 u AS (SELECT w.doc_id, w.token, w.w / nrm.nn AS u
       FROM w JOIN nrm USING (doc_id) JOIN df USING (token), n_docs n
-      WHERE df.df <= 0.05 * n.n),
+      WHERE df.df <= 0.05 * n.n AND nrm.nn > 0),
 pairs AS (
   SELECT a.doc_id AS id1, b.doc_id AS id2, sum(a.u * b.u) AS sim
   FROM u a JOIN u b ON a.token = b.token AND a.doc_id < b.doc_id
@@ -544,8 +550,10 @@ def sim_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nn"))
+    # a doc whose every shingle is corpus-universal has an all-zero
+    # tf-idf vector (ln(n/df)=0 for all) => nn=0; guard the normalize
     u = (
-        w.join(nrm, "doc_id")
+        w.join(nrm.filter(F.col("nn") > 0), "doc_id")
         .filter(F.col("df") <= 0.05 * F.col("n"))
         .select("doc_id", "token", (F.col("w") / F.col("nn")).alias("u"))
     )
