@@ -77,3 +77,53 @@ def test_document_oracles_hold_on_generated_corpora(spark, corpus_dir, corpus):
             assert sp == du, f"[{key}] diverged on generated corpus {rows!r}"
     finally:
         con.close()
+
+
+_EVT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+_EVENT = st.tuples(
+    st.integers(min_value=0, max_value=3600 * 72),  # seconds offset (collisions likely)
+    st.integers(min_value=1, max_value=4),          # user_id — few users => deep windows
+    st.sampled_from(_EVT_TYPES),
+    st.integers(min_value=1, max_value=100_000),    # value cents => exact doubles
+)
+_EVENTS = st.lists(_EVENT, min_size=1, max_size=25)
+
+_EVENT_KEYS = ["win_running_distinct", "wl_path_trigrams", "wl_hour_heatmap", "win_ewma"]
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(events=_EVENTS)
+def test_event_oracles_hold_on_generated_streams(spark, corpus_dir, events):
+    """Windows over event time must agree cross-engine even with
+    COLLIDING timestamps (same user, same second — the tie-break
+    determinism the synthetic fixtures barely exercise) and deep
+    per-user sequences (EWMA fold order, trigram leads)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=off), uid, typ, cents / 100.0)
+        for i, (off, uid, typ, cents) in enumerate(events)
+    ]
+    path = str(corpus_dir / "evcase")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+    queries, oracles = all_queries(), all_oracles()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{path}/events.parquet/*.parquet')"
+    )
+    try:
+        for key in _EVENT_KEYS:
+            sp = canonical_rows(queries[key](spark, path).toPandas())
+            du = canonical_rows(con.execute(oracles[key]).df())
+            assert sp == du, f"[{key}] diverged on generated events {rows!r}"
+    finally:
+        con.close()
