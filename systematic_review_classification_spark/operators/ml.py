@@ -1158,3 +1158,220 @@ def wl_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pe, 6).alias("expected_agreement"),
         F.round((po - pe) / (1 - pe), 6).alias("kappa"),
     )
+
+
+@query(
+    "ml_feature_mi",
+    oracle="""
+WITH d AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                  list_distinct(string_split(text, ' ')) AS toks
+           FROM documents),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(y) AS DOUBLE) AS n_pos FROM d),
+tok AS (SELECT doc_id, y, unnest(toks) AS w FROM d),
+cnt AS (SELECT w, CAST(count(*) AS DOUBLE) AS n_w,
+               CAST(sum(y) AS DOUBLE) AS n_w_pos
+        FROM tok GROUP BY w),
+mi AS (
+  SELECT w,
+         (CASE WHEN n_w_pos > 0 THEN (n_w_pos / n.n) * ln((n_w_pos / n.n)
+                / ((n_w / n.n) * (n_pos / n.n))) ELSE 0 END
+          + CASE WHEN n_w - n_w_pos > 0 THEN ((n_w - n_w_pos) / n.n)
+                 * ln(((n_w - n_w_pos) / n.n)
+                      / ((n_w / n.n) * ((n.n - n_pos) / n.n))) ELSE 0 END) AS mi_present
+  FROM cnt, n)
+SELECT w, round(mi_present, 6) AS mi
+FROM mi ORDER BY round(mi_present, 6) DESC, w LIMIT 15
+""",
+)
+def ml_feature_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-information feature selection: MI between token presence
+    and the inclusion label, top-15 — the feature-ranking step the
+    reference pipeline runs before training its screeners (the chi²
+    sibling, wl_chi2_assoc, tests independence; MI ranks
+    discriminative power). One distinct-token explode + one
+    conditional-count aggregate; the MI formula is identical
+    expression trees over exact integer counts, so both engines agree
+    bit-for-bit before rounding; the top-15 cut ranks on the rounded
+    score with token tie-break."""
+    d = load(spark, sf_dir, "documents").select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.array_distinct(F.split("text", " ")).alias("toks"),
+    )
+    n = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("y").cast("double").alias("n_pos"),
+    )
+    tok = d.select("y", F.explode("toks").alias("w"))
+    cnt = tok.groupBy("w").agg(
+        F.count(F.lit(1)).cast("double").alias("n_w"),
+        F.sum("y").cast("double").alias("n_w_pos"),
+    )
+    j = cnt.join(F.broadcast(n))
+    p_w = F.col("n_w") / F.col("n")
+    p_pos = F.col("n_pos") / F.col("n")
+    p_wp = F.col("n_w_pos") / F.col("n")
+    p_wn = (F.col("n_w") - F.col("n_w_pos")) / F.col("n")
+    mi = F.when(
+        F.col("n_w_pos") > 0, p_wp * F.log(p_wp / (p_w * p_pos))
+    ).otherwise(0.0) + F.when(
+        F.col("n_w") - F.col("n_w_pos") > 0,
+        p_wn * F.log(p_wn / (p_w * (1 - p_pos))),
+    ).otherwise(0.0)
+    return (
+        j.select("w", F.round(mi, 6).alias("mi"))
+        .orderBy(F.col("mi").desc(), "w")
+        .limit(15)
+    )
+
+
+@query(
+    "ml_screen_e2e",
+    oracle=f"""
+WITH feat AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         1.0 AS x0,
+         len(string_split(text, ' ')) / 100.0 AS x1,
+         CAST(len(list_filter(string_split(text, ' '), t -> t IN ({_GD_STOP_SQL})))
+              AS DOUBLE) / len(string_split(text, ' ')) AS x2
+  FROM documents),
+g1 AS (
+  SELECT avg((1.0 / (1.0 + exp(0.0)) - y) * x0) AS g0,
+         avg((1.0 / (1.0 + exp(0.0)) - y) * x1) AS g1,
+         avg((1.0 / (1.0 + exp(0.0)) - y) * x2) AS g2
+  FROM feat),
+w1 AS (SELECT -1.0 * g0 AS w0, -1.0 * g1 AS w1, -1.0 * g2 AS w2 FROM g1),
+g2 AS (
+  SELECT avg((1.0 / (1.0 + exp(-(w.w0 * x0 + w.w1 * x1 + w.w2 * x2))) - y) * x0) AS g0,
+         avg((1.0 / (1.0 + exp(-(w.w0 * x0 + w.w1 * x1 + w.w2 * x2))) - y) * x1) AS g1,
+         avg((1.0 / (1.0 + exp(-(w.w0 * x0 + w.w1 * x1 + w.w2 * x2))) - y) * x2) AS g2
+  FROM feat, w1 w),
+w2 AS (SELECT w.w0 - g.g0 AS w0, w.w1 - g.g1 AS w1, w.w2 - g.g2 AS w2 FROM w1 w, g2 g),
+scored AS (
+  SELECT doc_id, y, round(w.w0 * x0 + w.w1 * x1 + w.w2 * x2, 6) AS z
+  FROM feat, w2 w),
+ranked AS (
+  SELECT doc_id, y, row_number() OVER (ORDER BY z DESC, doc_id) AS rnk,
+         count(*) OVER () AS n, sum(y) OVER () AS n_pos
+  FROM scored)
+SELECT CAST(max(n) AS BIGINT) AS n,
+       CAST(max(n_pos) AS BIGINT) AS n_pos,
+       CAST(sum(CASE WHEN rnk <= ceil(0.1 * n) THEN y ELSE 0 END) AS BIGINT)
+         AS found_at_10pct,
+       round(sum(CASE WHEN rnk <= ceil(0.1 * n) THEN y ELSE 0 END) / max(n_pos), 6)
+         AS recall_at_10pct
+FROM ranked
+""",
+)
+def ml_screen_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE reference workflow end-to-end, oracle-checked: featurize →
+    train (2 full-batch GD steps of ml_logreg_gd's logistic model) →
+    score every record → rank → recall@10%-screened, in ONE lazy plan.
+    MLlib twins (ml_lr + ml_rank_screen + ml_eval_wss95) run this with
+    library models as rows-only keys; here every number — weights,
+    scores, the ranked cut, the recall — is bit-checked against the
+    oracle. Ranking uses the 6-dp-rounded score with doc_id tie-break
+    (both engines cut the identical top decile); the global rank is a
+    window here for oracle parity — the production form is
+    ml_eval_auc's two-pass range rank."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    feat = d.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        F.lit(1.0).alias("x0"),
+        (F.size(toks) / 100.0).alias("x1"),
+        (
+            F.size(F.filter(toks, lambda t: t.isin(*_GD_STOP))).cast("double")
+            / F.size(toks)
+        ).alias("x2"),
+    )
+    w = spark.createDataFrame([(0.0, 0.0, 0.0)], "w0 double, w1 double, w2 double")
+    for _ in range(2):
+        z = F.col("w0") * F.col("x0") + F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2")
+        p = 1.0 / (1.0 + F.exp(-z))
+        g = feat.join(F.broadcast(w)).agg(
+            F.avg((p - F.col("y")) * F.col("x0")).alias("g0"),
+            F.avg((p - F.col("y")) * F.col("x1")).alias("g1"),
+            F.avg((p - F.col("y")) * F.col("x2")).alias("g2"),
+        )
+        w = w.join(F.broadcast(g)).select(
+            (F.col("w0") - F.col("g0")).alias("w0"),
+            (F.col("w1") - F.col("g1")).alias("w1"),
+            (F.col("w2") - F.col("g2")).alias("w2"),
+        )
+    z = F.col("w0") * F.col("x0") + F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2")
+    scored = feat.join(F.broadcast(w)).select(
+        "doc_id", "y", F.round(z, 6).alias("z")
+    )
+    ranked = scored.select(
+        "y",
+        F.row_number().over(W.orderBy(F.col("z").desc(), "doc_id")).alias("rnk"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+        F.sum("y").over(W.partitionBy()).alias("n_pos"),
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max("n_pos").cast("bigint").alias("n_pos"),
+        F.sum(F.when(F.col("rnk") <= F.ceil(0.1 * F.col("n")), F.col("y")).otherwise(0.0))
+        .cast("bigint")
+        .alias("found_at_10pct"),
+        F.round(
+            F.sum(
+                F.when(F.col("rnk") <= F.ceil(0.1 * F.col("n")), F.col("y")).otherwise(0.0)
+            )
+            / F.max("n_pos"),
+            6,
+        ).alias("recall_at_10pct"),
+    )
+
+
+@query(
+    "ml_split_leakage",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, md5(text) AS fp,
+         CASE WHEN CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 10 < 8 THEN 'train' ELSE 'test' END AS split
+  FROM documents),
+tr AS (SELECT DISTINCT fp FROM corpus WHERE split = 'train'),
+te AS (SELECT DISTINCT fp FROM corpus WHERE split = 'test'),
+leak AS (SELECT count(*) AS n_leaked FROM te WHERE fp IN (SELECT fp FROM tr))
+SELECT (SELECT count(*) FROM corpus WHERE split = 'train') AS n_train,
+       (SELECT count(*) FROM corpus WHERE split = 'test') AS n_test,
+       CAST((SELECT n_leaked FROM leak) AS BIGINT) AS leaked_fingerprints
+""",
+)
+def ml_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test LEAKAGE audit: hash-split the corpus (the ml_split
+    discipline — md5 coin, coordination-free), then count test-set
+    content fingerprints that also appear in train. Duplicate texts
+    straddling the split are the classic silent evaluator inflation;
+    this is the check that says 'dedup BEFORE you split'. One
+    fingerprint projection + a broadcast-able semi-join of the small
+    test side against train fingerprints."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        F.when(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 10
+            < 8,
+            "train",
+        )
+        .otherwise("test")
+        .alias("split"),
+    )
+    tr = d.filter(F.col("split") == "train").select("fp").distinct()
+    te = d.filter(F.col("split") == "test").select("fp").distinct()
+    n_train = d.filter(F.col("split") == "train").agg(
+        F.count(F.lit(1)).alias("n_train")
+    )
+    n_test = d.filter(F.col("split") == "test").agg(F.count(F.lit(1)).alias("n_test"))
+    leaked = te.join(tr, "fp", "left_semi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("leaked_fingerprints")
+    )
+    return n_train.join(F.broadcast(n_test)).join(F.broadcast(leaked))
