@@ -557,3 +557,73 @@ def join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "valid_from",
         )
     )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, ts,
+         lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || ':' ||
+         lpad(CAST(event_id AS VARCHAR), 10, '0') AS pk
+  FROM events),
+w AS (
+  SELECT event_id, user_id, event_type, ts,
+         min(CASE WHEN event_type = 'purchase' THEN pk END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_pk
+  FROM ev)
+SELECT event_id AS error_id, user_id,
+       TRY_CAST(ltrim(string_split(next_pk, ':')[2], '0') AS BIGINT) AS next_purchase_id,
+       CAST(TRY_CAST(string_split(next_pk, ':')[1] AS BIGINT) - epoch_us(ts) AS BIGINT)
+         AS wait_us
+FROM w WHERE event_type = 'error'
+""",
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for every error event, the next purchase by
+    the same user — the recovery-time / conversion-after-incident
+    question. join_asof carries the latest past value forward; the
+    forward direction needs the EARLIEST future match, expressed as a
+    min over a FOLLOWING-frame window on a sortable (epoch, id)
+    packed key (min of a zero-padded string == earliest event —
+    portable where struct-min is not). Same single user-shuffle as the
+    backward as-of; no event self-join. NULL when no purchase
+    follows. Leading zeros strip via ltrim for the id (ids are
+    positive; an all-zero id cannot occur)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.concat(
+            F.lpad(F.unix_micros(F.col("ts").cast("timestamp")).cast("string"), 20, "0"),
+            F.lit(":"),
+            F.lpad(F.col("event_id").cast("string"), 10, "0"),
+        ).alias("pk"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        1, W.unboundedFollowing
+    )
+    out = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.min(F.when(F.col("event_type") == "purchase", F.col("pk"))).over(w).alias(
+            "next_pk"
+        ),
+    ).filter(F.col("event_type") == "error")
+    return out.select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.expr("try_cast(ltrim('0', element_at(split(next_pk, ':'), 2)) AS BIGINT)").alias(
+            "next_purchase_id"
+        ),
+        (
+            F.expr("try_cast(element_at(split(next_pk, ':'), 1) AS BIGINT)")
+            - F.unix_micros(F.col("ts").cast("timestamp"))
+        )
+        .cast("bigint")
+        .alias("wait_us"),
+    )

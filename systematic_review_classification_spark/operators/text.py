@@ -298,3 +298,86 @@ def txt_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.size(toks).between(10, 200)
         & (F.size(F.filter(toks, lambda t: F.length(t) > 15)) == 0)
     ).select("doc_id", "lang", "n_chars", F.size(toks).alias("n_tokens"))
+
+
+@query(
+    "txt_boilerplate_strip",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+ch AS (
+  SELECT doc_id, i, array_to_string(list_slice(toks, i, i + 15), ' ') AS chunk,
+         md5(array_to_string(list_slice(toks, i, i + 15), ' ')) AS fp
+  FROM t CROSS JOIN (SELECT unnest(range(1, 200, 16)) AS i) r
+  WHERE i <= len(toks)),
+common AS (
+  SELECT fp FROM (SELECT fp, count(DISTINCT doc_id) AS nd FROM ch GROUP BY fp)
+  WHERE nd >= 3),
+kept AS (
+  SELECT ch.doc_id, ch.i, ch.chunk,
+         CASE WHEN common.fp IS NULL THEN 1 ELSE 0 END AS keep
+  FROM ch LEFT JOIN common ON ch.fp = common.fp)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(1 - keep) AS BIGINT) AS n_dropped,
+       coalesce(array_to_string(list(CASE WHEN keep = 1 THEN chunk END ORDER BY i)
+                FILTER (WHERE keep = 1), ' '), '') AS text_clean
+FROM kept GROUP BY doc_id
+""",
+)
+def txt_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate REMOVAL (not just detection): 16-token chunks whose
+    fingerprint recurs in ≥ 3 distinct documents are corpus-global
+    boilerplate (headers, license blocks, template frames) and are cut
+    out; the document is REBUILT from its surviving chunks in order —
+    the step after dedup_paragraph's report, producing the cleaned
+    training text. Only fingerprints shuffle to find the common set
+    (broadcast back as a deny-list); reconstruction is a per-doc
+    ordered collect of kept chunks — text moves once, doc-local."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    ch = t.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("toks"), F.lit(16))).alias("i"),
+        "toks",
+    ).select(
+        "doc_id",
+        "i",
+        F.concat_ws(" ", F.slice("toks", F.col("i"), 16)).alias("chunk"),
+        F.md5(F.concat_ws(" ", F.slice("toks", F.col("i"), 16))).alias("fp"),
+    )
+    common = (
+        ch.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 3)
+        .select("fp")
+    )
+    kept = ch.join(
+        F.broadcast(common.withColumnRenamed("fp", "cfp")),
+        ch.fp == F.col("cfp"),
+        "left",
+    ).select(
+        "doc_id",
+        "i",
+        "chunk",
+        F.when(F.col("cfp").isNull(), 1).otherwise(0).alias("keep"),
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum(1 - F.col("keep")).cast("bigint").alias("n_dropped"),
+        F.coalesce(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep") == 1, F.struct("i", "chunk")
+                            )
+                        )
+                    ),
+                    lambda s: s.chunk,
+                ),
+            ),
+            F.lit(""),
+        ).alias("text_clean"),
+    )
