@@ -1165,3 +1165,94 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
         F.min("node").cast("bigint").alias("min_node"),
     )
+
+
+@query(
+    "wl_decayed_popularity",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(pow(0.5, datediff('day', o_orderdate, DATE '1998-08-01') / 7.0)), 6) AS decayed_score
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def wl_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed popularity (half-life = 7 days from
+    a fixed as-of date) — the recency weighting every feed/recommender
+    ranker applies. Decay is a row-local pow() folded into ONE
+    partial-aggregating sum, so 'recompute popularity nightly over
+    100 TB of history' is a single scan-agg; the equivalent
+    last-N-days filter family loses the long tail this keeps."""
+    o = load(spark, sf_dir, "orders")
+    w = F.pow(0.5, F.datediff(F.lit("1998-08-01").cast("date"), F.col("o_orderdate")) / 7.0)
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.sum(w), 6).alias("decayed_score"),
+    )
+
+
+@query(
+    "wl_cuped",
+    oracle="""
+WITH u AS (
+  SELECT user_id, user_id % 2 AS variant,
+         sum(CASE WHEN event_type = 'click' THEN value ELSE 0 END) AS x,
+         sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS y
+  FROM events GROUP BY user_id),
+mom AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM u),
+theta AS (
+  SELECT (sxy / n - (sx / n) * (sy / n)) / (sxx / n - (sx / n) * (sx / n)) AS th,
+         sx / n AS mean_x
+  FROM mom)
+SELECT variant,
+       CAST(count(*) AS BIGINT) AS n_users,
+       round(avg(y), 6) AS mean_post,
+       round(avg(y - t.th * (x - t.mean_x)), 6) AS mean_cuped
+FROM u, theta t GROUP BY variant, t.th, t.mean_x
+""",
+)
+def wl_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (the experimentation-platform
+    workhorse): adjust each user's post-period metric by their
+    pre-period covariate, y* = y − θ(x − x̄), θ = cov(x,y)/var(x) —
+    same means, materially tighter confidence intervals. θ comes from
+    ONE moment aggregate over the per-user rollup (the
+    agg_higher_moments discipline); the adjustment is a broadcast
+    1-row join + map-side arithmetic. Clicks proxy the pre-period,
+    purchases the post-period, user-id parity the variant."""
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        (F.col("user_id") % 2).alias("variant"),
+        F.sum(F.when(F.col("event_type") == "click", F.col("value")).otherwise(0.0)).alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+        ).alias("y"),
+    )
+    mom = u.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    theta = mom.select(
+        (
+            (F.col("sxy") / F.col("n") - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n")))
+            / (F.col("sxx") / F.col("n") - (F.col("sx") / F.col("n")) * (F.col("sx") / F.col("n")))
+        ).alias("th"),
+        (F.col("sx") / F.col("n")).alias("mean_x"),
+    )
+    return (
+        u.join(F.broadcast(theta))
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.round(F.avg("y"), 6).alias("mean_post"),
+            F.round(
+                F.avg(F.col("y") - F.col("th") * (F.col("x") - F.col("mean_x"))), 6
+            ).alias("mean_cuped"),
+        )
+    )

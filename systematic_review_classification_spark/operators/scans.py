@@ -593,3 +593,46 @@ def src_weblog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_bytes"),
     )
     return parsed
+
+
+@query(
+    "scan_manifest_table",
+    oracle="""
+SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders WHERE o_orderkey % 3 IN (0, 1)
+GROUP BY o_orderstatus
+""",
+)
+def scan_manifest_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-driven table scan — the lakehouse table-format
+    mechanic (Delta/Iceberg) built from first principles: data files
+    land as immutable parquet, a tiny JSON commit log lists which are
+    LIVE, and readers plan from the manifest, never from directory
+    listing. Three slices are staged; the manifest commits two and
+    tombstones the third; the scan reads exactly the live files, so
+    the dropped slice costs zero IO (file-level pruning — the
+    coarsest, cheapest predicate there is). Manifest reads are
+    driver-side by design: that is metadata, O(files), exactly how
+    real table formats do it."""
+    import json
+
+    base = _io_dir(sf_dir, "manifest_table")
+    o = load(spark, sf_dir, "orders")
+    for part in (0, 1, 2):
+        o.filter(F.col("o_orderkey") % 3 == part).write.mode("overwrite").parquet(
+            f"{base}/part{part}"
+        )
+    manifest = {"version": 1, "live": [f"{base}/part0", f"{base}/part1"],
+                "tombstoned": [f"{base}/part2"]}
+    with open(f"{base}/manifest.json", "w") as f:
+        json.dump(manifest, f)
+    with open(f"{base}/manifest.json") as f:
+        live = json.load(f)["live"]
+    return (
+        spark.read.parquet(*live)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
