@@ -421,3 +421,90 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "user_id", F.size("vs").alias("n"), F.round(ewma, 6).alias("ewma")
     )
+
+
+@query(
+    "win_rolling_zscore",
+    oracle="""
+WITH w AS (
+  SELECT event_id, user_id, value,
+         count(*) OVER fr AS n_f,
+         sum(value) OVER fr AS s,
+         sum(value * value) OVER fr AS s2
+  FROM events
+  WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+SELECT event_id, user_id,
+       CASE WHEN n_f >= 4 AND (s2 - s * s / n_f) / (n_f - 1) > 1e-9
+            THEN round((value - s / n_f)
+                       / sqrt((s2 - s * s / n_f) / (n_f - 1)), 6)
+       END AS rolling_z
+FROM w
+""",
+)
+def win_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly signal: each event scored against its
+    user's trailing 8-event window — the streaming-adjacent outlier
+    detector (wl_anomaly_zscore scores against GLOBAL per-type stats;
+    this adapts per user and per moment). Mean and variance come from
+    explicit frame sums (count, Σx, Σx²) so both engines evaluate the
+    identical algebra; windows shorter than 4 rows or with
+    ~zero variance yield NULL (a z-score against float-noise variance
+    is garbage, and ANSI would otherwise divide by zero). One user
+    shuffle, one sort, three frame aggregates sharing the spec."""
+    ev = load(spark, sf_dir, "events")
+    fr = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-7, W.currentRow)
+    )
+    w = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.count(F.lit(1)).over(fr).alias("n_f"),
+        F.sum("value").over(fr).alias("s"),
+        F.sum(F.col("value") * F.col("value")).over(fr).alias("s2"),
+    )
+    var = (F.col("s2") - F.col("s") * F.col("s") / F.col("n_f")) / (F.col("n_f") - 1)
+    z = (F.col("value") - F.col("s") / F.col("n_f")) / F.sqrt(var)
+    return w.select(
+        "event_id",
+        "user_id",
+        F.when((F.col("n_f") >= 4) & (var > 1e-9), F.round(z, 6)).alias("rolling_z"),
+    )
+
+
+@query(
+    "sample_reservoir_merge",
+    oracle="""
+SELECT event_id, md5('rsv:' || CAST(event_id AS VARCHAR)) AS r
+FROM events
+ORDER BY r, event_id LIMIT 5
+""",
+)
+def sample_reservoir_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE reservoir sampling: each of 4 shards keeps its local
+    top-5 by a deterministic md5 rank, the union of 20 survivors is
+    re-cut to the global top-5 — and because min-k over a uniform hash
+    is DISTRIBUTIVE, the merged sample provably equals the direct
+    global top-5 (the oracle computes only the direct form; equality
+    IS the check). This is how coordination-free sampling works at
+    1000 executors: fixed-k state per shard, one tiny merge — the
+    sampling sibling of agg_variance_merge and agg_sketch_merge.
+    sample_reservoir does per-group sampling; this pins the merge
+    algebra itself."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.md5(F.concat(F.lit("rsv:"), F.col("event_id").cast("string"))).alias("r"),
+        (F.col("event_id") % 4).alias("shard"),
+    )
+    local = (
+        ev.withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("shard").orderBy("r", "event_id")),
+        )
+        .filter(F.col("rn") <= 5)
+        .select("event_id", "r")
+    )
+    return local.orderBy("r", "event_id").limit(5)
