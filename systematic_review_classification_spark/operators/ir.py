@@ -13,7 +13,7 @@ only within equality blocks.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from systematic_review_classification_spark.registry import query
@@ -358,8 +358,6 @@ def wl_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     newb = first.groupBy("first_bin").agg(F.count(F.lit(1)).alias("new_tokens"))
     bins = d.select(F.expr("doc_id div 20").alias("bin")).distinct()
-    from pyspark.sql import Window as W
-
     joined = bins.join(
         F.broadcast(newb), bins.bin == newb.first_bin, "left"
     ).select("bin", F.coalesce("new_tokens", F.lit(0)).alias("new_tokens"))
@@ -720,4 +718,176 @@ def txt_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("wn").cast("bigint").alias("cnt"))
         .orderBy(F.col("cnt").desc(), "pair")
         .limit(10)
+    )
+
+
+@query(
+    "wl_soft_dedup_sampling",
+    oracle="""
+WITH cl AS (
+  SELECT doc_id, source, md5(text) AS fp,
+         count(*) OVER (PARTITION BY md5(text)) AS csize
+  FROM documents),
+coin AS (
+  SELECT doc_id, source, csize,
+         (CAST(('0x' || substring(md5('soft:' || CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 1000000) / 1000000.0 AS u
+  FROM cl),
+kept AS (SELECT * FROM coin WHERE u < 1.0 / csize)
+SELECT source,
+       CAST((SELECT count(*) FROM cl c2 WHERE c2.source = coin.source) AS BIGINT)
+         AS docs_in,
+       CAST(sum(CASE WHEN u < 1.0 / csize THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept
+FROM coin GROUP BY source
+""",
+)
+def wl_soft_dedup_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT dedup (duplicate-aware downsampling): instead of hard-
+    keeping one copy per duplicate cluster, every copy survives with
+    probability 1/cluster_size — expected one survivor per cluster,
+    but the survivor choice is uncoordinated: each row flips its OWN
+    deterministic md5 coin against the broadcast-free cluster size
+    from a fingerprint window. This is the production middle ground
+    (UniMax/DoReMi-style duplicate discounting) when exact dedup is
+    too destructive and cluster representatives would bias toward low
+    ids. Map-side after one fingerprint window; no joins."""
+    d = load(spark, sf_dir, "documents")
+    cl = d.select(
+        "doc_id",
+        "source",
+        F.count(F.lit(1)).over(W.partitionBy(F.md5("text"))).alias("csize"),
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("soft:"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000000
+    ) / 1000000.0
+    coin = cl.select("source", "csize", u.alias("u"))
+    return coin.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs_in"),
+        F.sum(F.when(F.col("u") < 1.0 / F.col("csize"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_kept"),
+    )
+
+
+@query(
+    "wl_retrieval_eval",
+    oracle=f"""
+WITH d AS (SELECT doc_id, text, len(string_split(text, ' ')) AS dl FROM documents),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+  WHERE token IN ({_QUERY_TERMS_SQL})
+  GROUP BY doc_id, token),
+idf AS (
+  SELECT token, ln(1.0 + (s.n_docs - count(DISTINCT doc_id) + 0.5)
+                         / (count(DISTINCT doc_id) + 0.5)) AS idf
+  FROM tf, stats s GROUP BY token, s.n_docs),
+scored AS (
+  SELECT tf.doc_id, count(*) AS n_terms,
+         sum(idf.idf * tf.tf * ({_BM25_K1} + 1.0)
+             / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * d.dl / s.avgdl))) AS score
+  FROM tf JOIN idf USING (token) JOIN d USING (doc_id), stats s
+  GROUP BY tf.doc_id),
+ranked AS (
+  SELECT doc_id, CASE WHEN n_terms >= 3 THEN 1 ELSE 0 END AS rel,
+         row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rnk
+  FROM scored),
+m AS (
+  SELECT sum(CASE WHEN rnk <= 10 THEN rel ELSE 0 END) AS rel_at_10,
+         min(CASE WHEN rel = 1 THEN rnk END) AS first_rel,
+         sum(CASE WHEN rnk <= 10 AND rel = 1 THEN 1.0 / ln(1 + rnk) * ln(2.0) END) AS dcg,
+         sum(rel) AS n_rel
+  FROM ranked),
+ideal AS (
+  SELECT sum(1.0 / ln(1 + i) * ln(2.0)) AS idcg
+  FROM (SELECT unnest(range(1, 11)) AS i), m WHERE i <= least(m.n_rel, 10))
+SELECT round(m.rel_at_10 / 10.0, 6) AS p_at_10,
+       round(1.0 / m.first_rel, 6) AS mrr,
+       round(m.dcg / ideal.idcg, 6) AS ndcg_at_10,
+       CAST(m.n_rel AS BIGINT) AS n_relevant
+FROM m, ideal
+""",
+)
+def wl_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR evaluation metrics over the BM25 ranking: Precision@10,
+    MRR, and binary-gain nDCG@10 against a deterministic relevance
+    rule (document matches ≥ 3 distinct query terms) — the metric
+    tail every retrieval stack (and the reference's screening
+    prioritization) reports. The ranking reuses txt_bm25_topk's exact
+    scoring; metrics reduce the ranked relation in one conditional
+    aggregate, with IDCG from a bounded rank spine. Ranks cut on the
+    rounded score with doc_id tie-break — identical lists, so the
+    metric comparison is exact."""
+    d = load(spark, sf_dir, "documents")
+    dl = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token").isin(*_QUERY_TERMS))
+        .groupBy("doc_id", "token")
+        .count()
+        .withColumnRenamed("count", "tf")
+    )
+    idf = (
+        tf.groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .join(F.broadcast(stats), how="cross")
+        .select(
+            "token",
+            F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)).alias("idf"),
+        )
+    )
+    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+    scored = (
+        tf.join(F.broadcast(idf), "token")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats), how="cross")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum(
+                F.col("idf") * F.col("tf") * (k1 + 1.0)
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window as Wn
+
+    ranked = scored.select(
+        F.when(F.col("n_terms") >= 3, 1).otherwise(0).alias("rel"),
+        F.row_number()
+        .over(Wn.orderBy(F.round("score", 6).desc(), "doc_id"))
+        .alias("rnk"),
+    )
+    m = ranked.agg(
+        F.sum(F.when(F.col("rnk") <= 10, F.col("rel")).otherwise(0)).alias("rel_at_10"),
+        F.min(F.when(F.col("rel") == 1, F.col("rnk"))).alias("first_rel"),
+        F.sum(
+            F.when(
+                (F.col("rnk") <= 10) & (F.col("rel") == 1),
+                1.0 / F.log(1 + F.col("rnk")) * F.log(F.lit(2.0)),
+            )
+        ).alias("dcg"),
+        F.sum("rel").alias("n_rel"),
+    )
+    spine = spark.range(1, 11).select(F.col("id").alias("i"))
+    ideal = (
+        spine.join(F.broadcast(m))
+        .filter(F.col("i") <= F.least(F.col("n_rel"), F.lit(10)))
+        .agg(F.sum(1.0 / F.log(1 + F.col("i")) * F.log(F.lit(2.0))).alias("idcg"))
+    )
+    return (
+        m.join(F.broadcast(ideal))
+        .select(
+            F.round(F.col("rel_at_10") / 10.0, 6).alias("p_at_10"),
+            F.round(1.0 / F.col("first_rel"), 6).alias("mrr"),
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_10"),
+            F.col("n_rel").cast("bigint").alias("n_relevant"),
+        )
     )
