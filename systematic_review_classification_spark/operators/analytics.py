@@ -1256,3 +1256,62 @@ def wl_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_cuped"),
         )
     )
+
+
+@query(
+    "wl_change_attribution",
+    oracle="""
+WITH r AS (
+  SELECT c.c_mktsegment AS segment,
+         sum(CASE WHEN o.o_orderdate >= DATE '1997-01-01'
+                   AND o.o_orderdate < DATE '1997-07-01'
+                  THEN o.o_totalprice ELSE 0 END) AS rev_h1,
+         sum(CASE WHEN o.o_orderdate >= DATE '1997-07-01'
+                   AND o.o_orderdate < DATE '1998-01-01'
+                  THEN o.o_totalprice ELSE 0 END) AS rev_h2
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1),
+t AS (SELECT sum(rev_h2 - rev_h1) AS total_delta FROM r)
+SELECT segment, round(rev_h1, 2) AS rev_h1, round(rev_h2, 2) AS rev_h2,
+       round(rev_h2 - rev_h1, 2) AS delta,
+       round((rev_h2 - rev_h1) / t.total_delta, 6) AS delta_share
+FROM r, t
+""",
+)
+def wl_change_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period change ATTRIBUTION: which customer segment
+    drove the half-over-half revenue move — the 'why did the metric
+    change' decomposition every BI review asks for. Both periods come
+    from ONE fact scan (conditional sums — never two passes), the
+    dimension joins broadcast, and each segment's share of the total
+    delta is a broadcast 1-row normalization. Additive by
+    construction: shares sum to 1."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    h1 = F.sum(
+        F.when(
+            (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01"),
+            F.col("o_totalprice"),
+        ).otherwise(0.0)
+    )
+    h2 = F.sum(
+        F.when(
+            (F.col("o_orderdate") >= "1997-07-01") & (F.col("o_orderdate") < "1998-01-01"),
+            F.col("o_totalprice"),
+        ).otherwise(0.0)
+    )
+    r = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(h1.alias("rev_h1"), h2.alias("rev_h2"))
+    )
+    t = r.agg(F.sum(F.col("rev_h2") - F.col("rev_h1")).alias("total_delta"))
+    return r.join(F.broadcast(t)).select(
+        "segment",
+        F.round("rev_h1", 2).alias("rev_h1"),
+        F.round("rev_h2", 2).alias("rev_h2"),
+        F.round(F.col("rev_h2") - F.col("rev_h1"), 2).alias("delta"),
+        F.round((F.col("rev_h2") - F.col("rev_h1")) / F.col("total_delta"), 6).alias(
+            "delta_share"
+        ),
+    )

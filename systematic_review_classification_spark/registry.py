@@ -105,6 +105,7 @@ _PRIORITY: list[str] = [
     "scan_manifest_table", "wl_decayed_popularity", "wl_cuped",
     "win_rolling_zscore", "sample_reservoir_merge",
     "wl_soft_dedup_sampling", "wl_retrieval_eval",
+    "wl_change_attribution",
     "wl_q11_partvalue", "wl_q20_excess", "wl_seasonality",
     "wl_skew_report", "wl_resample_ffill", "sample_reservoir",
     "agg_grouping_id", "agg_corr_matrix", "sql_qualify", "wl_profile",
