@@ -586,3 +586,78 @@ def test_ks_stat_in_unit_interval(spark, sf_dir):
     r = all_queries()["wl_ks_test"](spark, sf_dir).first()
     assert 0.0 <= r.ks_stat <= 1.0
     assert r.n_a > 0 and r.n_b > 0
+
+
+def test_prisma_flow_monotone(spark, sf_dir):
+    """Each PRISMA stage can only shrink the record set."""
+    from systematic_review_classification_spark import all_queries
+
+    rows = {r.stage: r.n for r in all_queries()["wl_prisma_flow"](spark, sf_dir).collect()}
+    assert (
+        rows["identified"] >= rows["after_dedup"] >= rows["screened_in"] >= rows["included"]
+    )
+    assert rows["identified"] > 0
+
+
+def test_change_attribution_shares_sum_to_one(spark, sf_dir):
+    from systematic_review_classification_spark import all_queries
+
+    rows = all_queries()["wl_change_attribution"](spark, sf_dir).collect()
+    assert abs(sum(r.delta_share for r in rows) - 1.0) < 1e-6
+    assert abs(sum(r.delta for r in rows) - sum(r.rev_h2 - r.rev_h1 for r in rows)) < 0.05
+
+
+def test_soft_dedup_keeps_bounded(spark, sf_dir):
+    """Soft dedup keeps at most every doc and, in expectation, about
+    one per duplicate cluster — bound loosely from both sides."""
+    from systematic_review_classification_spark import all_queries
+
+    rows = all_queries()["wl_soft_dedup_sampling"](spark, sf_dir).collect()
+    total_in = sum(r.docs_in for r in rows)
+    total_kept = sum(r.docs_kept for r in rows)
+    assert 0 < total_kept <= total_in
+
+
+def test_reservoir_merge_is_exact_topk(spark, sf_dir):
+    """The shard-merged sample must EQUAL the direct global min-k by
+    hash — distributivity, not approximation."""
+    from pyspark.sql import functions as F
+    from systematic_review_classification_spark import all_queries
+    from systematic_review_classification_spark.sources.tables import load
+
+    got = [r.event_id for r in all_queries()["sample_reservoir_merge"](spark, sf_dir).collect()]
+    direct = [
+        r.event_id
+        for r in load(spark, sf_dir, "events")
+        .select("event_id", F.md5(F.concat(F.lit("rsv:"), F.col("event_id").cast("string"))).alias("r"))
+        .orderBy("r", "event_id")
+        .limit(5)
+        .collect()
+    ]
+    assert got == direct
+
+
+def test_screen_e2e_recall_in_unit_interval(spark, sf_dir):
+    from systematic_review_classification_spark import all_queries
+
+    r = all_queries()["ml_screen_e2e"](spark, sf_dir).first()
+    assert 0.0 <= r.recall_at_10pct <= 1.0
+    assert r.found_at_10pct <= r.n_pos <= r.n
+
+
+def test_boilerplate_strip_conserves_chunks(spark, sf_dir):
+    """n_dropped <= n_chunks, and a doc with nothing dropped must
+    reconstruct its exact original text."""
+    from systematic_review_classification_spark import all_queries
+    from systematic_review_classification_spark.sources.tables import load
+
+    out = {r.doc_id: r for r in all_queries()["txt_boilerplate_strip"](spark, sf_dir).collect()}
+    orig = {r.doc_id: r.text for r in load(spark, sf_dir, "documents").collect()}
+    assert set(out) == set(orig)
+    intact = 0
+    for did, r in out.items():
+        assert 0 <= r.n_dropped <= r.n_chunks
+        if r.n_dropped == 0:
+            assert r.text_clean == orig[did]
+            intact += 1
+    assert intact > 0
