@@ -1315,3 +1315,90 @@ def wl_change_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "delta_share"
         ),
     )
+
+
+@query(
+    "wl_markov2_conditional",
+    oracle="""
+WITH e AS (
+  SELECT event_type AS t1,
+         lead(event_type) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+tri AS (SELECT t1, t2, t3, count(*) AS n3 FROM e
+        WHERE t3 IS NOT NULL AND t2 IS NOT NULL GROUP BY 1, 2, 3),
+bi AS (SELECT t1, t2, CAST(sum(n3) AS DOUBLE) AS n2 FROM tri GROUP BY 1, 2)
+SELECT tri.t1, tri.t2, tri.t3, tri.n3,
+       round(tri.n3 / bi.n2, 6) AS p_next
+FROM tri JOIN bi USING (t1, t2)
+""",
+)
+def wl_markov2_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order Markov model: P(next | previous two) estimated
+    from the trigram/bigram-prefix count ratio — the sequence model
+    one order above wl_markov_transitions, sharing wl_path_trigrams'
+    single user-window extraction. Both count tables are bounded by
+    |types|² and |types|³, so the conditional table broadcasts
+    anywhere; at scale only the ONE window over users touches data
+    size. Exact integer ratios, rounded."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type").over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    tri = e.groupBy("t1", "t2", "t3").agg(F.count(F.lit(1)).alias("n3"))
+    bi = tri.groupBy("t1", "t2").agg(F.sum("n3").cast("double").alias("n2"))
+    return tri.join(F.broadcast(bi), ["t1", "t2"]).select(
+        "t1", "t2", "t3", "n3", F.round(F.col("n3") / F.col("n2"), 6).alias("p_next")
+    )
+
+
+@query(
+    "wl_linear_forecast",
+    oracle="""
+WITH daily AS (
+  SELECT datediff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE)) AS t,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1),
+fit AS (
+  SELECT regr_slope(y, t) AS slope, regr_intercept(y, t) AS icept,
+         max(t) AS t_max, CAST(count(*) AS BIGINT) AS n_days
+  FROM daily)
+SELECT n_days, round(slope, 6) AS slope, round(icept, 6) AS intercept,
+       round(icept + slope * (t_max + 1), 6) AS forecast_next_day,
+       round(icept + slope * (t_max + 7), 6) AS forecast_next_week
+FROM fit
+""",
+)
+def wl_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-trend forecast: OLS over the daily event-count series
+    (SQL-standard REGR_* — the agg_linreg machinery) extrapolated 1
+    and 7 days past the observed horizon — the capacity-planning
+    one-liner. The series aggregates to one row per day FIRST
+    (bounded), so the regression runs over the calendar, not the
+    events; both engines evaluate the same closed-form slope/intercept
+    from exact integer (t, count) pairs."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.date_trunc("day", "ts"), F.lit("2024-01-01").cast("date")).alias("t")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    fit = daily.agg(
+        F.regr_slope("y", "t").alias("slope"),
+        F.regr_intercept("y", "t").alias("icept"),
+        F.max("t").alias("t_max"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    return fit.select(
+        "n_days",
+        F.round("slope", 6).alias("slope"),
+        F.round("icept", 6).alias("intercept"),
+        F.round(F.col("icept") + F.col("slope") * (F.col("t_max") + 1), 6).alias(
+            "forecast_next_day"
+        ),
+        F.round(F.col("icept") + F.col("slope") * (F.col("t_max") + 7), 6).alias(
+            "forecast_next_week"
+        ),
+    )

@@ -1066,3 +1066,89 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
         .agg(F.countDistinct("a.fp").alias("n_shared_spans"))
     )
+
+
+@query(
+    "dedup_scurve_empirical",
+    oracle="""
+WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+             FROM documents),
+sig AS (
+  SELECT doc_id, i, min(md5(i::VARCHAR || ':' || token)) AS mh
+  FROM tok CROSS JOIN (SELECT unnest(range(0, 16)) AS i) AS hi
+  GROUP BY doc_id, i),
+band AS (
+  SELECT doc_id, i // 8 AS band, md5(string_agg(mh, '|' ORDER BY i)) AS bkey
+  FROM sig GROUP BY doc_id, i // 8),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM band a JOIN band b ON a.band = b.band AND a.bkey = b.bkey
+                          AND a.doc_id < b.doc_id),
+t AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
+      FROM documents),
+pairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jac
+  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id),
+tagged AS (
+  SELECT CAST(floor(p.jac * 10) AS INTEGER) AS jac_bucket,
+         CASE WHEN c.id1 IS NULL THEN 0 ELSE 1 END AS is_cand
+  FROM pairs p LEFT JOIN cand c ON p.id1 = c.id1 AND p.id2 = c.id2)
+SELECT jac_bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(is_cand) AS BIGINT) AS n_candidates,
+       round(CAST(sum(is_cand) AS DOUBLE) / count(*), 6) AS candidate_rate
+FROM tagged GROUP BY jac_bucket
+""",
+)
+def dedup_scurve_empirical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMPIRICAL S-curve of the banded MinHash LSH: for each Jaccard
+    bucket of the same-source truth pairs, the fraction that the
+    2×8-band signatures actually surfaced as candidates — measuring
+    the theoretical P(candidate) = 1−(1−j⁸)² that justifies the
+    banding parameters. This is how you TUNE b and r before a 100 TB
+    run: measure the curve on a stratum (exact all-pairs affordable),
+    pick bands so the knee sits at your dedup threshold. All
+    md5-deterministic — the measured curve itself is oracle-checked;
+    the invariant suite asserts monotonicity."""
+    d = load(spark, sf_dir, "documents")
+    band = _minhash_bands(d)
+    a, b = band.alias("a"), band.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("c1"), F.col("b.doc_id").alias("c2"))
+        .distinct()
+    )
+    t = d.select(
+        "doc_id", "source", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    ta, tb = t.alias("ta"), t.alias("tb")
+    nc = F.size(F.array_intersect("ta.toks", "tb.toks"))
+    jac = nc.cast("double") / (F.size("ta.toks") + F.size("tb.toks") - nc)
+    pairs = ta.join(
+        tb,
+        (F.col("ta.source") == F.col("tb.source"))
+        & (F.col("ta.doc_id") < F.col("tb.doc_id")),
+    ).select(
+        F.col("ta.doc_id").alias("id1"),
+        F.col("tb.doc_id").alias("id2"),
+        jac.alias("jac"),
+    )
+    tagged = pairs.join(
+        cand, (pairs.id1 == cand.c1) & (pairs.id2 == cand.c2), "left"
+    ).select(
+        F.floor(F.col("jac") * 10).cast("int").alias("jac_bucket"),
+        F.when(F.col("c1").isNull(), 0).otherwise(1).alias("is_cand"),
+    )
+    return tagged.groupBy("jac_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("is_cand").cast("bigint").alias("n_candidates"),
+        F.round(F.sum("is_cand").cast("double") / F.count(F.lit(1)), 6).alias(
+            "candidate_rate"
+        ),
+    )

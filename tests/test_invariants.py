@@ -661,3 +661,31 @@ def test_boilerplate_strip_conserves_chunks(spark, sf_dir):
             assert r.text_clean == orig[did]
             intact += 1
     assert intact > 0
+
+
+def test_lsh_scurve_matches_theory(spark, sf_dir):
+    """The measured candidate rate per Jaccard bucket must track the
+    theoretical banding curve P(j) = 1 - (1 - j^8)^2 for 2 bands x 8
+    rows: within [P(bucket_lo) - 0.15, P(bucket_hi) + 0.15] wherever
+    the bucket has enough pairs to measure. If this drifts, the
+    signatures are not behaving as independent min-hashes and the
+    b/r tuning story collapses."""
+    from systematic_review_classification_spark import all_queries
+
+    def theory(j: float) -> float:
+        return 1.0 - (1.0 - j**8) ** 2
+
+    rows = all_queries()["dedup_scurve_empirical"](spark, sf_dir).collect()
+    checked = 0
+    for r in rows:
+        if r.n_pairs < 20:
+            continue
+        lo, hi = r.jac_bucket / 10.0, (r.jac_bucket + 1) / 10.0
+        assert theory(lo) - 0.15 <= r.candidate_rate <= theory(hi) + 0.15, (
+            r.jac_bucket,
+            r.candidate_rate,
+            theory(lo),
+            theory(hi),
+        )
+        checked += 1
+    assert checked >= 2, "not enough populated buckets to validate the curve"
