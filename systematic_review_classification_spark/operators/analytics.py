@@ -1402,3 +1402,99 @@ def wl_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast_next_week"
         ),
     )
+
+
+@query(
+    "wl_iqr_outliers",
+    oracle="""
+WITH q AS (
+  SELECT l_returnflag AS flag,
+         quantile_cont(l_extendedprice, 0.25) AS q1,
+         quantile_cont(l_extendedprice, 0.75) AS q3
+  FROM lineitem GROUP BY 1)
+SELECT li.l_returnflag AS flag,
+       round(max(q.q1), 3) AS q1, round(max(q.q3), 3) AS q3,
+       CAST(sum(CASE WHEN li.l_extendedprice > q.q3 + 1.5 * (q.q3 - q.q1)
+                       OR li.l_extendedprice < q.q1 - 1.5 * (q.q3 - q.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem li JOIN q ON li.l_returnflag = q.flag
+GROUP BY li.l_returnflag
+""",
+)
+def wl_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence (IQR) outlier census per group — the third member
+    of the robust-outlier family (wl_mad_outliers: median absolute
+    deviation; wl_anomaly_zscore: parametric). Quartiles reduce per
+    group first (bounded), broadcast back, and the fence test is one
+    conditional-sum pass over the fact — two scans total, no
+    row-vs-row work. Prices carry 2 decimals so the interpolated
+    quartiles and fences are well clear of comparison knife-edges."""
+    li = load(spark, sf_dir, "lineitem")
+    q = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.percentile("l_extendedprice", F.lit(0.25)).alias("q1"),
+        F.percentile("l_extendedprice", F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    out = (
+        F.col("l_extendedprice") > F.col("q3") + 1.5 * iqr
+    ) | (F.col("l_extendedprice") < F.col("q1") - 1.5 * iqr)
+    return (
+        li.join(F.broadcast(q), li.l_returnflag == q.flag)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.max("q1"), 3).alias("q1"),
+            F.round(F.max("q3"), 3).alias("q3"),
+            F.sum(F.when(out, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .withColumnRenamed("l_returnflag", "flag")
+    )
+
+
+@query(
+    "wl_interarrival_hist",
+    oracle="""
+WITH g AS (
+  SELECT user_id,
+         (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id)))
+           // 60000000 AS gap_min
+  FROM events),
+b AS (
+  SELECT CASE WHEN gap_min < 1 THEN '<1m'
+              WHEN gap_min < 10 THEN '1-10m'
+              WHEN gap_min < 60 THEN '10-60m'
+              WHEN gap_min < 1440 THEN '1-24h'
+              ELSE '>24h' END AS bucket
+  FROM g WHERE gap_min IS NOT NULL)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY bucket
+""",
+)
+def wl_interarrival_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time histogram: the distribution of gaps between
+    a user's consecutive events, bucketed to human scales — the
+    diagnostic that picks session-gap thresholds (batch_session_window
+    and the streaming sessionizers consume the knee of this curve as
+    their gap parameter). One lag over the user window, then a
+    five-bucket map-side aggregate."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.floor(
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+        )
+        / 60_000_000
+    )
+    g = ev.select(gap.alias("gap_min")).filter(F.col("gap_min").isNotNull())
+    bucket = (
+        F.when(F.col("gap_min") < 1, "<1m")
+        .when(F.col("gap_min") < 10, "1-10m")
+        .when(F.col("gap_min") < 60, "10-60m")
+        .when(F.col("gap_min") < 1440, "1-24h")
+        .otherwise(">24h")
+    )
+    return g.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )

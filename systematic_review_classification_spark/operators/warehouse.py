@@ -1195,3 +1195,25 @@ def sql_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         """
     )
+
+
+@query(
+    "sql_identifier",
+    oracle="""
+SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY o_orderpriority
+""",
+)
+def sql_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTIFIER(:param) — injection-safe dynamic table/column names
+    (Spark 3.5+): templated jobs pick their target relation and
+    grouping column through bound parameters instead of string
+    concatenation, so a hostile value can never smuggle SQL. Resolves
+    at analysis time to the identical aggregate plan as the literal
+    query (sql_params' pushdown discipline, extended from values to
+    names)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_idf")
+    return spark.sql(
+        "SELECT IDENTIFIER(:grp), count(*) AS n FROM IDENTIFIER(:tbl) "
+        "GROUP BY IDENTIFIER(:grp)",
+        args={"tbl": "orders_idf", "grp": "o_orderpriority"},
+    )
