@@ -607,3 +607,47 @@ def wl_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(coalesce(tokens_total, 0) + 511) div 512").alias("seqs_512"),
         )
     )
+
+
+@query(
+    "agg_bucketed_no_shuffle",
+    oracle="""
+SELECT l_orderkey, count(*) AS n_lines, round(sum(l_quantity), 2) AS qty
+FROM lineitem GROUP BY l_orderkey
+""",
+)
+def agg_bucketed_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exchange-free aggregation on a BUCKETED table: the groupBy key
+    matches the bucket spec, so HashAggregate consumes the stored
+    hash distribution directly — ZERO shuffle for the biggest
+    aggregation in the warehouse (asserted in tests/test_plans.py).
+    This is the aggregation twin of join_bucketed: pre-bucketing the
+    fact on its hottest group/join key converts every recurring
+    per-key rollup from shuffle-bound to scan-bound. The bucketed
+    table is reused if join_bucketed already wrote it this session."""
+    import os
+    import shutil
+
+    tag = sf_tag(sf_dir)
+    li_t = f"li_bucketed_{tag}"
+    base = f"/tmp/systematic_review_classification_spark_bucketed/{tag}"
+    if not spark.catalog.tableExists(li_t) or not os.path.isdir(f"{base}/{li_t}"):
+        spark.sql(f"DROP TABLE IF EXISTS {li_t}")
+        shutil.rmtree(f"{base}/{li_t}", ignore_errors=True)
+        (
+            load(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_quantity")
+            .write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .mode("overwrite")
+            .option("path", f"{base}/{li_t}")
+            .saveAsTable(li_t)
+        )
+    return (
+        spark.table(li_t)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+    )

@@ -721,3 +721,12 @@ def test_bpe_pair_counts_is_take_ordered_over_vocab(spark, sf_dir):
     plan = plan_of(QUERIES["txt_bpe_pair_counts"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_bucketed_agg_has_no_exchange(spark, sf_dir):
+    """Aggregating a bucketed table on its bucket key must consume the
+    stored distribution: no Exchange anywhere in the plan."""
+    df = QUERIES["agg_bucketed_no_shuffle"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "Exchange" not in plan, plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan, plan
