@@ -636,3 +636,42 @@ def scan_manifest_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+@query(
+    "sink_compressed",
+    oracle="""
+SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS revenue
+FROM lineitem WHERE l_discount >= 0.05
+GROUP BY l_returnflag
+""",
+)
+def sink_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed text sink round-trip: a filtered extract written as
+    gzip CSV and read back to the same aggregate. The operational
+    point is the SPLITTABILITY caveat: gzip members cannot be split,
+    so each output file becomes exactly one read task — at scale you
+    keep many moderate shards (or use zstd/bzip2 splittable framing)
+    or downstream parallelism collapses to the file count. The write
+    itself shards by the upstream partitioning, keeping that
+    parallelism."""
+    out = _io_dir(sf_dir, "lineitem_csv_gz")
+    (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_discount") >= 0.05)
+        .select("l_returnflag", "l_extendedprice")
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .option("header", True)
+        .csv(out)
+    )
+    return (
+        spark.read.option("header", True)
+        .schema("l_returnflag string, l_extendedprice double")
+        .csv(out)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )

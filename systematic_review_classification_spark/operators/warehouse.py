@@ -1217,3 +1217,41 @@ def sql_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "GROUP BY IDENTIFIER(:grp)",
         args={"tbl": "orders_idf", "grp": "o_orderpriority"},
     )
+
+
+@query(
+    "wl_pit_features",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       CAST(row_number() OVER w - 1 AS BIGINT) AS prior_orders,
+       round(coalesce(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), 2)
+         AS prior_spend
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def wl_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME-correct feature computation (the feature-store
+    contract): for every order, the customer's history STRICTLY
+    BEFORE it — prior order count and prior spend via an exclusive
+    window frame (UNBOUNDED..1 PRECEDING). Including the current row
+    is the classic training-serving leak; the exclusive frame is the
+    one-line fix, and the running sum accumulates in identical
+    (date, key) order on both engines so even the float prefix sums
+    agree exactly. One customer shuffle serves every feature."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        (F.row_number().over(w) - 1).cast("bigint").alias("prior_orders"),
+        F.round(
+            F.coalesce(
+                F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, -1)),
+                F.lit(0.0),
+            ),
+            2,
+        ).alias("prior_spend"),
+    )

@@ -109,6 +109,7 @@ _PRIORITY: list[str] = [
     "dedup_scurve_empirical", "wl_markov2_conditional", "wl_linear_forecast",
     "sql_identifier", "wl_iqr_outliers", "wl_interarrival_hist",
     "agg_bucketed_no_shuffle",
+    "wl_pit_features", "sink_compressed",
     "wl_q11_partvalue", "wl_q20_excess", "wl_seasonality",
     "wl_skew_report", "wl_resample_ffill", "sample_reservoir",
     "agg_grouping_id", "agg_corr_matrix", "sql_qualify", "wl_profile",
