@@ -1375,3 +1375,70 @@ def ml_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("leaked_fingerprints")
     )
     return n_train.join(F.broadcast(n_test)).join(F.broadcast(leaked))
+
+
+@query(
+    "ml_item_cf",
+    oracle="""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+deg AS (SELECT l_partkey AS p, count(*) AS d FROM li GROUP BY 1),
+co AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS c
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2),
+sim AS (
+  SELECT co.p1, co.p2,
+         round(co.c / (sqrt(da.d) * sqrt(db.d)), 6) AS cos_sim
+  FROM co JOIN deg da ON da.p = co.p1 JOIN deg db ON db.p = co.p2
+  WHERE co.c >= 2),
+top AS (
+  SELECT p1, p2, cos_sim,
+         row_number() OVER (PARTITION BY p1 ORDER BY cos_sim DESC, p2) AS rn
+  FROM sim)
+SELECT p1 AS item, p2 AS similar_item, cos_sim
+FROM top WHERE rn <= 3
+""",
+)
+def ml_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: cosine over the binary
+    item×basket matrix computed ENTIRELY from co-occurrence counts —
+    cos(i,j) = |i∩j| / √|i|√|j| — with top-3 neighbors per item. The
+    deterministic, oracle-checked counterpart of the seeded ml_als
+    factorization (rows-only), and the production fallback every
+    recommender ships first. Co-counts come from the within-order
+    self-join (per-basket quadratic only — wl_copurchase's
+    discipline); degrees broadcast back; support < 2 pruned BEFORE
+    ranking so noise pairs never enter the window. Ranks on the
+    rounded cosine with item tie-break."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    deg = li.groupBy(F.col("l_partkey").alias("p")).agg(F.count(F.lit(1)).alias("d"))
+    a, b = li.alias("a"), li.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+    )
+    da = deg.select(F.col("p").alias("p1"), F.col("d").alias("d1"))
+    db = deg.select(F.col("p").alias("p2"), F.col("d").alias("d2"))
+    sim = (
+        co.join(F.broadcast(da), "p1")
+        .join(F.broadcast(db), "p2")
+        .select(
+            "p1",
+            "p2",
+            F.round(F.col("c") / (F.sqrt("d1") * F.sqrt("d2")), 6).alias("cos_sim"),
+        )
+    )
+    top = sim.withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("p1").orderBy(F.col("cos_sim").desc(), "p2")),
+    ).filter(F.col("rn") <= 3)
+    return top.select(
+        F.col("p1").alias("item"), F.col("p2").alias("similar_item"), "cos_sim"
+    )
