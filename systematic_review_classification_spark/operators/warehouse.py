@@ -1255,3 +1255,53 @@ def wl_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("prior_spend"),
     )
+
+
+@query(
+    "wl_dp_counts",
+    oracle="""
+WITH c AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n FROM events GROUP BY 1),
+u AS (
+  SELECT event_type, n,
+         ((CAST(('0x' || substring(md5('dp:' || event_type), 1, 8)) AS BIGINT)
+           % 1000000) + 0.5) / 1000001.0 AS u01
+  FROM c)
+SELECT event_type,
+       CAST(n AS BIGINT) AS true_count,
+       round(n - 1.0 * CASE WHEN u01 >= 0.5 THEN 1.0 ELSE -1.0 END
+                 * ln(1.0 - 2.0 * abs(u01 - 0.5)), 6) AS dp_count
+FROM u
+""",
+)
+def wl_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy-style noised release: per-type counts plus
+    Laplace(1/ε) noise via inverse-CDF, x = −b·sign(u−½)·ln(1−2|u−½|)
+    — the publishable-statistics pattern. For testability the uniform
+    draw is a DETERMINISTIC md5 of the release key, making the whole
+    mechanism oracle-checkable; a production release swaps in a
+    CSPRNG per release and nothing else changes (the noise math and
+    the one-aggregate shape are identical). Counts are never exposed
+    below the aggregate grain, and the noise add is map-side on the
+    tiny grouped relation."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    u01 = (
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("dp:"), F.col("event_type"))), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 1000000
+        )
+        + 0.5
+    ) / 1000001.0
+    noise = (
+        F.when(u01 >= 0.5, 1.0).otherwise(-1.0)
+        * F.log(1.0 - 2.0 * F.abs(u01 - 0.5))
+    )
+    return c.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("true_count"),
+        F.round(F.col("n") - 1.0 * noise, 6).alias("dp_count"),
+    )
