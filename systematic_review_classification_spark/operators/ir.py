@@ -891,3 +891,47 @@ def wl_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_rel").cast("bigint").alias("n_relevant"),
         )
     )
+
+
+@query(
+    "wl_postings_delta",
+    oracle="""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+pl AS (SELECT token, list_sort(list(DISTINCT doc_id)) AS p FROM tok GROUP BY token)
+SELECT token,
+       CAST(len(p) AS BIGINT) AS df,
+       p[1] AS first_doc,
+       list_transform(list_zip(list_slice(p, 2, len(p)), list_slice(p, 1, len(p) - 1)),
+                      q -> q[1] - q[2]) AS deltas,
+       CAST(coalesce(list_max(list_transform(
+              list_zip(list_slice(p, 2, len(p)), list_slice(p, 1, len(p) - 1)),
+              q -> q[1] - q[2])), 0) AS BIGINT) AS max_gap
+FROM pl
+""",
+)
+def wl_postings_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list DELTA ENCODING — the storage layout inverted
+    indexes actually ship: doc-id gaps instead of absolute ids, which
+    varint/PForDelta then pack into a fraction of the bytes. Computed
+    as a row-local zip of the sorted postings with its own shift (no
+    extra shuffle beyond wl_inverted_index's build); max_gap is the
+    compressibility signal (small uniform gaps ⇒ dense term ⇒ near-
+    optimal packing). Reconstruction is the prefix sum — lossless by
+    construction."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    pl = tok.groupBy("token").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("p")
+    )
+    deltas = F.zip_with(
+        F.slice(F.col("p"), 2, F.greatest(F.size("p") - 1, F.lit(1))),
+        F.slice(F.col("p"), 1, F.greatest(F.size("p") - 1, F.lit(1))),
+        lambda a, b: a - b,
+    )
+    return pl.select(
+        "token",
+        F.size("p").cast("bigint").alias("df"),
+        F.element_at("p", 1).alias("first_doc"),
+        deltas.alias("deltas"),
+        F.coalesce(F.array_max(deltas), F.lit(0)).cast("bigint").alias("max_gap"),
+    )
