@@ -758,3 +758,27 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) GROUP BY o_orderpriority
         """
     )
+
+
+@query("wl_partition_balance")  # rows-only: partition ids are engine-internal
+def wl_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-balance observability: per-partition row counts of
+    the shuffled fact (spark_partition_id after a repartition on the
+    join key), summarized as a balance report — the first thing to
+    look at when one straggler task dominates a stage. Rows-only by
+    nature (partition ids are engine-internal);
+    tests/test_invariants.py pins conservation (counts sum to the
+    table total) and the balance factor on the hash-partitioned key."""
+    li = load(spark, sf_dir, "lineitem").repartition(32, "l_orderkey")
+    per = li.groupBy(F.spark_partition_id().alias("pid")).agg(
+        F.count(F.lit(1)).alias("rows")
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_partitions"),
+        F.sum("rows").cast("bigint").alias("total_rows"),
+        F.min("rows").cast("bigint").alias("min_rows"),
+        F.max("rows").cast("bigint").alias("max_rows"),
+        F.round(
+            F.max("rows") / (F.sum("rows") / F.count(F.lit(1))), 4
+        ).alias("skew_factor"),
+    )

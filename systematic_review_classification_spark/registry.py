@@ -113,6 +113,7 @@ _PRIORITY: list[str] = [
     "ml_item_cf",
     "wl_dp_counts",
     "wl_postings_delta",
+    "wl_partition_balance",
     "wl_q11_partvalue", "wl_q20_excess", "wl_seasonality",
     "wl_skew_report", "wl_resample_ffill", "sample_reservoir",
     "agg_grouping_id", "agg_corr_matrix", "sql_qualify", "wl_profile",

@@ -689,3 +689,16 @@ def test_lsh_scurve_matches_theory(spark, sf_dir):
         )
         checked += 1
     assert checked >= 2, "not enough populated buckets to validate the curve"
+
+
+def test_partition_balance_conserves_rows(spark, sf_dir):
+    """Per-partition counts must sum to the table total, and hash
+    partitioning on a high-cardinality key must be reasonably even
+    (max no more than 3x the mean at any test scale)."""
+    from systematic_review_classification_spark import all_queries
+    from systematic_review_classification_spark.sources.tables import load
+
+    r = all_queries()["wl_partition_balance"](spark, sf_dir).first()
+    assert r.total_rows == load(spark, sf_dir, "lineitem").count()
+    assert r.n_partitions <= 32
+    assert r.skew_factor < 3.0
