@@ -534,25 +534,23 @@ def sim_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tok = d.select("doc_id", F.explode(grams).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = tok.agg(F.countDistinct("doc_id").alias("n"))
+    # df and the doc norm as WINDOWS over the one tf relation (the
+    # txt_tfidf_topk lesson: a second aggregate + join re-shuffles and
+    # re-computes the whole subtree; a window reuses it) — plan went
+    # from ~34 exchanges to 5.
+    n_docs = tf.agg(F.countDistinct("doc_id").alias("n"))
     w = (
-        tf.join(df_t, "token")
+        tf.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("token")))
         .join(F.broadcast(n_docs))
-        .select(
-            "doc_id",
-            "token",
-            "df",
-            "n",
-            (F.col("tf") * F.log(F.col("n").cast("double") / F.col("df"))).alias("w"),
+        .withColumn("w", F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")))
+        .withColumn(
+            "nn", F.sqrt(F.sum(F.col("w") * F.col("w")).over(W.partitionBy("doc_id")))
         )
     )
-    nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nn"))
     # a doc whose every shingle is corpus-universal has an all-zero
     # tf-idf vector (ln(n/df)=0 for all) => nn=0; guard the normalize
     u = (
-        w.join(nrm.filter(F.col("nn") > 0), "doc_id")
-        .filter(F.col("df") <= 0.05 * F.col("n"))
+        w.filter((F.col("df") <= 0.05 * F.col("n")) & (F.col("nn") > 0))
         .select("doc_id", "token", (F.col("w") / F.col("nn")).alias("u"))
     )
     a, b = u.alias("a"), u.alias("b")
