@@ -1442,3 +1442,43 @@ def ml_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         F.col("p1").alias("item"), F.col("p2").alias("similar_item"), "cos_sim"
     )
+
+
+@query(
+    "ml_confusion_multiclass",
+    oracle="""
+WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM tok),
+cls AS (SELECT lang AS c, count(DISTINCT doc_id) AS nc FROM tok GROUP BY lang),
+vocab AS (SELECT count(DISTINCT w) AS v FROM tok),
+cw AS (SELECT lang AS c, w, count(*) AS cnt FROM tok GROUP BY lang, w),
+ctot AS (SELECT c, CAST(sum(cnt) AS DOUBLE) AS tot FROM cw GROUP BY c),
+scored AS (
+  SELECT t.doc_id, t.lang AS true_lang, cls.c,
+         ln(CAST(cls.nc AS DOUBLE) / nd.n)
+         + sum(ln((coalesce(cw.cnt, 0) + 1.0) / (ctot.tot + vocab.v))) AS score
+  FROM tok t
+  CROSS JOIN cls
+  JOIN ctot ON ctot.c = cls.c
+  LEFT JOIN cw ON cw.c = cls.c AND cw.w = t.w, nd, vocab
+  GROUP BY t.doc_id, t.lang, cls.c, cls.nc, nd.n),
+pred AS (
+  SELECT doc_id, true_lang, c AS pred_lang,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY round(score, 6) DESC, c) AS rn
+  FROM scored)
+SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+FROM pred WHERE rn = 1 GROUP BY true_lang, pred_lang
+""",
+)
+def ml_confusion_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTICLASS confusion matrix over the portable naive-Bayes
+    language classifier — ml_eval_confusion generalized past binary:
+    one (true, pred) cell count per populated pair, from which every
+    per-class precision/recall/macro-F1 derives. Reuses
+    ml_nb_portable's scoring plan wholesale; the matrix itself is a
+    bounded |classes|² aggregate that broadcasts into any dashboard."""
+    pred = ml_nb_portable(spark, sf_dir)
+    return pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
