@@ -1498,3 +1498,63 @@ def wl_interarrival_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(bucket.alias("bucket")).groupBy("bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
+
+
+@query(
+    "wl_lateness_profile",
+    oracle="""
+WITH arr AS (
+  SELECT user_id, ts, md5('arr:' || CAST(event_id AS VARCHAR)) AS arrival_key
+  FROM events),
+lat AS (
+  SELECT user_id,
+         (epoch_us(max(ts) OVER (PARTITION BY user_id ORDER BY arrival_key))
+          - epoch_us(ts)) // 1000000 AS late_s
+  FROM arr),
+b AS (
+  SELECT CASE WHEN late_s = 0 THEN 'on-time'
+              WHEN late_s <= 600 THEN '<=10m'
+              WHEN late_s <= 3600 THEN '<=1h'
+              WHEN late_s <= 86400 THEN '<=1d'
+              ELSE '>1d' END AS bucket
+  FROM lat)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY bucket
+""",
+)
+def wl_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time LATENESS profile: how far behind the per-user
+    high-watermark each event arrives, under a simulated
+    network-shuffled arrival order (deterministic md5 of the event id
+    — the staged fixture arrives time-sorted, which would make every
+    event on-time and teach nothing). The histogram's tail IS the
+    watermark delay you configure: pick the bucket where the
+    cumulative mass crosses your completeness SLO and that is
+    `withWatermark`'s horizon. One window per user (running max in
+    arrival order), one bounded aggregate."""
+    ev = load(spark, sf_dir, "events")
+    arr = ev.select(
+        "user_id",
+        "ts",
+        F.md5(F.concat(F.lit("arr:"), F.col("event_id").cast("string"))).alias(
+            "arrival_key"
+        ),
+    )
+    w = W.partitionBy("user_id").orderBy("arrival_key")
+    late_s = F.floor(
+        (
+            F.unix_micros(F.max("ts").over(w).cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp"))
+        )
+        / 1_000_000
+    )
+    b = arr.select(late_s.alias("late_s"))
+    bucket = (
+        F.when(F.col("late_s") == 0, "on-time")
+        .when(F.col("late_s") <= 600, "<=10m")
+        .when(F.col("late_s") <= 3600, "<=1h")
+        .when(F.col("late_s") <= 86400, "<=1d")
+        .otherwise(">1d")
+    )
+    return b.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )

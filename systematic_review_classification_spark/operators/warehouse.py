@@ -1305,3 +1305,71 @@ def wl_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("true_count"),
         F.round(F.col("n") - 1.0 * noise, 6).alias("dp_count"),
     )
+
+
+@query(
+    "wl_ivm_retraction",
+    oracle="""
+WITH base AS (SELECT o_orderpriority AS p, count(*) AS n
+              FROM orders WHERE o_orderkey % 10 <> 0 GROUP BY 1),
+ins AS (SELECT o_orderpriority AS p, 1 AS d FROM orders WHERE o_orderkey % 10 = 0),
+del AS (SELECT o_orderpriority AS p, -1 AS d FROM orders
+        WHERE o_orderkey % 10 <> 0 AND o_orderkey % 7 = 0),
+delta AS (SELECT p, CAST(sum(d) AS BIGINT) AS dn
+          FROM (SELECT * FROM ins UNION ALL SELECT * FROM del) GROUP BY p),
+merged AS (
+  SELECT coalesce(b.p, delta.p) AS p,
+         coalesce(b.n, 0) + coalesce(delta.dn, 0) AS n_view
+  FROM base b FULL OUTER JOIN delta ON b.p = delta.p),
+direct AS (
+  SELECT o_orderpriority AS p, count(*) AS n_direct
+  FROM orders
+  WHERE NOT (o_orderkey % 10 <> 0 AND o_orderkey % 7 = 0)
+  GROUP BY 1)
+SELECT m.p AS priority, CAST(m.n_view AS BIGINT) AS n_view,
+       CAST(d.n_direct AS BIGINT) AS n_direct
+FROM merged m JOIN direct d ON m.p = d.p
+""",
+)
+def wl_ivm_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance WITH RETRACTIONS: a materialized
+    count view absorbs a changelog of +1 inserts and −1 deletes as one
+    signed-delta aggregate merged over the view key — the Flink/
+    Materialize changelog algebra that agg_incremental_rollup
+    (append-only) cannot express. The proof is in the row: the
+    maintained count and a from-scratch recompute are emitted side by
+    side and must agree. Merge cost is |delta| + |view keys|, never a
+    rescan of the base — the whole point at 100 TB."""
+    o = load(spark, sf_dir, "orders")
+    base = (
+        o.filter(F.col("o_orderkey") % 10 != 0)
+        .groupBy(F.col("o_orderpriority").alias("p"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ins = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderpriority").alias("p"), F.lit(1).alias("d")
+    )
+    dele = o.filter(
+        (F.col("o_orderkey") % 10 != 0) & (F.col("o_orderkey") % 7 == 0)
+    ).select(F.col("o_orderpriority").alias("p"), F.lit(-1).alias("d"))
+    delta = ins.unionByName(dele).groupBy("p").agg(
+        F.sum("d").cast("bigint").alias("dn")
+    )
+    merged = (
+        base.withColumnRenamed("p", "bp")
+        .join(delta, F.col("bp") == delta.p, "full_outer")
+        .select(
+            F.coalesce(F.col("bp"), delta.p).alias("p"),
+            (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n_view"),
+        )
+    )
+    direct = (
+        o.filter(~((F.col("o_orderkey") % 10 != 0) & (F.col("o_orderkey") % 7 == 0)))
+        .groupBy(F.col("o_orderpriority").alias("dp"))
+        .agg(F.count(F.lit(1)).alias("n_direct"))
+    )
+    return merged.join(direct, merged.p == direct.dp).select(
+        F.col("p").alias("priority"),
+        F.col("n_view").cast("bigint").alias("n_view"),
+        F.col("n_direct").cast("bigint").alias("n_direct"),
+    )
