@@ -933,3 +933,73 @@ def wl_postings_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         deltas.alias("deltas"),
         F.coalesce(F.array_max(deltas), F.lit(0)).cast("bigint").alias("max_gap"),
     )
+
+
+@query(
+    "txt_bpe_apply",
+    oracle="""
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+wc AS (SELECT word, count(*) AS wn FROM w GROUP BY word),
+ch AS (SELECT word, wn, regexp_extract_all(word, '.') AS cs FROM wc),
+pr AS (
+  SELECT unnest(list_filter(
+           list_transform(list_zip(cs, list_slice(cs, 2, len(cs))),
+                          p -> CASE WHEN p[2] IS NULL THEN NULL
+                                    ELSE p[1] || p[2] END),
+           x -> x IS NOT NULL)) AS pair,
+         wn
+  FROM ch),
+rule AS (
+  SELECT pair FROM (
+    SELECT pair, CAST(sum(wn) AS BIGINT) AS cnt FROM pr GROUP BY pair)
+  ORDER BY cnt DESC, pair LIMIT 1)
+SELECT wc.word, CAST(wc.wn AS BIGINT) AS wn, rule.pair AS merge_rule,
+       replace(wc.word, rule.pair, chr(167)) AS merged,
+       CAST(length(wc.word) - length(replace(wc.word, rule.pair, chr(167)))
+            AS BIGINT) AS n_merges
+FROM wc, rule
+""",
+)
+def txt_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE round 1 APPLIED: the winning merge rule (data-dependent —
+    joined in as a broadcast 1-row relation, never collected) is
+    applied to every vocabulary word. The subtle part is free: BPE
+    merges left-to-right without overlap, and for character symbols
+    that is EXACTLY SQL replace() semantics ('aaa' under rule 'aa' →
+    '§a', one merge), so no per-symbol fold machinery is needed for
+    the first round; later rounds (multi-char symbols) switch to the
+    delimiter-separated symbol string and the same replace. Per-word
+    merge counts fall out of the length delta. Still vocabulary-
+    scaled: the corpus is touched once for counts, never re-tokenized
+    row by row."""
+    d = load(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wn"))
+    )
+    cs = F.split(F.col("word"), "")
+    pairs = F.filter(
+        F.zip_with(
+            cs,
+            F.slice(cs, 2, F.greatest(F.size(cs) - 1, F.lit(1))),
+            lambda a, b: F.when(b.isNull(), None).otherwise(F.concat(a, b)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    rule = (
+        wc.select(F.explode(pairs).alias("pair"), "wn")
+        .groupBy("pair")
+        .agg(F.sum("wn").cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(1)
+        .select("pair")
+    )
+    merged = F.replace(F.col("word"), F.col("pair"), F.lit("§"))
+    return wc.join(F.broadcast(rule)).select(
+        "word",
+        F.col("wn").cast("bigint").alias("wn"),
+        F.col("pair").alias("merge_rule"),
+        merged.alias("merged"),
+        (F.length("word") - F.length(merged)).cast("bigint").alias("n_merges"),
+    )
