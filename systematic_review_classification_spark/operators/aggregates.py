@@ -790,3 +790,42 @@ def agg_variance_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ds2") - F.col("ds1") * F.col("ds1") / F.col("dn")) / F.col("dn"), 6
         ).alias("var_direct"),
     )
+
+
+@query("wl_hll_daily_rollup")  # rows-only: HLL estimates are engine-specific
+def wl_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical mergeable-sketch deployment: ONE HLL sketch per
+    (day) over user ids, stored once, then weekly distinct actives
+    come from merging 7 daily sketches — never rescanning events.
+    agg_sketch_merge proves the algebra across shards; this is the
+    time axis, where the payoff compounds (a 90-day actives query
+    merges 90 fixed-size binaries instead of scanning a quarter of
+    raw events). Exact weekly distinct joined alongside;
+    tests/test_invariants.py bounds the relative error at lgK=12."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    weekly_est = daily.groupBy(
+        F.date_trunc("week", "day").alias("week")
+    ).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_actives"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    weekly_exact = ev.groupBy(F.date_trunc("week", "ts").alias("week")).agg(
+        F.countDistinct("user_id").alias("exact_actives")
+    )
+    return (
+        weekly_est.join(weekly_exact, "week")
+        .select(
+            F.col("week").cast("string").alias("week"),
+            "n_days",
+            "est_actives",
+            "exact_actives",
+            F.round(
+                F.abs(F.col("est_actives") - F.col("exact_actives"))
+                / F.col("exact_actives"),
+                6,
+            ).alias("rel_err"),
+        )
+    )

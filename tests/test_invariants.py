@@ -702,3 +702,13 @@ def test_partition_balance_conserves_rows(spark, sf_dir):
     assert r.total_rows == load(spark, sf_dir, "lineitem").count()
     assert r.n_partitions <= 32
     assert r.skew_factor < 3.0
+
+
+def test_hll_daily_rollup_bounded_error(spark, sf_dir):
+    from systematic_review_classification_spark import all_queries
+
+    rows = all_queries()["wl_hll_daily_rollup"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.exact_actives > 0
+        assert r.rel_err <= 0.08, (r.week, r.rel_err)
