@@ -1373,3 +1373,51 @@ def wl_ivm_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_view").cast("bigint").alias("n_view"),
         F.col("n_direct").cast("bigint").alias("n_direct"),
     )
+
+
+@query(
+    "sql_lateral_view",
+    oracle="""
+SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+WHERE doc_id < 50
+""",
+)
+def sql_lateral_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW explode(...) — the Hive-dialect generator syntax
+    still ubiquitous in migrated warehouses; desugars to the same
+    Generate node as the DataFrame explode (fn_explode) and the
+    ANSI-ish LATERAL derived table (sql_lateral). Pure frontend
+    parity: plan and rows are identical."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("docs_lv")
+    return spark.sql(
+        """
+        SELECT doc_id, tok
+        FROM docs_lv LATERAL VIEW explode(split(text, ' ')) t AS tok
+        WHERE doc_id < 50
+        """
+    )
+
+
+@query(
+    "sql_hint_broadcast",
+    oracle="""
+SELECT n_name, count(*) AS n_cust
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def sql_hint_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL join-strategy hints (/*+ BROADCAST(dim) */) — the escape
+    hatch when statistics mislead the planner on a production cluster;
+    the hint names the RELATION, not the strategy internals, and the
+    result is bit-identical with or without it (tests/test_plans.py
+    pins that the hint actually produced a BroadcastHashJoin)."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("cust_h")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation_h")
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(nation_h) */ n_name, count(*) AS n_cust
+        FROM cust_h JOIN nation_h ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )

@@ -730,3 +730,8 @@ def test_bucketed_agg_has_no_exchange(spark, sf_dir):
     plan = plan_of(df)
     assert "Exchange" not in plan, plan
     assert "HashAggregate" in plan or "SortAggregate" in plan, plan
+
+
+def test_sql_hint_broadcast_is_honored(spark, sf_dir):
+    plan = plan_of(QUERIES["sql_hint_broadcast"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
