@@ -1003,3 +1003,133 @@ def txt_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.alias("merged"),
         (F.length("word") - F.length(merged)).cast("bigint").alias("n_merges"),
     )
+
+
+@query(
+    "sim_hybrid_rrf",
+    oracle=f"""
+WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+  WHERE token IN ({_QUERY_TERMS_SQL})
+  GROUP BY doc_id, token),
+idf AS (
+  SELECT token, ln(1.0 + (s.n_docs - count(DISTINCT doc_id) + 0.5)
+                         / (count(DISTINCT doc_id) + 0.5)) AS idf
+  FROM tf, stats s GROUP BY token, s.n_docs),
+bm AS (
+  SELECT tf.doc_id,
+         sum(idf.idf * tf.tf * ({_BM25_K1} + 1.0)
+             / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * d.dl / s.avgdl))) AS s
+  FROM tf JOIN idf USING (token) JOIN d USING (doc_id), stats s
+  GROUP BY tf.doc_id),
+bmr AS (SELECT doc_id, row_number() OVER (ORDER BY round(s, 6) DESC, doc_id) AS r
+        FROM bm),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qv AS (SELECT v AS q,
+              sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS qn
+       FROM e WHERE vec_id = 0),
+es AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_reduce(list_transform(list_zip(e.v, qv.q), p -> p[1] * p[2]),
+                           (a, b) -> a + b)
+               / (sqrt(list_reduce(list_transform(e.v, x -> x * x), (a, b) -> a + b))
+                  * qv.qn), 6) AS cos
+  FROM e, qv WHERE e.vec_id <> 0),
+esr AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS r FROM es),
+fused AS (
+  SELECT coalesce(b.doc_id, v.doc_id) AS doc_id,
+         round(coalesce(1.0 / (60 + b.r), 0) + coalesce(1.0 / (60 + v.r), 0), 6) AS rrf
+  FROM bmr b FULL OUTER JOIN esr v ON b.doc_id = v.doc_id)
+SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+""",
+)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval via Reciprocal Rank Fusion: the lexical
+    ranking (txt_bm25_topk's scorer) and the dense ranking (cosine to
+    a query vector) fused as Σ 1/(60 + rank) — the score-free
+    combination modern search stacks use because BM25 and cosine live
+    on incomparable scales. Rankings cut on rounded scores with id
+    tie-breaks (identical lists both engines), the fusion is a
+    full-outer join on doc id (a doc ranked by only one system still
+    scores), and the top-10 is TakeOrdered. The doc↔vector pairing is
+    the fixture's id alignment — in production it is the document
+    key both stores share."""
+    d = load(spark, sf_dir, "documents")
+    dl = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token").isin(*_QUERY_TERMS))
+        .groupBy("doc_id", "token")
+        .count()
+        .withColumnRenamed("count", "tf")
+    )
+    idf = (
+        tf.groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .join(F.broadcast(stats), how="cross")
+        .select(
+            "token",
+            F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)).alias("idf"),
+        )
+    )
+    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+    bm = (
+        tf.join(F.broadcast(idf), "token")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats), how="cross")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("idf") * F.col("tf") * (k1 + 1.0)
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+            ).alias("s")
+        )
+    )
+    bmr = bm.select(
+        "doc_id",
+        F.row_number().over(W.orderBy(F.round("s", 6).desc(), "doc_id")).alias("r"),
+    )
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    nn = F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("q"), F.sqrt(nn).alias("qn")
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "q", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    es = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(dot / (F.sqrt(nn) * F.col("qn")), 6).alias("cos"),
+        )
+    )
+    esr = es.select(
+        "doc_id",
+        F.row_number().over(W.orderBy(F.col("cos").desc(), "doc_id")).alias("r"),
+    )
+    fused = (
+        bmr.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("r", "br")
+        .join(
+            esr.withColumnRenamed("doc_id", "v_id").withColumnRenamed("r", "vr"),
+            F.col("b_id") == F.col("v_id"),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("b_id", "v_id").alias("doc_id"),
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("br")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("vr")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)

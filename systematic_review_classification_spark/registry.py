@@ -119,6 +119,7 @@ _PRIORITY: list[str] = [
     "txt_bpe_apply",
     "wl_hll_daily_rollup",
     "sql_lateral_view", "sql_hint_broadcast",
+    "sim_hybrid_rrf",
     "wl_q11_partvalue", "wl_q20_excess", "wl_seasonality",
     "wl_skew_report", "wl_resample_ffill", "sample_reservoir",
     "agg_grouping_id", "agg_corr_matrix", "sql_qualify", "wl_profile",
