@@ -1558,3 +1558,89 @@ def wl_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.select(bucket.alias("bucket")).groupBy("bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
+
+
+@query(
+    "graph_link_prediction",
+    oracle="""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+ed AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2),
+edges AS (
+  SELECT p1 AS src, p2 AS dst FROM ed WHERE n >= 2
+  UNION ALL
+  SELECT p2, p1 FROM ed WHERE n >= 2),
+deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY 1),
+twohop AS (
+  SELECT e1.dst AS a, e2.dst AS b, count(DISTINCT e1.src) AS common
+  FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+  GROUP BY 1, 2),
+nonadj AS (
+  SELECT t.a, t.b, t.common
+  FROM twohop t
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = t.a AND e.dst = t.b)
+    AND t.common >= 2)
+SELECT n.a, n.b, n.common,
+       round(CAST(n.common AS DOUBLE) / (da.d + db.d - n.common), 6) AS jaccard
+FROM nonadj n JOIN deg da ON da.node = n.a JOIN deg db ON db.node = n.b
+""",
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINK PREDICTION by common-neighbor Jaccard: non-adjacent part
+    pairs that share ≥ 2 co-purchase neighbors, scored
+    |N(a)∩N(b)| / |N(a)∪N(b)| — 'products bought with the same things
+    but never together yet', the graph-native recommendation
+    complement of ml_item_cf (which scores through shared BASKETS;
+    this scores through shared NEIGHBORS, one hop further out).
+    Candidate pairs come only from the two-hop join THROUGH a shared
+    neighbor (never all-pairs), adjacency is excluded by an anti-join
+    on the edge list, and degrees broadcast back."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    ed = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    edges = ed.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).unionByName(
+        ed.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    e1, e2 = edges.alias("e1"), edges.alias("e2")
+    twohop = (
+        e1.join(
+            e2,
+            (F.col("e1.src") == F.col("e2.src")) & (F.col("e1.dst") < F.col("e2.dst")),
+        )
+        .groupBy(F.col("e1.dst").alias("a"), F.col("e2.dst").alias("b"))
+        .agg(F.countDistinct("e1.src").alias("common"))
+        .filter(F.col("common") >= 2)
+    )
+    nonadj = twohop.join(
+        edges,
+        (twohop.a == edges.src) & (twohop.b == edges.dst),
+        "left_anti",
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    return (
+        nonadj.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            "a",
+            "b",
+            "common",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("da") + F.col("db") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
