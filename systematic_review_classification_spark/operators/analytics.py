@@ -1596,7 +1596,7 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     this scores through shared NEIGHBORS, one hop further out).
     Candidate pairs come only from the two-hop join THROUGH a shared
     neighbor (never all-pairs), adjacency is excluded by an anti-join
-    on the edge list, and degrees broadcast back."""
+    on the edge list, and degree joins are AQE-sized."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     a, b = li.alias("a"), li.alias("b")
     ed = (
@@ -1630,9 +1630,11 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    # degrees are part-dimension sized — they scale with SF, so the
+    # join strategy is left to AQE (broadcast when small, shuffle when not)
     return (
-        nonadj.join(F.broadcast(da), "a")
-        .join(F.broadcast(db), "b")
+        nonadj.join(da, "a")
+        .join(db, "b")
         .select(
             "a",
             "b",

@@ -1408,7 +1408,7 @@ def ml_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     factorization (rows-only), and the production fallback every
     recommender ships first. Co-counts come from the within-order
     self-join (per-basket quadratic only — wl_copurchase's
-    discipline); degrees broadcast back; support < 2 pruned BEFORE
+    discipline); degree joins AQE-sized; support < 2 pruned BEFORE
     ranking so noise pairs never enter the window. Ranks on the
     rounded cosine with item tie-break."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
@@ -1426,9 +1426,11 @@ def ml_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     da = deg.select(F.col("p").alias("p1"), F.col("d").alias("d1"))
     db = deg.select(F.col("p").alias("p2"), F.col("d").alias("d2"))
+    # degree side scales with the part dimension — AQE picks broadcast
+    # only while it fits
     sim = (
-        co.join(F.broadcast(da), "p1")
-        .join(F.broadcast(db), "p2")
+        co.join(da, "p1")
+        .join(db, "p2")
         .select(
             "p1",
             "p2",
