@@ -651,3 +651,131 @@ def agg_bucketed_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 2).alias("qty"),
         )
     )
+
+
+@query(
+    "sample_weighted_es",
+    oracle="""
+WITH u AS (
+  SELECT o_orderkey, o_totalprice,
+         ((CAST(('0x' || substring(md5('es:' || CAST(o_orderkey AS VARCHAR)), 1, 8))
+                AS BIGINT) % 1000000) + 0.5) / 1000001.0 AS u01
+  FROM orders),
+keyed AS (
+  SELECT o_orderkey, o_totalprice,
+         round(-ln(u01) / o_totalprice, 12) AS es_key
+  FROM u)
+SELECT o_orderkey, round(o_totalprice, 2) AS weight
+FROM keyed ORDER BY es_key, o_orderkey LIMIT 10
+""",
+)
+def sample_weighted_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED sampling without replacement (Efraimidis–Spirakis):
+    each row draws key = −ln(u)/w and the k SMALLEST keys are an exact
+    weighted sample — heavy orders are proportionally likelier, and
+    like sample_reservoir_merge the min-k form is distributive, so
+    shard-local top-k's merge into the global sample with no
+    coordination. The uniform draw is the deterministic md5 coin
+    (testability; swap a CSPRNG per run in production). One projection
+    + TakeOrderedAndProject; ranking on the 12-dp-rounded key with id
+    tie-break keeps both engines' cut identical."""
+    o = load(spark, sf_dir, "orders")
+    u01 = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("es:"), F.col("o_orderkey").cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 1000000
+        )
+        + 0.5
+    ) / 1000001.0
+    keyed = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.round(-F.log(u01) / F.col("o_totalprice"), 12).alias("es_key"),
+    )
+    return (
+        keyed.orderBy("es_key", "o_orderkey")
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("weight"))
+    )
+
+
+@query(
+    "wl_rendezvous_hashing",
+    oracle="""
+WITH nodes4 AS (SELECT unnest(['n0', 'n1', 'n2', 'n3']) AS node),
+nodes3 AS (SELECT unnest(['n0', 'n1', 'n2']) AS node),
+k AS (SELECT DISTINCT o_custkey AS key FROM orders),
+a4 AS (
+  SELECT key, node AS node_before FROM (
+    SELECT k.key, n.node,
+           row_number() OVER (PARTITION BY k.key
+                              ORDER BY md5(n.node || '#' || CAST(k.key AS VARCHAR)) DESC) AS rn
+    FROM k CROSS JOIN nodes4 n) WHERE rn = 1),
+a3 AS (
+  SELECT key, node AS node_after FROM (
+    SELECT k.key, n.node,
+           row_number() OVER (PARTITION BY k.key
+                              ORDER BY md5(n.node || '#' || CAST(k.key AS VARCHAR)) DESC) AS rn
+    FROM k CROSS JOIN nodes3 n) WHERE rn = 1)
+SELECT a4.node_before AS node,
+       CAST(count(*) AS BIGINT) AS keys_before,
+       CAST(sum(CASE WHEN a4.node_before <> a3.node_after THEN 1 ELSE 0 END) AS BIGINT)
+         AS keys_moved
+FROM a4 JOIN a3 USING (key)
+GROUP BY a4.node_before
+""",
+)
+def wl_rendezvous_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RENDEZVOUS (highest-random-weight) hashing with a rebalance
+    audit: every key goes to the node with the highest md5(node, key)
+    score; when node n3 is removed, ONLY the keys that lived on n3
+    move — the minimal-disruption guarantee consistent hashing exists
+    for, here measured per node (keys_moved = keys_before for n3,
+    0 for survivors, pinned in tests/test_invariants.py). The
+    assignment is a |keys| × |nodes| cross of a 4-row relation —
+    map-side — and a per-key argmax window. This is the cluster
+    key-placement primitive (shard routing, cache assignment) as a
+    relation."""
+    o = load(spark, sf_dir, "orders")
+    k = o.select(F.col("o_custkey").alias("key")).distinct()
+
+    def assign(nodes: list[str], out: str) -> DataFrame:
+        ndf = spark.createDataFrame([(n,) for n in nodes], "node string")
+        scored = k.crossJoin(F.broadcast(ndf)).select(
+            "key",
+            "node",
+            F.md5(F.concat(F.col("node"), F.lit("#"), F.col("key").cast("string"))).alias(
+                "score"
+            ),
+        )
+        return (
+            scored.withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("key").orderBy(F.col("score").desc())
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("key", F.col("node").alias(out))
+        )
+
+    a4 = assign(["n0", "n1", "n2", "n3"], "node_before")
+    a3 = assign(["n0", "n1", "n2"], "node_after")
+    return (
+        a4.join(a3, "key")
+        .groupBy(F.col("node_before").alias("node"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("keys_before"),
+            F.sum(
+                F.when(F.col("node_before") != F.col("node_after"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("keys_moved"),
+        )
+    )

@@ -121,6 +121,7 @@ _PRIORITY: list[str] = [
     "sql_lateral_view", "sql_hint_broadcast",
     "sim_hybrid_rrf",
     "graph_link_prediction",
+    "sample_weighted_es", "wl_rendezvous_hashing",
     "wl_q11_partvalue", "wl_q20_excess", "wl_seasonality",
     "wl_skew_report", "wl_resample_ffill", "sample_reservoir",
     "agg_grouping_id", "agg_corr_matrix", "sql_qualify", "wl_profile",

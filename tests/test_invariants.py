@@ -712,3 +712,14 @@ def test_hll_daily_rollup_bounded_error(spark, sf_dir):
     for r in rows:
         assert r.exact_actives > 0
         assert r.rel_err <= 0.08, (r.week, r.rel_err)
+
+
+def test_rendezvous_minimal_disruption(spark, sf_dir):
+    """Removing one node must move EXACTLY that node's keys: survivors
+    keep every key (moved=0), the removed node moves all of them."""
+    from systematic_review_classification_spark import all_queries
+
+    rows = {r.node: r for r in all_queries()["wl_rendezvous_hashing"](spark, sf_dir).collect()}
+    assert rows["n3"].keys_moved == rows["n3"].keys_before > 0
+    for n in ("n0", "n1", "n2"):
+        assert rows[n].keys_moved == 0, rows[n]
