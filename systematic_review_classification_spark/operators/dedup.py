@@ -1152,3 +1152,115 @@ def dedup_scurve_empirical(spark: SparkSession, sf_dir: str) -> DataFrame:
             "candidate_rate"
         ),
     )
+
+
+@query(
+    "dedup_fellegi_sunter",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text, lang, source, n_chars, n_chars // 16 AS nb
+  FROM documents WHERE length(text) = strlen(text)),
+pairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         CASE WHEN levenshtein(a.text, b.text) <= 40 THEN 1 ELSE 0 END AS is_match,
+         CASE WHEN substring(a.text, 1, 8) = substring(b.text, 1, 8)
+              THEN 1 ELSE 0 END AS f_prefix,
+         CASE WHEN abs(a.n_chars - b.n_chars) <= 8 THEN 1 ELSE 0 END AS f_len,
+         CASE WHEN a.source = b.source THEN 1 ELSE 0 END AS f_src
+  FROM d a JOIN d b ON a.lang = b.lang AND a.nb = b.nb AND a.doc_id < b.doc_id),
+mu AS (
+  SELECT
+    (sum(is_match * f_prefix) + 0.5) / (sum(is_match) + 1.0) AS m1,
+    (sum((1 - is_match) * f_prefix) + 0.5) / (sum(1 - is_match) + 1.0) AS u1,
+    (sum(is_match * f_len) + 0.5) / (sum(is_match) + 1.0) AS m2,
+    (sum((1 - is_match) * f_len) + 0.5) / (sum(1 - is_match) + 1.0) AS u2,
+    (sum(is_match * f_src) + 0.5) / (sum(is_match) + 1.0) AS m3,
+    (sum((1 - is_match) * f_src) + 0.5) / (sum(1 - is_match) + 1.0) AS u3
+  FROM pairs)
+SELECT p.id1, p.id2,
+       round(
+         (CASE WHEN p.f_prefix = 1 THEN ln(mu.m1 / mu.u1)
+               ELSE ln((1 - mu.m1) / (1 - mu.u1)) END)
+         + (CASE WHEN p.f_len = 1 THEN ln(mu.m2 / mu.u2)
+                 ELSE ln((1 - mu.m2) / (1 - mu.u2)) END)
+         + (CASE WHEN p.f_src = 1 THEN ln(mu.m3 / mu.u3)
+                 ELSE ln((1 - mu.m3) / (1 - mu.u3)) END), 6) AS fs_score,
+       p.is_match
+FROM pairs p, mu
+WHERE (CASE WHEN p.f_prefix = 1 THEN ln(mu.m1 / mu.u1)
+            ELSE ln((1 - mu.m1) / (1 - mu.u1)) END)
+      + (CASE WHEN p.f_len = 1 THEN ln(mu.m2 / mu.u2)
+              ELSE ln((1 - mu.m2) / (1 - mu.u2)) END)
+      + (CASE WHEN p.f_src = 1 THEN ln(mu.m3 / mu.u3)
+              ELSE ln((1 - mu.m3) / (1 - mu.u3)) END) > 0
+""",
+)
+def dedup_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FELLEGI–SUNTER probabilistic record linkage — the statistical
+    model behind every serious bibliographic/entity-matching system:
+    per-field agreement probabilities m=P(agree|match), u=P(agree|
+    non-match) turn field comparisons into additive log-likelihood
+    weights, Σ ln(m/u) for agreements, Σ ln((1−m)/(1−u)) for
+    disagreements. Here m/u are estimated on the blocked candidate
+    pairs from an edit-distance 'gold' rule (self-supervised, the EM
+    seed step), with add-half smoothing so no weight is ±∞; fields
+    are title-prefix, length-delta, and source. Pairs exist only
+    inside dedup_biblio's (lang, length) blocks; the m/u table is ONE
+    conditional-sum aggregate broadcast back. Output: positively
+    scored pairs with their gold label — the reviewer triage queue."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length("text") == F.octet_length("text"))
+        .select(
+            "doc_id", "text", "lang", "source", "n_chars",
+            F.expr("n_chars div 16").alias("nb"),
+        )
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.nb") == F.col("b.nb"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id1"),
+        F.col("b.doc_id").alias("id2"),
+        F.when(F.levenshtein(F.col("a.text"), F.col("b.text"), 40) >= 0, 1)
+        .otherwise(0)
+        .alias("is_match"),
+        F.when(
+            F.substring(F.col("a.text"), 1, 8) == F.substring(F.col("b.text"), 1, 8), 1
+        )
+        .otherwise(0)
+        .alias("f_prefix"),
+        F.when(F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 8, 1)
+        .otherwise(0)
+        .alias("f_len"),
+        F.when(F.col("a.source") == F.col("b.source"), 1).otherwise(0).alias("f_src"),
+    )
+    im, f = F.col("is_match"), lambda c: F.col(c)
+    mu = pairs.agg(
+        *[
+            e.alias(n)
+            for n, e in {
+                "m1": (F.sum(im * f("f_prefix")) + 0.5) / (F.sum(im) + 1.0),
+                "u1": (F.sum((1 - im) * f("f_prefix")) + 0.5) / (F.sum(1 - im) + 1.0),
+                "m2": (F.sum(im * f("f_len")) + 0.5) / (F.sum(im) + 1.0),
+                "u2": (F.sum((1 - im) * f("f_len")) + 0.5) / (F.sum(1 - im) + 1.0),
+                "m3": (F.sum(im * f("f_src")) + 0.5) / (F.sum(im) + 1.0),
+                "u3": (F.sum((1 - im) * f("f_src")) + 0.5) / (F.sum(1 - im) + 1.0),
+            }.items()
+        ]
+    )
+
+    def w(flag, m, u):
+        return F.when(
+            F.col(flag) == 1, F.log(F.col(m) / F.col(u))
+        ).otherwise(F.log((1 - F.col(m)) / (1 - F.col(u))))
+
+    score = w("f_prefix", "m1", "u1") + w("f_len", "m2", "u2") + w("f_src", "m3", "u3")
+    return (
+        pairs.join(F.broadcast(mu))
+        .filter(score > 0)
+        .select("id1", "id2", F.round(score, 6).alias("fs_score"), "is_match")
+    )

@@ -122,6 +122,7 @@ _PRIORITY: list[str] = [
     "sim_hybrid_rrf",
     "graph_link_prediction",
     "sample_weighted_es", "wl_rendezvous_hashing",
+    "dedup_fellegi_sunter",
     "wl_q11_partvalue", "wl_q20_excess", "wl_seasonality",
     "wl_skew_report", "wl_resample_ffill", "sample_reservoir",
     "agg_grouping_id", "agg_corr_matrix", "sql_qualify", "wl_profile",
