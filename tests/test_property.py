@@ -127,3 +127,75 @@ def test_event_oracles_hold_on_generated_streams(spark, corpus_dir, events):
             assert sp == du, f"[{key}] diverged on generated events {rows!r}"
     finally:
         con.close()
+
+
+_DATES = [
+    "1996-12-31", "1997-01-01", "1997-06-30", "1997-07-01",
+    "1997-12-31", "1998-01-01", "1996-02-29", "1998-08-01",
+]
+
+_ORDER = st.tuples(
+    st.integers(min_value=1, max_value=6),        # o_custkey (collisions certain)
+    st.sampled_from(["O", "F", "P"]),
+    st.integers(min_value=1, max_value=50_000_00),  # totalprice cents
+    st.sampled_from(_DATES),                      # boundary dates incl. leap day
+    st.sampled_from(["1-URGENT", "3-MEDIUM", "5-LOW"]),
+)
+_ORDERS = st.lists(_ORDER, min_size=1, max_size=20)
+
+_ORDER_KEYS = ["wl_benford", "agg_weighted_median", "wl_merge_upsert",
+               "wl_data_quality", "wl_pit_features", "wl_decayed_popularity"]
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(orders=_ORDERS)
+def test_order_oracles_hold_on_generated_tables(spark, corpus_dir, orders):
+    """Date-boundary and duplicate-sort-key fuzzing for the orders
+    ops: period edges (half/year boundaries, a leap day), duplicated
+    (custkey, orderdate) pairs (running-sum tie-breaks), and the full
+    price range (Benford's floor-guarded digit cast)."""
+    import datetime as dt
+
+    o_rows = [
+        (i + 1, ck, stat, cents / 100.0, dt.date.fromisoformat(day), prio)
+        for i, (ck, stat, cents, day, prio) in enumerate(orders)
+    ]
+    c_rows = [(k, f"cust{k}", 100.0 + k, "SEG") for k in range(1, 7)]
+    l_rows = [
+        (o[0], 1, 1, 1, float(1 + o[0] % 5), 100.0, 0.05, 0.01, "N", "O",
+         dt.date(1997, 1, 1))
+        for o in o_rows
+    ]
+    path = str(corpus_dir / "ordcase")
+    spark.createDataFrame(
+        o_rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double,"
+        " o_orderdate date, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/orders.parquet")
+    spark.createDataFrame(
+        c_rows, "c_custkey long, c_name string, c_acctbal double, c_mktsegment string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/customer.parquet")
+    spark.createDataFrame(
+        l_rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double, l_tax double,"
+        " l_returnflag string, l_linestatus string, l_shipdate date",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/lineitem.parquet")
+
+    queries, oracles = all_queries(), all_oracles()
+    con = duckdb.connect()
+    for t in ("orders", "customer", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}/{t}.parquet/*.parquet')"
+        )
+    try:
+        for key in _ORDER_KEYS:
+            sp = canonical_rows(queries[key](spark, path).toPandas())
+            du = canonical_rows(con.execute(oracles[key]).df())
+            assert sp == du, f"[{key}] diverged on generated orders {o_rows!r}"
+    finally:
+        con.close()
