@@ -1646,3 +1646,55 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@query(
+    "wl_power_analysis",
+    oracle="""
+WITH m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(value) AS s1, sum(value * value) AS s2
+  FROM events WHERE event_type = 'purchase'),
+v AS (SELECT n, (s2 - s1 * s1 / n) / (n - 1) AS var, s1 / n AS mean FROM m)
+SELECT CAST(n AS BIGINT) AS n_obs,
+       round(mean, 6) AS mean,
+       round(var, 6) AS variance,
+       CAST(ceil(2.0 * pow(1.959964 + 0.841621, 2) * var
+                 / pow(0.05 * mean, 2)) AS BIGINT) AS n_per_variant
+FROM v
+""",
+)
+def wl_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B-test POWER ANALYSIS: the sample size per variant needed to
+    detect a 5% lift on the purchase metric at α=0.05 (two-sided,
+    z=1.960) with 80% power (z=0.842) — n = 2(z_α+z_β)²σ²/δ². The
+    variance comes from ONE moment pass over historical data (the
+    wl_cuped/agg_higher_moments state), the rest is closed-form scalar
+    math — the planning step every experimentation platform runs
+    before wl_ab_ttest runs after. Identical expression trees both
+    engines."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    m = ev.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("value").alias("s1"),
+        F.sum(F.col("value") * F.col("value")).alias("s2"),
+    )
+    v = m.select(
+        "n",
+        ((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)).alias(
+            "var"
+        ),
+        (F.col("s1") / F.col("n")).alias("mean"),
+    )
+    return v.select(
+        F.col("n").cast("bigint").alias("n_obs"),
+        F.round("mean", 6).alias("mean"),
+        F.round("var", 6).alias("variance"),
+        F.ceil(
+            2.0
+            * F.pow(F.lit(1.959964 + 0.841621), 2)
+            * F.col("var")
+            / F.pow(0.05 * F.col("mean"), 2)
+        )
+        .cast("bigint")
+        .alias("n_per_variant"),
+    )

@@ -782,3 +782,48 @@ def wl_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("rows") / (F.sum("rows") / F.count(F.lit(1))), 4
         ).alias("skew_factor"),
     )
+
+
+@query(
+    "rt_analyze_stats",
+    oracle="""
+SELECT count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders FROM lineitem
+""",
+)
+def rt_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE … COMPUTE STATISTICS — feeding the cost-based
+    optimizer: table row counts and per-column NDVs land in the
+    catalog, where join reordering and broadcast decisions read them.
+    The operator analyzes a catalog table, reads the recorded rowCount
+    back from the catalog metadata, and emits it NEXT TO the live
+    counts — equal by construction (ANALYZE counts exactly), which is
+    precisely what makes the stats trustworthy inputs for CBO. At
+    100 TB you ANALYZE partitions incrementally on ingest; the
+    catalog read stays O(1)."""
+    import shutil
+
+    from systematic_review_classification_spark.streaming.helpers import sf_tag
+
+    t = f"li_stats_{sf_tag(sf_dir)}"
+    base = f"/tmp/systematic_review_classification_spark_stats/{t}"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    shutil.rmtree(base, ignore_errors=True)
+    load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    ).write.mode("overwrite").option("path", base).saveAsTable(t)
+    spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS")
+    stats = spark.sql(f"DESCRIBE TABLE EXTENDED {t}").filter(
+        F.col("col_name") == "Statistics"
+    )
+    n_from_stats = stats.select(
+        F.regexp_extract("data_type", r"(\d+) rows", 1).cast("bigint").alias("n")
+    )
+    live = spark.table(t).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+    # catalog rowCount must equal the live count — join enforces it:
+    # a drifted stat would produce an empty (row-count-mismatched) result
+    return live.join(
+        F.broadcast(n_from_stats), live.n_rows == n_from_stats.n
+    ).select("n_rows", "n_orders")
