@@ -1421,3 +1421,46 @@ def sql_hint_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_name
         """
     )
+
+
+@query(
+    "wl_date_dim",
+    oracle="""
+WITH spine AS (
+  SELECT CAST(unnest(generate_series(DATE '1997-01-01', DATE '1997-12-31',
+                                     INTERVAL 1 DAY)) AS DATE) AS d)
+SELECT CAST(d AS VARCHAR) AS date_key,
+       year(d) AS yr, quarter(d) AS qtr, month(d) AS mth,
+       day(d) AS day_of_month, CAST(dayofyear(d) AS INTEGER) AS day_of_year,
+       CAST(isodow(d) AS INTEGER) AS iso_dow,
+       CASE WHEN isodow(d) >= 6 THEN 1 ELSE 0 END AS is_weekend,
+       CAST(CAST(date_trunc('month', d) AS DATE) AS VARCHAR) AS month_start,
+       CAST(last_day(d) AS VARCHAR) AS month_end
+FROM spine
+""",
+)
+def wl_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar DIMENSION generation — the conformed date spine every
+    warehouse joins its facts to: one year of days with year/quarter/
+    month/day-of-year/ISO-weekday/weekend/month-boundary attributes,
+    all derived row-locally from a generated sequence (no source
+    scan). Dialect traps dodged deliberately: ISO weekday via
+    weekday()+1 (not Sunday-origin dayofweek), dates surfaced as
+    strings (the src_fixed_width pandas-rendering lesson). Extend the
+    spine bounds, not the plan, for a century of calendar."""
+    spine = spark.sql(
+        "SELECT explode(sequence(DATE '1997-01-01', DATE '1997-12-31',"
+        " INTERVAL 1 DAY)) AS d"
+    )
+    return spine.select(
+        F.col("d").cast("string").alias("date_key"),
+        F.year("d").alias("yr"),
+        F.quarter("d").alias("qtr"),
+        F.month("d").alias("mth"),
+        F.dayofmonth("d").alias("day_of_month"),
+        F.dayofyear("d").alias("day_of_year"),
+        (F.weekday("d") + 1).alias("iso_dow"),
+        F.when(F.weekday("d") + 1 >= 6, 1).otherwise(0).alias("is_weekend"),
+        F.date_trunc("month", "d").cast("date").cast("string").alias("month_start"),
+        F.last_day("d").cast("string").alias("month_end"),
+    )

@@ -124,6 +124,7 @@ _PRIORITY: list[str] = [
     "sample_weighted_es", "wl_rendezvous_hashing",
     "dedup_fellegi_sunter",
     "wl_power_analysis", "rt_analyze_stats",
+    "wl_date_dim",
     "wl_q11_partvalue", "wl_q20_excess", "wl_seasonality",
     "wl_skew_report", "wl_resample_ffill", "sample_reservoir",
     "agg_grouping_id", "agg_corr_matrix", "sql_qualify", "wl_profile",
