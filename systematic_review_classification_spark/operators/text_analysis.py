@@ -711,3 +711,96 @@ def txt_ocr_artifact_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(1)
         .alias("keep"),
     )
+
+
+@query(
+    "wl_hygiene_attribution",
+    oracle=f"""
+WITH flags AS (
+  SELECT doc_id,
+         CASE WHEN n_chars >= 64 THEN 0 ELSE 1 END AS fail_len,
+         CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                                        t -> t IN ({_EN_STOP_SQL}))) AS DOUBLE)
+                   / len(string_split(text, ' ')) >= 0.05
+              THEN 0 ELSE 1 END AS fail_stop,
+         CASE WHEN regexp_matches(text, '[bcdfghjklmnpqrstvwxz]{{5,}}')
+                OR CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                   / length(text) > 0.3
+              THEN 1 ELSE 0 END AS fail_ocr
+  FROM documents)
+SELECT rule, n_failed, n_docs, round(CAST(n_failed AS DOUBLE) / n_docs, 6) AS fail_rate
+FROM (
+  SELECT 'len' AS rule, CAST(sum(fail_len) AS BIGINT) AS n_failed,
+         CAST(count(*) AS BIGINT) AS n_docs FROM flags
+  UNION ALL
+  SELECT 'stopword', CAST(sum(fail_stop) AS BIGINT), CAST(count(*) AS BIGINT) FROM flags
+  UNION ALL
+  SELECT 'ocr', CAST(sum(fail_ocr) AS BIGINT), CAST(count(*) AS BIGINT) FROM flags
+  UNION ALL
+  SELECT 'kept', CAST(sum(CASE WHEN fail_len + fail_stop + fail_ocr = 0
+                               THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(count(*) AS BIGINT) FROM flags)
+""",
+)
+def wl_hygiene_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hygiene-gate ATTRIBUTION: which cleaning rule rejects how much
+    of the corpus — the report a data lead needs before tightening any
+    threshold (a rule that kills 40% of a source is a bug or a policy
+    decision, never a silent default). Three representative gates
+    (length, stopword-rate/langid, OCR noise) evaluate in ONE scan as
+    flag columns; the per-rule roll-up plus the all-rules 'kept' row
+    are conditional sums over that single pass — adding a rule adds a
+    column, not a job. The row-level flag relation is the audit log;
+    this is its dashboard."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop_rate = (
+        F.size(F.filter(toks, lambda t: t.isin(*_EN_STOP))).cast("double") / F.size(toks)
+    )
+    fail_len = F.when(F.col("n_chars") >= 64, 0).otherwise(1)
+    fail_stop = F.when(stop_rate >= 0.05, 0).otherwise(1)
+    fail_ocr = F.when(
+        (F.regexp_count(F.col("text"), F.lit("[bcdfghjklmnpqrstvwxz]{5,}")) > 0)
+        | (
+            F.regexp_count(F.col("text"), F.lit("[0-9]")).cast("double")
+            / F.length("text")
+            > 0.3
+        ),
+        1,
+    ).otherwise(0)
+    flags = d.select(
+        fail_len.alias("fail_len"),
+        fail_stop.alias("fail_stop"),
+        fail_ocr.alias("fail_ocr"),
+    )
+
+    def rule(name, col):
+        return flags.agg(
+            F.sum(col).cast("bigint").alias("n_failed"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        ).select(F.lit(name).alias("rule"), "n_failed", "n_docs")
+
+    kept = flags.agg(
+        F.sum(
+            F.when(
+                F.col("fail_len") + F.col("fail_stop") + F.col("fail_ocr") == 0, 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_failed"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    ).select(F.lit("kept").alias("rule"), "n_failed", "n_docs")
+    out = (
+        rule("len", F.col("fail_len"))
+        .unionByName(rule("stopword", F.col("fail_stop")))
+        .unionByName(rule("ocr", F.col("fail_ocr")))
+        .unionByName(kept)
+    )
+    return out.select(
+        "rule",
+        "n_failed",
+        "n_docs",
+        F.round(F.col("n_failed").cast("double") / F.col("n_docs"), 6).alias(
+            "fail_rate"
+        ),
+    )
