@@ -1698,3 +1698,84 @@ def wl_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_per_variant"),
     )
+
+
+@query(
+    "graph_clustering_coeff",
+    oracle="""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+ed AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2),
+edges AS (
+  SELECT p1 AS src, p2 AS dst FROM ed WHERE n >= 2
+  UNION ALL
+  SELECT p2, p1 FROM ed WHERE n >= 2),
+deg AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS d FROM edges GROUP BY 1),
+tri AS (
+  SELECT e1.src AS node, count(*) AS wedges_closed
+  FROM edges e1
+  JOIN edges e2 ON e1.dst = e2.src AND e1.src <> e2.dst
+  JOIN edges e3 ON e3.src = e2.dst AND e3.dst = e1.src
+  GROUP BY e1.src)
+SELECT deg.node, CAST(deg.d AS BIGINT) AS degree,
+       CAST(coalesce(tri.wedges_closed, 0) / 2 AS BIGINT) AS triangles,
+       round(CASE WHEN deg.d >= 2
+                  THEN coalesce(tri.wedges_closed, 0) / (deg.d * (deg.d - 1))
+                  ELSE 0 END, 6) AS clustering_coeff
+FROM deg LEFT JOIN tri ON tri.node = deg.node
+""",
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node CLUSTERING COEFFICIENT: the fraction of a part's
+    co-purchase neighbors that are themselves co-purchased, C(v) =
+    2·tri(v) / d(v)(d(v)−1) — the local-density metric that separates
+    'hub' products from 'community' products (wl_triangles counts the
+    global total; this localizes it). Triangles per node come from the
+    standard two-join wedge closure on the symmetric edge list —
+    degree-bounded, never all-pairs; nodes below degree 2 define
+    C = 0."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    ed = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    edges = ed.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).unionByName(
+        ed.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("double").alias("d")
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(
+            e2,
+            (F.col("e1.dst") == F.col("e2.src")) & (F.col("e1.src") != F.col("e2.dst")),
+        )
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e2.dst")) & (F.col("e3.dst") == F.col("e1.src")),
+        )
+        .groupBy(F.col("e1.src").alias("tnode"))
+        .agg(F.count(F.lit(1)).alias("wedges_closed"))
+    )
+    return deg.join(tri, deg.node == tri.tnode, "left").select(
+        "node",
+        F.col("d").cast("bigint").alias("degree"),
+        (F.coalesce("wedges_closed", F.lit(0)) / 2).cast("bigint").alias("triangles"),
+        F.round(
+            F.when(
+                F.col("d") >= 2,
+                F.coalesce("wedges_closed", F.lit(0)) / (F.col("d") * (F.col("d") - 1)),
+            ).otherwise(0.0),
+            6,
+        ).alias("clustering_coeff"),
+    )

@@ -1133,3 +1133,101 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)
+
+
+@query(
+    "wl_rank_correlation",
+    oracle=f"""
+WITH d AS (SELECT doc_id, text, len(string_split(text, ' ')) AS dl FROM documents),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+  WHERE token IN ({_QUERY_TERMS_SQL})
+  GROUP BY doc_id, token),
+idf AS (
+  SELECT token, ln(1.0 + (s.n_docs - count(DISTINCT doc_id) + 0.5)
+                         / (count(DISTINCT doc_id) + 0.5)) AS idf
+  FROM tf, stats s GROUP BY token, s.n_docs),
+scores AS (
+  SELECT tf.doc_id,
+         sum(idf.idf * tf.tf * ({_BM25_K1} + 1.0)
+             / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * d.dl / s.avgdl))) AS bm25,
+         sum(idf.idf * tf.tf) AS tfidf
+  FROM tf JOIN idf USING (token) JOIN d USING (doc_id), stats s
+  GROUP BY tf.doc_id),
+ranked AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY round(bm25, 6) DESC, doc_id) AS DOUBLE) AS r1,
+         CAST(row_number() OVER (ORDER BY round(tfidf, 6) DESC, doc_id) AS DOUBLE) AS r2
+  FROM scores)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       round(1.0 - 6.0 * sum((r1 - r2) * (r1 - r2))
+                   / (count(*) * (count(*) * count(*) - 1.0)), 6) AS spearman_rho
+FROM ranked
+""",
+)
+def wl_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between two retrieval scorers (BM25
+    vs raw TF-IDF over the same query) — the system-comparison number
+    IR papers report before claiming a reranker helps: ρ = 1 − 6Σd²/
+    n(n²−1) over the paired ranks. Both scorers come from the ONE
+    postings aggregate (two sum expressions, not two pipelines); ranks
+    cut on rounded scores with id tie-breaks so the paired lists are
+    identical cross-engine and the ρ comparison is exact. Windows are
+    global for oracle parity (bounded: only docs matching query
+    terms)."""
+    d = load(spark, sf_dir, "documents")
+    dl = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token").isin(*_QUERY_TERMS))
+        .groupBy("doc_id", "token")
+        .count()
+        .withColumnRenamed("count", "tf")
+    )
+    idf = (
+        tf.groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .join(F.broadcast(stats), how="cross")
+        .select(
+            "token",
+            F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)).alias("idf"),
+        )
+    )
+    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+    scores = (
+        tf.join(F.broadcast(idf), "token")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats), how="cross")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("idf") * F.col("tf") * (k1 + 1.0)
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+            ).alias("bm25"),
+            F.sum(F.col("idf") * F.col("tf")).alias("tfidf"),
+        )
+    )
+    ranked = scores.select(
+        F.row_number()
+        .over(W.orderBy(F.round("bm25", 6).desc(), "doc_id"))
+        .cast("double")
+        .alias("r1"),
+        F.row_number()
+        .over(W.orderBy(F.round("tfidf", 6).desc(), "doc_id"))
+        .cast("double")
+        .alias("r2"),
+    )
+    n = F.count(F.lit(1))
+    return ranked.agg(
+        n.cast("bigint").alias("n"),
+        F.round(
+            1.0
+            - 6.0
+            * F.sum((F.col("r1") - F.col("r2")) * (F.col("r1") - F.col("r2")))
+            / (n * (n * n - 1.0)),
+            6,
+        ).alias("spearman_rho"),
+    )

@@ -126,6 +126,8 @@ _PRIORITY: list[str] = [
     "wl_power_analysis", "rt_analyze_stats",
     "wl_date_dim",
     "wl_hygiene_attribution",
+    "wl_rank_correlation",
+    "graph_clustering_coeff",
     "wl_q11_partvalue", "wl_q20_excess", "wl_seasonality",
     "wl_skew_report", "wl_resample_ffill", "sample_reservoir",
     "agg_grouping_id", "agg_corr_matrix", "sql_qualify", "wl_profile",
