@@ -1779,3 +1779,114 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("clustering_coeff"),
     )
+
+
+@query(
+    "graph_powerlaw_fit",
+    oracle="""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+ed AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 1),
+edges AS (SELECT p1 AS src FROM ed UNION ALL SELECT p2 FROM ed),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+hist AS (SELECT d, CAST(count(*) AS DOUBLE) AS freq FROM deg GROUP BY d)
+SELECT CAST(count(*) AS BIGINT) AS n_degree_levels,
+       round(regr_slope(ln(freq), ln(CAST(d AS DOUBLE))), 6) AS powerlaw_exponent,
+       round(regr_r2(ln(freq), ln(CAST(d AS DOUBLE))), 6) AS r2
+FROM hist
+""",
+)
+def graph_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution POWER-LAW fit: ln(freq) ~ α·ln(degree) by
+    OLS over the degree histogram — the network-science test for
+    scale-free structure, and operationally the early-warning for hub
+    skew (a steep negative α with high R² means a few mega-degree
+    nodes will dominate any degree-keyed join; see join_skew_salted
+    for the mitigation). The regression runs over the BOUNDED
+    (degree level, frequency) relation, never raw edges."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    ed = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    edges = ed.select(F.col("p1").alias("src")).unionByName(
+        ed.select(F.col("p2").alias("src"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    hist = deg.groupBy("d").agg(F.count(F.lit(1)).cast("double").alias("freq"))
+    return hist.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_degree_levels"),
+        F.round(F.regr_slope(F.log("freq"), F.log(F.col("d").cast("double"))), 6).alias(
+            "powerlaw_exponent"
+        ),
+        F.round(F.regr_r2(F.log("freq"), F.log(F.col("d").cast("double"))), 6).alias(
+            "r2"
+        ),
+    )
+
+
+@query(
+    "wl_psi_drift",
+    oracle="""
+WITH s AS (
+  SELECT CAST(floor(value / 50) AS INTEGER) AS bin,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ia,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ib
+  FROM events WHERE event_type IN ('purchase', 'click')),
+b AS (SELECT bin, CAST(sum(ia) AS DOUBLE) AS ca, CAST(sum(ib) AS DOUBLE) AS cb
+      FROM s GROUP BY bin),
+t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM b),
+p AS (SELECT bin, (ca + 0.5) / (t.na + 0.5 * (SELECT count(*) FROM b)) AS pa,
+             (cb + 0.5) / (t.nb + 0.5 * (SELECT count(*) FROM b)) AS pb
+      FROM b, t)
+SELECT CAST((SELECT count(*) FROM b) AS BIGINT) AS n_bins,
+       round(sum((pa - pb) * ln(pa / pb)), 6) AS psi
+FROM p
+""",
+)
+def wl_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two score distributions
+    (purchase vs click values binned to a bounded grid) — the
+    model-monitoring industry standard: PSI = Σ(pᵢ−qᵢ)·ln(pᵢ/qᵢ),
+    with <0.1 stable / 0.1–0.25 shifting / >0.25 drifted as the
+    conventional alarm levels. Add-half smoothing keeps empty bins
+    finite (the wl_dp_counts/Fellegi–Sunter discipline); both
+    distributions come from ONE conditional-sum scan and the PSI is a
+    bounded-bin aggregate — the KS statistic's (wl_ks_test)
+    practitioner sibling, cheaper to monitor because no CDF ordering
+    is needed."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    s = ev.select(
+        F.floor(F.col("value") / 50).cast("int").alias("bin"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("ia"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("ib"),
+    )
+    b = s.groupBy("bin").agg(
+        F.sum("ia").cast("double").alias("ca"), F.sum("ib").cast("double").alias("cb")
+    )
+    t = b.agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+    )
+    p = b.join(F.broadcast(t)).select(
+        ((F.col("ca") + 0.5) / (F.col("na") + 0.5 * F.col("k"))).alias("pa"),
+        ((F.col("cb") + 0.5) / (F.col("nb") + 0.5 * F.col("k"))).alias("pb"),
+        "k",
+    )
+    return p.agg(
+        F.max("k").cast("bigint").alias("n_bins"),
+        F.round(
+            F.sum((F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))), 6
+        ).alias("psi"),
+    )

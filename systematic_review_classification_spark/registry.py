@@ -128,6 +128,7 @@ _PRIORITY: list[str] = [
     "wl_hygiene_attribution",
     "wl_rank_correlation",
     "graph_clustering_coeff",
+    "graph_powerlaw_fit", "wl_psi_drift",
     "wl_q11_partvalue", "wl_q20_excess", "wl_seasonality",
     "wl_skew_report", "wl_resample_ffill", "sample_reservoir",
     "agg_grouping_id", "agg_corr_matrix", "sql_qualify", "wl_profile",
