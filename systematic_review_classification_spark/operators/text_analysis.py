@@ -804,3 +804,115 @@ def wl_hygiene_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fail_rate"
         ),
     )
+
+
+@query(
+    "wl_kl_source_mix",
+    oracle="""
+WITH sl AS (SELECT source, lang, CAST(count(*) AS DOUBLE) AS n
+            FROM documents GROUP BY 1, 2),
+st AS (SELECT source, sum(n) AS ns FROM sl GROUP BY source),
+ct AS (SELECT lang, sum(n) AS nl FROM sl GROUP BY lang),
+tot AS (SELECT sum(n) AS nt FROM sl),
+langs AS (SELECT count(*) AS k FROM ct),
+cells AS (
+  SELECT st.source,
+         (coalesce(sl.n, 0) + 0.5) / (st.ns + 0.5 * langs.k) AS p,
+         (ct.nl + 0.5) / (tot.nt + 0.5 * langs.k) AS q
+  FROM st CROSS JOIN ct
+  LEFT JOIN sl ON sl.source = st.source AND sl.lang = ct.lang,
+  tot, langs)
+SELECT source, round(sum(p * ln(p / q)), 6) AS kl_vs_corpus
+FROM cells GROUP BY source
+""",
+)
+def wl_kl_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of each source's language mix from the corpus
+    mix — 'which ingest feed is most unlike the blend', the
+    domain-balance alarm for mixture curation (wl_domain_mix picks
+    weights; this says when a feed's composition drifted). Every
+    (source, lang) cell is add-half smoothed so unseen languages stay
+    finite; the whole computation is two bounded aggregates and a
+    |sources| × |langs| cross of tiny relations."""
+    d = load(spark, sf_dir, "documents")
+    sl = d.groupBy("source", "lang").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    st = sl.groupBy("source").agg(F.sum("n").alias("ns"))
+    ct = sl.groupBy("lang").agg(F.sum("n").alias("nl"))
+    tot = sl.agg(F.sum("n").alias("nt"))
+    langs = ct.agg(F.count(F.lit(1)).cast("double").alias("k"))
+    cells = (
+        st.crossJoin(F.broadcast(ct))
+        .join(sl, ["source", "lang"], "left")
+        .join(F.broadcast(tot))
+        .join(F.broadcast(langs))
+        .select(
+            "source",
+            (
+                (F.coalesce("n", F.lit(0.0)) + 0.5) / (F.col("ns") + 0.5 * F.col("k"))
+            ).alias("p"),
+            ((F.col("nl") + 0.5) / (F.col("nt") + 0.5 * F.col("k"))).alias("q"),
+        )
+    )
+    return cells.groupBy("source").agg(
+        F.round(F.sum(F.col("p") * F.log(F.col("p") / F.col("q"))), 6).alias(
+            "kl_vs_corpus"
+        )
+    )
+
+
+@query(
+    "txt_conditional_entropy",
+    oracle="""
+WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+bg AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM t CROSS JOIN (SELECT unnest(range(1, 200)) AS i) r
+  WHERE i + 1 <= len(toks)),
+c2 AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS n12 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(n12) AS n1 FROM c2 GROUP BY w1),
+tot AS (SELECT sum(n12) AS nt FROM c2)
+SELECT CAST(tot.nt AS BIGINT) AS n_bigrams,
+       round(-sum((c2.n12 / tot.nt) * ln(c2.n12 / c1.n1)), 6) AS h_cond,
+       round(-sum((c2.n12 / tot.nt) * ln(c2.n12 / tot.nt)), 6) AS h_joint
+FROM c2 JOIN c1 USING (w1), tot
+GROUP BY tot.nt
+""",
+)
+def txt_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional entropy H(next|prev) and joint entropy of the
+    corpus bigram distribution — the information-theoretic sequence
+    predictability measure (low H(next|prev) ⇒ formulaic text; the
+    entropy-rate cousin of txt_repetition's count-based rule, and the
+    corpus-level analog of txt_bigram_lm_score's per-doc scoring).
+    Exact MLE probabilities from the two bounded count relations; the
+    ln/sum runs over the vocabulary-sized bigram table, not the
+    corpus."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bg = d.select(
+        F.explode(
+            F.filter(
+                F.zip_with(
+                    toks,
+                    F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(1))),
+                    lambda a, b: F.when(b.isNull(), None).otherwise(
+                        F.struct(a.alias("w1"), b.alias("w2"))
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("double").alias("n12"))
+    c1 = c2.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    tot = c2.agg(F.sum("n12").alias("nt"))
+    j = c2.join(c1, "w1").join(F.broadcast(tot))
+    return j.agg(
+        F.max("nt").cast("bigint").alias("n_bigrams"),
+        F.round(
+            -F.sum((F.col("n12") / F.col("nt")) * F.log(F.col("n12") / F.col("n1"))), 6
+        ).alias("h_cond"),
+        F.round(
+            -F.sum((F.col("n12") / F.col("nt")) * F.log(F.col("n12") / F.col("nt"))), 6
+        ).alias("h_joint"),
+    )

@@ -508,3 +508,38 @@ def sample_reservoir_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "r")
     )
     return local.orderBy("r", "event_id").limit(5)
+
+
+@query(
+    "win_top_percent",
+    oracle="""
+WITH r AS (
+  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem)
+SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
+FROM r WHERE rn <= ceil(0.01 * n)
+""",
+)
+def win_top_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N-PERCENT per group — the proportional cut win_topk_group's
+    fixed k cannot express (each group keeps its own ceil(1% · count)):
+    one rank window plus one count window over the same partition
+    spec, so both compile into a single sort+window pass. Fully
+    deterministic tie-breaks; at scale the 1% emerges from whatever
+    each group's size is, with no second pass to count first."""
+    li = load(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_returnflag")
+    r = li.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        F.row_number()
+        .over(w.orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    return r.filter(F.col("rn") <= F.ceil(0.01 * F.col("n"))).drop("rn", "n")
