@@ -1890,3 +1890,71 @@ def wl_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))), 6
         ).alias("psi"),
     )
+
+
+@query(
+    "wl_multitouch_attribution",
+    oracle="""
+WITH conv AS (
+  SELECT user_id, min(ts) AS first_purchase
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+path AS (
+  SELECT e.user_id, e.event_type, e.ts, e.event_id,
+         count(*) OVER (PARTITION BY e.user_id) AS path_len,
+         row_number() OVER (PARTITION BY e.user_id
+                            ORDER BY e.ts, e.event_id) AS pos
+  FROM events e JOIN conv c ON e.user_id = c.user_id
+  WHERE e.ts < c.first_purchase AND e.event_type <> 'purchase'),
+credit AS (
+  SELECT event_type,
+         1.0 / path_len AS linear_credit,
+         CASE WHEN path_len = 1 THEN 1.0
+              WHEN pos = 1 OR pos = path_len THEN 0.4
+              ELSE 0.2 / (path_len - 2) END AS u_credit
+  FROM path)
+SELECT event_type,
+       round(sum(linear_credit), 6) AS linear_attrib,
+       round(sum(u_credit), 6) AS u_shape_attrib
+FROM credit GROUP BY event_type
+""",
+)
+def wl_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-TOUCH attribution: conversion credit spread across every
+    pre-purchase touch — linear (1/n each) and U-shaped (40% first,
+    40% last, 20% shared by the middle) side by side, completing
+    wl_attribution's last-touch model. Touch paths come from one join
+    against the per-user first conversion and ONE user-partitioned
+    window pass (position + path length share the partition spec);
+    credit math is row-local. Credit per model sums to the number of
+    converting users with a non-empty path — conservation asserted in
+    tests/test_invariants.py."""
+    ev = load(spark, sf_dir, "events")
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    path = (
+        ev.join(conv, "user_id")
+        .filter((F.col("ts") < F.col("first_purchase")) & (F.col("event_type") != "purchase"))
+        .select(
+            "user_id",
+            "event_type",
+            F.count(F.lit(1)).over(W.partitionBy("user_id")).alias("path_len"),
+            F.row_number()
+            .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+            .alias("pos"),
+        )
+    )
+    credit = path.select(
+        "event_type",
+        (1.0 / F.col("path_len")).alias("linear_credit"),
+        F.when(F.col("path_len") == 1, 1.0)
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("path_len")), 0.4)
+        .otherwise(0.2 / (F.col("path_len") - 2))
+        .alias("u_credit"),
+    )
+    return credit.groupBy("event_type").agg(
+        F.round(F.sum("linear_credit"), 6).alias("linear_attrib"),
+        F.round(F.sum("u_credit"), 6).alias("u_shape_attrib"),
+    )

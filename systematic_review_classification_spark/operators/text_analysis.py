@@ -6,7 +6,7 @@ rolling-hash document fingerprinting (all relational, all oracled).
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from systematic_review_classification_spark.registry import query
@@ -915,4 +915,60 @@ def txt_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             -F.sum((F.col("n12") / F.col("nt")) * F.log(F.col("n12") / F.col("nt"))), 6
         ).alias("h_joint"),
+    )
+
+
+@query(
+    "txt_oov_curve",
+    oracle="""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+freq AS (SELECT token, CAST(count(*) AS DOUBLE) AS n FROM tok GROUP BY token),
+ranked AS (
+  SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rnk FROM freq),
+tot AS (SELECT sum(n) AS nt FROM ranked),
+ks AS (SELECT unnest([5, 10, 20, 40, 80]) AS k)
+SELECT ks.k AS vocab_size,
+       round(sum(CASE WHEN ranked.rnk <= ks.k THEN ranked.n ELSE 0 END) / tot.nt, 6)
+         AS coverage,
+       round(1 - sum(CASE WHEN ranked.rnk <= ks.k THEN ranked.n ELSE 0 END) / tot.nt, 6)
+         AS oov_rate
+FROM ks CROSS JOIN ranked, tot
+GROUP BY ks.k, tot.nt
+""",
+)
+def txt_oov_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OOV-rate vs vocabulary-size curve: for candidate vocab sizes,
+    the share of token OCCURRENCES covered by the top-k
+    frequency-ranked types — the tokenizer-budget design input (pick
+    the knee; everything beyond buys marginal coverage; pairs with
+    txt_bpe_pair_counts which then spends the budget on merges).
+    Frequencies rank once over the bounded vocabulary; the curve is a
+    conditional sum over vocab × |k| candidate sizes — corpus touched
+    once."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ranked = freq.select(
+        "n", F.row_number().over(W.orderBy(F.col("n").desc(), "token")).alias("rnk")
+    )
+    tot = ranked.agg(F.sum("n").alias("nt"))
+    ks = spark.createDataFrame([(5,), (10,), (20,), (40,), (80,)], "k int")
+    return (
+        ks.crossJoin(ranked)
+        .join(F.broadcast(tot))
+        .groupBy(F.col("k").alias("vocab_size"), "nt")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("rnk") <= F.col("k"), F.col("n")).otherwise(0.0))
+                / F.max("nt"),
+                6,
+            ).alias("coverage"),
+            F.round(
+                1
+                - F.sum(F.when(F.col("rnk") <= F.col("k"), F.col("n")).otherwise(0.0))
+                / F.max("nt"),
+                6,
+            ).alias("oov_rate"),
+        )
+        .drop("nt")
     )

@@ -723,3 +723,30 @@ def test_rendezvous_minimal_disruption(spark, sf_dir):
     assert rows["n3"].keys_moved == rows["n3"].keys_before > 0
     for n in ("n0", "n1", "n2"):
         assert rows[n].keys_moved == 0, rows[n]
+
+
+def test_multitouch_credit_conserved(spark, sf_dir):
+    """Each attribution model's total credit must equal the number of
+    converting users with at least one pre-purchase touch."""
+    from pyspark.sql import functions as F
+    from systematic_review_classification_spark import all_queries
+    from systematic_review_classification_spark.sources.tables import load
+
+    rows = all_queries()["wl_multitouch_attribution"](spark, sf_dir).collect()
+    total_linear = sum(r.linear_attrib for r in rows)
+    total_u = sum(r.u_shape_attrib for r in rows)
+    ev = load(spark, sf_dir, "events")
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp"))
+    )
+    n_paths = (
+        ev.join(conv, "user_id")
+        .filter((F.col("ts") < F.col("fp")) & (F.col("event_type") != "purchase"))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert abs(total_linear - n_paths) < 1e-3, (total_linear, n_paths)
+    assert abs(total_u - n_paths) < 1e-3, (total_u, n_paths)
