@@ -1958,3 +1958,121 @@ def wl_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("linear_credit"), 6).alias("linear_attrib"),
         F.round(F.sum("u_credit"), 6).alias("u_shape_attrib"),
     )
+
+
+@query(
+    "wl_kaplan_meier",
+    oracle="""
+WITH su AS (SELECT user_id, min(ts) AS signup FROM events
+            WHERE event_type = 'signup' GROUP BY user_id),
+fp AS (SELECT e.user_id, min(e.ts) AS first_purchase
+       FROM events e JOIN su ON e.user_id = su.user_id
+       WHERE e.event_type = 'purchase' AND e.ts >= su.signup
+       GROUP BY e.user_id),
+mx AS (SELECT max(ts) AS m FROM events),
+dur AS (
+  SELECT su.user_id,
+         CASE WHEN fp.first_purchase IS NOT NULL
+              THEN (epoch_us(fp.first_purchase) - epoch_us(su.signup)) // 86400000000
+              ELSE (epoch_us(mx.m) - epoch_us(su.signup)) // 86400000000 END AS t,
+         CASE WHEN fp.first_purchase IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM su LEFT JOIN fp ON su.user_id = fp.user_id, mx),
+byday AS (
+  SELECT t, CAST(count(*) AS DOUBLE) AS leaving,
+         CAST(sum(ev) AS DOUBLE) AS d
+  FROM dur GROUP BY t),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM dur),
+risk AS (
+  SELECT t, d,
+         tot.n - coalesce(sum(leaving) OVER (ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM byday, tot),
+km AS (
+  SELECT t, CAST(n_risk AS BIGINT) AS n_at_risk, CAST(d AS BIGINT) AS events,
+         exp(sum(CASE WHEN d < n_risk THEN ln(1.0 - d / n_risk)
+                      ELSE -1e9 END) OVER (ORDER BY t)) AS s
+  FROM risk WHERE d > 0)
+SELECT t AS day, n_at_risk, events, round(s, 6) AS km_survival
+FROM km
+""",
+)
+def wl_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN–MEIER survival estimation with right-censoring:
+    time-to-first-purchase after signup, users who never purchase
+    censored at the observation horizon — the survival-analysis
+    workhorse (churn, time-to-convert, reliability) that naive
+    conversion rates get wrong by ignoring censoring. The risk set
+    n(t) is the running complement of departures on the BOUNDED day
+    axis, and the product-limit Π(1 − d/n) is exp of a running
+    ln-sum over the same axis — two windows over a days-sized
+    relation; the event table is touched twice (cohort + first
+    event), both linear. Both engines evaluate identical ln/exp
+    chains, so the curve matches exactly."""
+    ev = load(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.col("ts") >= F.col("signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    mx = ev.agg(F.max("ts").alias("m"))
+    us = F.unix_micros(F.col("signup").cast("timestamp"))
+    dur = (
+        su.join(fp, "user_id", "left")
+        .join(F.broadcast(mx))
+        .select(
+            F.when(
+                F.col("first_purchase").isNotNull(),
+                F.floor(
+                    (F.unix_micros(F.col("first_purchase").cast("timestamp")) - us)
+                    / 86400000000
+                ),
+            )
+            .otherwise(
+                F.floor((F.unix_micros(F.col("m").cast("timestamp")) - us) / 86400000000)
+            )
+            .alias("t"),
+            F.when(F.col("first_purchase").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    byday = dur.groupBy("t").agg(
+        F.count(F.lit(1)).cast("double").alias("leaving"),
+        F.sum("ev").cast("double").alias("d"),
+    )
+    tot = dur.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    risk = byday.join(F.broadcast(tot)).select(
+        "t",
+        "d",
+        (
+            F.col("n")
+            - F.coalesce(
+                F.sum("leaving").over(
+                    W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0.0),
+            )
+        ).alias("n_risk"),
+    )
+    km = risk.filter(F.col("d") > 0).select(
+        F.col("t").alias("day"),
+        F.col("n_risk").cast("bigint").alias("n_at_risk"),
+        F.col("d").cast("bigint").alias("events"),
+        # a day where the whole risk set exits gives factor 0: ln is
+        # undefined, so the term becomes -1e9 and exp underflows to an
+        # exact 0 survival in both engines
+        F.exp(
+            F.sum(
+                F.when(
+                    F.col("d") < F.col("n_risk"),
+                    F.log(1.0 - F.col("d") / F.col("n_risk")),
+                ).otherwise(F.lit(-1e9))
+            ).over(W.orderBy("t"))
+        ).alias("s"),
+    )
+    return km.select("day", "n_at_risk", "events", F.round("s", 6).alias("km_survival"))

@@ -131,6 +131,7 @@ _PRIORITY: list[str] = [
     "graph_powerlaw_fit", "wl_psi_drift",
     "wl_kl_source_mix", "txt_conditional_entropy", "win_top_percent",
     "txt_oov_curve", "wl_multitouch_attribution",
+    "wl_kaplan_meier",
     "wl_q11_partvalue", "wl_q20_excess", "wl_seasonality",
     "wl_skew_report", "wl_resample_ffill", "sample_reservoir",
     "agg_grouping_id", "agg_corr_matrix", "sql_qualify", "wl_profile",
