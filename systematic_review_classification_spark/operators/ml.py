@@ -1484,3 +1484,92 @@ def ml_confusion_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("true_lang", "pred_lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
+
+
+@query(
+    "ml_gains_table",
+    oracle=f"""
+WITH feat AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         len(string_split(text, ' ')) / 100.0 AS x1,
+         CAST(len(list_filter(string_split(text, ' '), t -> t IN ({_GD_STOP_SQL})))
+              AS DOUBLE) / len(string_split(text, ' ')) AS x2
+  FROM documents),
+scored AS (
+  SELECT doc_id, y, round(0.6 * x2 + 0.4 * x1, 6) AS score FROM feat),
+ranked AS (
+  SELECT y, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk,
+         count(*) OVER () AS n, sum(y) OVER () AS n_pos
+  FROM scored),
+dec AS (
+  SELECT CAST(ceil(10.0 * rnk / n) AS INTEGER) AS decile, y, n, n_pos
+  FROM ranked),
+g AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(y) AS BIGINT) AS positives,
+         max(n) AS n, max(n_pos) AS n_pos
+  FROM dec GROUP BY decile)
+SELECT decile, n_rows, positives,
+       round(sum(positives) OVER (ORDER BY decile) / max(n_pos) OVER (), 6)
+         AS cum_capture,
+       round((CAST(positives AS DOUBLE) / n_rows)
+             / (CAST(max(n_pos) OVER () AS DOUBLE) / max(n) OVER ()), 6) AS lift
+FROM g
+""",
+)
+def ml_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAINS/LIFT table: documents ranked by a screening score, cut
+    into rank deciles, each reporting captured positives, cumulative
+    capture, and lift over random — the campaign/screening triage
+    artifact that tells a review team what the next 10% of effort
+    buys (ml_eval_wss95 compresses this curve to one number; this IS
+    the curve). The score is a deterministic linear screener over the
+    same features as ml_logreg_gd (fixed weights — the table shape is
+    the point, training is elsewhere); deciles come from rank
+    arithmetic, not ntile, so the cut is identical cross-engine."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    feat = d.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        (F.size(toks) / 100.0).alias("x1"),
+        (
+            F.size(F.filter(toks, lambda t: t.isin(*_GD_STOP))).cast("double")
+            / F.size(toks)
+        ).alias("x2"),
+    )
+    scored = feat.select(
+        "doc_id", "y", F.round(0.6 * F.col("x2") + 0.4 * F.col("x1"), 6).alias("score")
+    )
+    ranked = scored.select(
+        "y",
+        F.row_number().over(W.orderBy(F.col("score").desc(), "doc_id")).alias("rnk"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+        F.sum("y").over(W.partitionBy()).alias("n_pos"),
+    )
+    dec = ranked.select(
+        F.ceil(10.0 * F.col("rnk") / F.col("n")).cast("int").alias("decile"),
+        "y",
+        "n",
+        "n_pos",
+    )
+    g = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("y").cast("bigint").alias("positives"),
+        F.max("n").alias("n"),
+        F.max("n_pos").alias("n_pos"),
+    )
+    wall = W.partitionBy()
+    return g.select(
+        "decile",
+        "n_rows",
+        "positives",
+        F.round(
+            F.sum("positives").over(W.orderBy("decile")) / F.max("n_pos").over(wall), 6
+        ).alias("cum_capture"),
+        F.round(
+            (F.col("positives").cast("double") / F.col("n_rows"))
+            / (F.max("n_pos").over(wall).cast("double") / F.max("n").over(wall)),
+            6,
+        ).alias("lift"),
+    )

@@ -132,6 +132,7 @@ _PRIORITY: list[str] = [
     "wl_kl_source_mix", "txt_conditional_entropy", "win_top_percent",
     "txt_oov_curve", "wl_multitouch_attribution",
     "wl_kaplan_meier",
+    "ml_gains_table",
     "wl_q11_partvalue", "wl_q20_excess", "wl_seasonality",
     "wl_skew_report", "wl_resample_ffill", "sample_reservoir",
     "agg_grouping_id", "agg_corr_matrix", "sql_qualify", "wl_profile",

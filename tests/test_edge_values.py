@@ -208,7 +208,7 @@ def test_document_operators_survive_empty_corpus(spark, tmp_path):
         "wl_pretrain_pipeline", "sim_rp_lsh", "txt_ocr_artifact_filter",
         "ml_logreg_gd", "ml_nb_portable", "dedup_exact_substring",
         "ml_kmeans_portable", "wl_prisma_flow", "wl_cohens_kappa",
-        "ml_feature_mi", "ml_screen_e2e", "ml_split_leakage",
+        "ml_feature_mi", "ml_screen_e2e", "ml_split_leakage", "ml_gains_table",
         "txt_boilerplate_strip", "wl_soft_dedup_sampling", "wl_retrieval_eval",
     ]
     q = all_queries()
