@@ -2076,3 +2076,62 @@ def wl_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s"),
     )
     return km.select("day", "n_at_risk", "events", F.round("s", 6).alias("km_survival"))
+
+
+@query(
+    "wl_paired_ttest",
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         sum(CASE WHEN event_type = 'click'
+                   AND ts < TIMESTAMP '2024-01-02 12:00:00'
+                  THEN value ELSE 0 END) AS a,
+         sum(CASE WHEN event_type = 'click'
+                   AND ts >= TIMESTAMP '2024-01-02 12:00:00'
+                  THEN value ELSE 0 END) AS b
+  FROM events GROUP BY user_id),
+m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(b - a) AS s1,
+         sum((b - a) * (b - a)) AS s2
+  FROM u)
+SELECT CAST(n AS BIGINT) AS n_users,
+       round(s1 / n, 6) AS mean_diff,
+       round((s1 / n) / sqrt(((s2 - s1 * s1 / n) / (n - 1)) / n), 6) AS t_stat
+FROM m
+""",
+)
+def wl_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAIRED t-test: each user is their own control (activity before
+    vs after a midpoint), t = mean(diff) / (sd(diff)/√n) — the
+    within-subject design that wl_ab_ttest's independent-samples Welch
+    test cannot express, and usually far more powerful because
+    between-user variance cancels. One per-user conditional-sum
+    rollup, one moment pass over the diffs — the same mergeable
+    (n, Σd, Σd²) state as everything in the moments family."""
+    ev = load(spark, sf_dir, "events")
+    cut = F.lit("2024-01-02 12:00:00").cast("timestamp_ntz")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") < cut), F.col("value")
+            ).otherwise(0.0)
+        ).alias("a"),
+        F.sum(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") >= cut), F.col("value")
+            ).otherwise(0.0)
+        ).alias("b"),
+    )
+    diff = F.col("b") - F.col("a")
+    m = u.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(diff).alias("s1"),
+        F.sum(diff * diff).alias("s2"),
+    )
+    mean_d = F.col("s1") / F.col("n")
+    var_d = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    return m.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.round(mean_d, 6).alias("mean_diff"),
+        F.round(mean_d / F.sqrt(var_d / F.col("n")), 6).alias("t_stat"),
+    )

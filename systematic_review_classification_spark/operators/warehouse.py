@@ -1464,3 +1464,57 @@ def wl_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("month", "d").cast("date").cast("string").alias("month_start"),
         F.last_day("d").cast("string").alias("month_end"),
     )
+
+
+@query(
+    "wl_percent_of_parent",
+    oracle="""
+WITH c AS (
+  SELECT r.r_name AS region, n.n_name AS nation, count(*) AS n_cust,
+         round(sum(cu.c_acctbal), 2) AS balance
+  FROM customer cu
+  JOIN nation n ON cu.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2)
+SELECT region, nation, n_cust,
+       round(CAST(n_cust AS DOUBLE)
+             / sum(n_cust) OVER (PARTITION BY region), 6) AS pct_of_region,
+       round(CAST(sum(n_cust) OVER (PARTITION BY region) AS DOUBLE)
+             / sum(n_cust) OVER (), 6) AS region_pct_of_total
+FROM c
+""",
+)
+def wl_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT-OF-PARENT hierarchy shares: each nation's share of its
+    region and each region's share of the world, in one pass — the
+    drill-down ratio every OLAP tool renders next to raw counts. Both
+    parent totals are windows over the BOUNDED (region, nation) grain
+    after the aggregate, so the heavy fact work happens exactly once;
+    the dims broadcast. agg_rollup gives the absolute subtotals; this
+    gives their relative structure."""
+    cu = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    c = (
+        cu.join(F.broadcast(n), cu.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("balance"),
+        )
+    )
+    wr = W.partitionBy("region")
+    return c.select(
+        "region",
+        "nation",
+        "n_cust",
+        F.round(F.col("n_cust").cast("double") / F.sum("n_cust").over(wr), 6).alias(
+            "pct_of_region"
+        ),
+        F.round(
+            F.sum("n_cust").over(wr).cast("double")
+            / F.sum("n_cust").over(W.partitionBy()),
+            6,
+        ).alias("region_pct_of_total"),
+    )

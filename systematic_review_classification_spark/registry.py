@@ -133,6 +133,7 @@ _PRIORITY: list[str] = [
     "txt_oov_curve", "wl_multitouch_attribution",
     "wl_kaplan_meier",
     "ml_gains_table",
+    "wl_paired_ttest", "wl_percent_of_parent",
     "wl_q11_partvalue", "wl_q20_excess", "wl_seasonality",
     "wl_skew_report", "wl_resample_ffill", "sample_reservoir",
     "agg_grouping_id", "agg_corr_matrix", "sql_qualify", "wl_profile",
