@@ -2135,3 +2135,108 @@ def wl_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean_d, 6).alias("mean_diff"),
         F.round(mean_d / F.sqrt(var_d / F.col("n")), 6).alias("t_stat"),
     )
+
+
+@query(
+    "wl_cusum",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1),
+m AS (SELECT avg(y) AS mu FROM daily),
+dev AS (SELECT d, y, y - m.mu AS dev FROM daily, m),
+c AS (
+  SELECT d, y,
+         sum(dev) OVER (ORDER BY d) AS cusum
+  FROM dev)
+SELECT CAST(d AS VARCHAR) AS day, CAST(y AS BIGINT) AS n_events,
+       round(cusum, 6) + 0.0 AS cusum,  -- +0.0 folds -0.0 into 0.0
+       CASE WHEN abs(cusum) = (SELECT max(abs(cusum)) FROM c) THEN 1 ELSE 0 END
+         AS is_changepoint
+FROM c
+""",
+)
+def wl_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint localization: the cumulative sum of
+    deviations from the series mean peaks (in absolute value) at the
+    most likely level-shift point — the classic offline changepoint
+    estimator, flagged inline per day. Runs entirely on the BOUNDED
+    daily aggregate (one scan to days, one broadcast mean, one
+    running-sum window); the peak flag is a second bounded pass. The
+    online sibling with reset-at-zero and a decision threshold keeps
+    the identical relational shape."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("y")
+    )
+    m = daily.agg(F.avg("y").alias("mu"))
+    c = daily.join(F.broadcast(m)).select(
+        "d",
+        "y",
+        F.sum(F.col("y") - F.col("mu")).over(W.orderBy("d")).alias("cusum"),
+    )
+    mx = c.agg(F.max(F.abs(F.col("cusum"))).alias("peak"))
+    return c.join(F.broadcast(mx)).select(
+        F.col("d").cast("string").alias("day"),
+        F.col("y").cast("bigint").alias("n_events"),
+        (F.round("cusum", 6) + 0.0).alias("cusum"),
+        F.when(F.abs(F.col("cusum")) == F.col("peak"), 1).otherwise(0).alias(
+            "is_changepoint"
+        ),
+    )
+
+
+@query(
+    "wl_control_chart",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1),
+mr AS (
+  SELECT d, y, abs(y - lag(y) OVER (ORDER BY d)) AS rng
+  FROM daily),
+lim AS (
+  SELECT avg(y) AS center, 2.66 * avg(rng) AS spread
+  FROM mr)
+SELECT CAST(mr.d AS VARCHAR) AS day, CAST(mr.y AS BIGINT) AS n_events,
+       round(lim.center, 6) AS center,
+       round(lim.center - lim.spread, 6) AS lcl,
+       round(lim.center + lim.spread, 6) AS ucl,
+       CASE WHEN mr.y > lim.center + lim.spread
+              OR mr.y < lim.center - lim.spread THEN 1 ELSE 0 END AS out_of_control
+FROM mr, lim
+""",
+)
+def wl_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-mR CONTROL CHART (individuals chart): center line at the
+    series mean, control limits at ±2.66 × average moving range — the
+    Shewhart SPC rule that separates common-cause noise from special-
+    cause signals without assuming any distribution. The moving range
+    is one lag over the bounded daily axis; limits are a broadcast
+    1-row aggregate; the violation flag is row-local. The operational
+    sibling of wl_anomaly_zscore (which needs a variance estimate
+    this chart deliberately avoids)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("y")
+    )
+    mr = daily.select(
+        "d", "y", F.abs(F.col("y") - F.lag("y").over(W.orderBy("d"))).alias("rng")
+    )
+    lim = mr.agg(
+        F.avg("y").alias("center"), (2.66 * F.avg("rng")).alias("spread")
+    )
+    return mr.join(F.broadcast(lim)).select(
+        F.col("d").cast("string").alias("day"),
+        F.col("y").cast("bigint").alias("n_events"),
+        F.round("center", 6).alias("center"),
+        F.round(F.col("center") - F.col("spread"), 6).alias("lcl"),
+        F.round(F.col("center") + F.col("spread"), 6).alias("ucl"),
+        F.when(
+            (F.col("y") > F.col("center") + F.col("spread"))
+            | (F.col("y") < F.col("center") - F.col("spread")),
+            1,
+        )
+        .otherwise(0)
+        .alias("out_of_control"),
+    )
