@@ -2240,3 +2240,44 @@ def wl_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("out_of_control"),
     )
+
+
+@query(
+    "wl_theil_sen",
+    oracle="""
+WITH daily AS (
+  SELECT datediff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE)) AS t,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1),
+slopes AS (
+  SELECT (b.y - a.y) / (b.t - a.t) AS s
+  FROM daily a JOIN daily b ON a.t < b.t)
+SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(median(s), 6) AS theil_sen_slope
+FROM slopes
+""",
+)
+def wl_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL–SEN robust trend: the median of all pairwise slopes over
+    the daily series — up to ~29% contaminated points cannot move it,
+    where wl_linear_forecast's OLS chases every outlier. The pairwise
+    join is over the BOUNDED day axis (n days → n²/2 slope pairs, a
+    few hundred rows), so 'robust regression over 100 TB of events'
+    costs one daily rollup plus arithmetic on a tiny relation — the
+    bounded-axis discipline doing statistical heavy lifting. Slopes
+    are exact integer ratios; the median interpolates identically
+    cross-engine."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.date_trunc("day", "ts"), F.lit("2024-01-01").cast("date")).alias("t")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(b, F.col("a.t") < F.col("b.t")).select(
+        ((F.col("b.y") - F.col("a.y")) / (F.col("b.t") - F.col("a.t"))).alias("s")
+    )
+    n_days = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    return slopes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.percentile("s", F.lit(0.5)), 6).alias("theil_sen_slope"),
+    ).join(F.broadcast(n_days)).select("n_days", "n_pairs", "theil_sen_slope")

@@ -135,6 +135,7 @@ _PRIORITY: list[str] = [
     "ml_gains_table",
     "wl_paired_ttest", "wl_percent_of_parent",
     "wl_cusum", "wl_control_chart",
+    "wl_theil_sen",
     "wl_q11_partvalue", "wl_q20_excess", "wl_seasonality",
     "wl_skew_report", "wl_resample_ffill", "sample_reservoir",
     "agg_grouping_id", "agg_corr_matrix", "sql_qualify", "wl_profile",
