@@ -2281,3 +2281,108 @@ def wl_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         F.round(F.percentile("s", F.lit(0.5)), 6).alias("theil_sen_slope"),
     ).join(F.broadcast(n_days)).select("n_days", "n_pairs", "theil_sen_slope")
+
+
+@query(
+    "wl_anova_seasonality",
+    oracle="""
+WITH x AS (
+  SELECT isodow(ts) * 100 + hour(ts) AS cell, value FROM events),
+cells AS (
+  SELECT cell, CAST(count(*) AS DOUBLE) AS n, sum(value) AS s,
+         sum(value * value) AS s2
+  FROM x GROUP BY cell),
+tot AS (
+  SELECT sum(n) AS nt, sum(s) AS st, sum(s2) AS s2t,
+         sum(s * s / n) AS sum_group_sq
+  FROM cells)
+SELECT CAST(nt AS BIGINT) AS n_obs,
+       CAST((SELECT count(*) FROM cells) AS BIGINT) AS n_cells,
+       round((sum_group_sq - st * st / nt) / (s2t - st * st / nt), 6) AS eta_sq
+FROM tot
+""",
+)
+def wl_anova_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA variance decomposition: η² = SS_between/SS_total
+    for the 168-cell hour-of-week grouping of event values — 'how much
+    of the metric's variance is just seasonality', the number that
+    decides whether wl_hour_heatmap's profile is signal or decoration
+    (and how much wl_anomaly_zscore should deseasonalize first). Both
+    sums of squares derive from per-cell (n, Σx, Σx²) — one
+    partial-aggregating pass, mergeable state, identical algebra both
+    engines."""
+    ev = load(spark, sf_dir, "events")
+    x = ev.select(
+        ((F.weekday("ts") + 1) * 100 + F.hour("ts")).alias("cell"), "value"
+    )
+    cells = x.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("s2"),
+    )
+    tot = cells.agg(
+        F.sum("n").alias("nt"),
+        F.sum("s").alias("st"),
+        F.sum("s2").alias("s2t"),
+        F.sum(F.col("s") * F.col("s") / F.col("n")).alias("sum_group_sq"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+    )
+    ssb = F.col("sum_group_sq") - F.col("st") * F.col("st") / F.col("nt")
+    sst = F.col("s2t") - F.col("st") * F.col("st") / F.col("nt")
+    return tot.select(
+        F.col("nt").cast("bigint").alias("n_obs"),
+        "n_cells",
+        F.round(ssb / sst, 6).alias("eta_sq"),
+    )
+
+
+@query(
+    "wl_simpson_check",
+    oracle="""
+WITH x AS (
+  SELECT o_orderpriority AS grp,
+         CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS DOUBLE)
+           AS t,
+         o_totalprice AS y
+  FROM orders),
+pooled AS (SELECT regr_slope(y, t) AS slope FROM x),
+per_grp AS (
+  SELECT grp, regr_slope(y, t) AS gslope, CAST(count(*) AS BIGINT) AS n
+  FROM x GROUP BY grp)
+SELECT g.grp, g.n,
+       round(g.gslope, 6) AS group_slope,
+       round(p.slope, 6) AS pooled_slope,
+       CASE WHEN sign(g.gslope) <> sign(p.slope) THEN 1 ELSE 0 END AS sign_flip
+FROM per_grp g, pooled p
+""",
+)
+def wl_simpson_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIMPSON'S-PARADOX detector: the pooled trend of order value
+    over time next to each segment's own trend, flagging sign flips —
+    the aggregation-bias trap every dashboard metric is one GROUP BY
+    away from. Both regressions are the REGR_* moment machinery (one
+    pooled pass, one grouped pass); a flagged row means the pooled
+    line is answering a different question than the segments, and any
+    downstream narrative needs the stratified number."""
+    o = load(spark, sf_dir, "orders")
+    x = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("double")
+        .alias("t"),
+        F.col("o_totalprice").alias("y"),
+    )
+    pooled = x.agg(F.regr_slope("y", "t").alias("slope"))
+    per_grp = x.groupBy("grp").agg(
+        F.regr_slope("y", "t").alias("gslope"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return per_grp.join(F.broadcast(pooled)).select(
+        "grp",
+        "n",
+        F.round("gslope", 6).alias("group_slope"),
+        F.round("slope", 6).alias("pooled_slope"),
+        F.when(F.signum("gslope") != F.signum("slope"), 1).otherwise(0).alias(
+            "sign_flip"
+        ),
+    )
