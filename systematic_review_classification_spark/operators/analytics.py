@@ -2386,3 +2386,146 @@ def wl_simpson_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sign_flip"
         ),
     )
+
+
+@query(
+    "wl_poisson_bootstrap",
+    oracle="""
+WITH reps AS (SELECT unnest(range(0, 10)) AS r),
+w AS (
+  SELECT r.r, o.o_totalprice AS y,
+         CASE WHEN u < 0.367879 THEN 0
+              WHEN u < 0.735759 THEN 1
+              WHEN u < 0.919699 THEN 2
+              WHEN u < 0.981012 THEN 3
+              ELSE 4 END AS wt
+  FROM (SELECT o_orderkey, o_totalprice,
+               ((CAST(('0x' || substring(md5('bs' || CAST(r2.r AS VARCHAR) || ':'
+                       || CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
+                 % 1000000) + 0.5) / 1000001.0 AS u, r2.r
+        FROM orders CROSS JOIN (SELECT unnest(range(0, 10)) AS r) r2) o
+  JOIN reps r ON r.r = o.r),
+means AS (
+  SELECT r, sum(wt * y) / sum(wt) AS m FROM w GROUP BY r),
+agg AS (
+  SELECT CAST(count(*) AS DOUBLE) AS k, sum(m) AS s1, sum(m * m) AS s2 FROM means)
+SELECT CAST(k AS BIGINT) AS n_replicates,
+       round(s1 / k, 4) AS boot_mean,
+       round(sqrt((s2 - s1 * s1 / k) / (k - 1)), 4) AS boot_se
+FROM agg
+""",
+)
+def wl_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON BOOTSTRAP standard error — the resampling method that
+    actually works distributed: instead of drawing n rows with
+    replacement (needs global coordination), every row draws an
+    independent Poisson(1) weight per replicate, and replicate
+    statistics are weighted aggregates. 10 replicates of the mean
+    order value → SE from the replicate spread. Weights come from a
+    DETERMINISTIC md5 uniform through the λ=1 inverse CDF (0.3679 /
+    0.7358 / 0.9197 / 0.9810 steps), so the whole inference is
+    oracle-checkable; production swaps a per-run seed. Cost: one
+    10×-explode scan + bounded aggregates — no shuffle carries raw
+    rows twice."""
+    o = load(spark, sf_dir, "orders")
+    reps = spark.range(0, 10).select(F.col("id").cast("int").alias("r"))
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("bs"),
+                            F.col("r").cast("string"),
+                            F.lit(":"),
+                            F.col("o_orderkey").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 1000000
+        )
+        + 0.5
+    ) / 1000001.0
+    w = (
+        o.crossJoin(F.broadcast(reps))
+        .select(
+            "r",
+            F.col("o_totalprice").alias("y"),
+            F.when(u < 0.367879, 0)
+            .when(u < 0.735759, 1)
+            .when(u < 0.919699, 2)
+            .when(u < 0.981012, 3)
+            .otherwise(4)
+            .alias("wt"),
+        )
+    )
+    means = w.groupBy("r").agg(
+        (F.sum(F.col("wt") * F.col("y")) / F.sum("wt")).alias("m")
+    )
+    agg = means.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("m").alias("s1"),
+        F.sum(F.col("m") * F.col("m")).alias("s2"),
+    )
+    return agg.select(
+        F.col("k").cast("bigint").alias("n_replicates"),
+        F.round(F.col("s1") / F.col("k"), 4).alias("boot_mean"),
+        F.round(
+            F.sqrt(
+                (F.col("s2") - F.col("s1") * F.col("s1") / F.col("k")) / (F.col("k") - 1)
+            ),
+            4,
+        ).alias("boot_se"),
+    )
+
+
+@query(
+    "wl_winsorized_mean",
+    oracle="""
+WITH q AS (
+  SELECT l_returnflag AS flag,
+         quantile_cont(l_extendedprice, 0.05) AS p5,
+         quantile_cont(l_extendedprice, 0.95) AS p95
+  FROM lineitem GROUP BY 1)
+SELECT li.l_returnflag AS flag,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(li.l_extendedprice), 4) AS raw_mean,
+       round(avg(CASE WHEN li.l_extendedprice < q.p5 THEN q.p5
+                      WHEN li.l_extendedprice > q.p95 THEN q.p95
+                      ELSE li.l_extendedprice END), 4) AS winsorized_mean
+FROM lineitem li JOIN q ON li.l_returnflag = q.flag
+GROUP BY li.l_returnflag
+""",
+)
+def wl_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINSORIZED mean per group: values clamped to the [p5, p95]
+    band before averaging — the outlier-robust estimator that keeps
+    every row (unlike trimming) and reports next to the raw mean so
+    the tail influence is visible. Same two-pass shape as
+    wl_iqr_outliers: bounded per-group quantiles broadcast back, one
+    clamp-and-average pass over the fact."""
+    li = load(spark, sf_dir, "lineitem")
+    q = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("p5"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+    )
+    clamped = (
+        F.when(F.col("l_extendedprice") < F.col("p5"), F.col("p5"))
+        .when(F.col("l_extendedprice") > F.col("p95"), F.col("p95"))
+        .otherwise(F.col("l_extendedprice"))
+    )
+    return (
+        li.join(F.broadcast(q), li.l_returnflag == q.flag)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg("l_extendedprice"), 4).alias("raw_mean"),
+            F.round(F.avg(clamped), 4).alias("winsorized_mean"),
+        )
+        .withColumnRenamed("l_returnflag", "flag")
+    )
