@@ -2529,3 +2529,35 @@ def wl_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumnRenamed("l_returnflag", "flag")
     )
+
+
+@query(
+    "wl_effective_sample_size",
+    oracle="""
+WITH w AS (SELECT o_orderpriority AS grp, o_totalprice AS wt FROM orders)
+SELECT grp, CAST(count(*) AS BIGINT) AS n,
+       round(sum(wt) * sum(wt) / sum(wt * wt) / count(*), 6) AS ess_ratio,
+       round(sum(wt) * sum(wt) / sum(wt * wt), 6) AS ess
+FROM w GROUP BY grp
+""",
+)
+def wl_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EFFECTIVE SAMPLE SIZE of a weighted population, Kish's
+    n_eff = (Σw)²/Σw² — the number that says how much statistical
+    power a weighted estimate (importance sampling, wl_domain_mix
+    reweighting, survey weights) actually retains: ess_ratio near 1
+    means weights are benign, a small ratio means a few heavy rows
+    dominate and every CI should be widened accordingly. One
+    partial-aggregating pass per group, exact algebra."""
+    o = load(spark, sf_dir, "orders")
+    w = o.select(F.col("o_orderpriority").alias("grp"), F.col("o_totalprice").alias("wt"))
+    return w.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(
+            F.sum("wt") * F.sum("wt") / F.sum(F.col("wt") * F.col("wt")) / F.count(F.lit(1)),
+            6,
+        ).alias("ess_ratio"),
+        F.round(F.sum("wt") * F.sum("wt") / F.sum(F.col("wt") * F.col("wt")), 6).alias(
+            "ess"
+        ),
+    )

@@ -972,3 +972,107 @@ def txt_oov_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("nt")
     )
+
+
+@query(
+    "txt_burstiness",
+    oracle="""
+WITH nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+tc AS (
+  SELECT token, CAST(count(*) AS DOUBLE) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY doc_id, token),
+agg AS (
+  SELECT token, sum(c) AS s1, sum(c * c) AS s2 FROM tc GROUP BY token)
+SELECT token,
+       round(s1 / nd.n, 6) AS mean_per_doc,
+       round(((s2 - s1 * s1 / nd.n) / nd.n) / (s1 / nd.n), 6) AS burstiness_vmr
+FROM agg, nd
+ORDER BY round(((s2 - s1 * s1 / nd.n) / nd.n) / (s1 / nd.n), 6) DESC, token
+LIMIT 15
+""",
+)
+def txt_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token BURSTINESS (Church–Gale variance-to-mean ratio): content
+    words clump into few documents (VMR ≫ 1) while function words
+    spread uniformly (VMR ≈ 1) — the corpus-linguistics statistic
+    behind why raw frequency is a bad keyword signal and idf-style
+    weighting works. Zero-occurrence documents enter the variance
+    through N in the algebra, never as materialized rows; everything
+    reduces from per-(doc, token) counts — one explode, two bounded
+    aggregates, exact integer sums."""
+    d = load(spark, sf_dir, "documents")
+    nd = d.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    tc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    agg = tc.groupBy("token").agg(
+        F.sum("c").alias("s1"), F.sum(F.col("c") * F.col("c")).alias("s2")
+    )
+    j = agg.join(F.broadcast(nd))
+    vmr = F.round(
+        ((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / F.col("n"))
+        / (F.col("s1") / F.col("n")),
+        6,
+    )
+    return (
+        j.select(
+            "token",
+            F.round(F.col("s1") / F.col("n"), 6).alias("mean_per_doc"),
+            vmr.alias("burstiness_vmr"),
+        )
+        .orderBy(F.col("burstiness_vmr").desc(), "token")
+        .limit(15)
+    )
+
+
+@query(
+    "txt_chao1_richness",
+    oracle="""
+WITH df AS (
+  SELECT token, count(DISTINCT doc_id) AS d
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token),
+f AS (
+  SELECT CAST(count(*) AS DOUBLE) AS v,
+         CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS f1,
+         CAST(sum(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS f2
+  FROM df)
+SELECT CAST(v AS BIGINT) AS observed_types,
+       CAST(f1 AS BIGINT) AS singletons, CAST(f2 AS BIGINT) AS doubletons,
+       round(v + f1 * f1 / (2.0 * greatest(f2, 1.0)), 6) AS chao1_estimate
+FROM f
+""",
+)
+def txt_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAO1 richness estimation: how many vocabulary types the corpus
+    has NOT yet shown you, from singleton/doubleton counts alone —
+    V̂ = V + F1²/2F2, the species-richness estimator applied to
+    tokens (the quantitative answer to wl_vocab_growth's curve: will
+    more data keep finding new types?). Three conditional sums over
+    the bounded document-frequency relation; the F2=0 edge clamps to
+    1 (the standard bias-corrected fallback) so the estimate stays
+    finite."""
+    d = load(spark, sf_dir, "documents")
+    df_t = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("d"))
+    )
+    f = df_t.agg(
+        F.count(F.lit(1)).cast("double").alias("v"),
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).cast("double").alias("f1"),
+        F.sum(F.when(F.col("d") == 2, 1).otherwise(0)).cast("double").alias("f2"),
+    )
+    return f.select(
+        F.col("v").cast("bigint").alias("observed_types"),
+        F.col("f1").cast("bigint").alias("singletons"),
+        F.col("f2").cast("bigint").alias("doubletons"),
+        F.round(
+            F.col("v")
+            + F.col("f1") * F.col("f1") / (2.0 * F.greatest(F.col("f2"), F.lit(1.0))),
+            6,
+        ).alias("chao1_estimate"),
+    )
