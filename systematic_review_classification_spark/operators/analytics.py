@@ -2561,3 +2561,43 @@ def wl_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ess"
         ),
     )
+
+
+@query(
+    "wl_theil_index",
+    oracle="""
+WITH x AS (SELECT o_orderpriority AS grp, o_totalprice AS y FROM orders),
+m AS (SELECT grp, CAST(count(*) AS DOUBLE) AS n, avg(y) AS mu FROM x GROUP BY grp)
+SELECT x.grp, CAST(m.n AS BIGINT) AS n,
+       round(sum((x.y / (m.n * m.mu)) * ln(x.y / m.mu)), 6) AS theil_t
+FROM x JOIN m ON x.grp = m.grp
+GROUP BY x.grp, m.n
+""",
+)
+def wl_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL T inequality index per group — the entropy-based
+    concentration measure that, unlike wl_gini's rank-based
+    coefficient, DECOMPOSES additively into within-group +
+    between-group inequality (the property economists and capacity
+    planners exploit). Per-group mean broadcasts back; the index is
+    one ln-weighted sum over the fact — no sorting, no ranks, which
+    is also why it scales more gracefully than Gini's two-pass rank."""
+    o = load(spark, sf_dir, "orders")
+    x = o.select(F.col("o_orderpriority").alias("grp"), F.col("o_totalprice").alias("y"))
+    m = x.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("double").alias("n"), F.avg("y").alias("mu")
+    )
+    return (
+        x.join(F.broadcast(m), "grp")
+        .groupBy("grp", "n")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("y") / (F.col("n") * F.col("mu")))
+                    * F.log(F.col("y") / F.col("mu"))
+                ),
+                6,
+            ).alias("theil_t")
+        )
+        .select("grp", F.col("n").cast("bigint").alias("n"), "theil_t")
+    )

@@ -1231,3 +1231,61 @@ def wl_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("spearman_rho"),
     )
+
+
+@query(
+    "txt_heaps_fit",
+    oracle="""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+first AS (SELECT token, min(doc_id) // 20 AS first_bin FROM tok GROUP BY token),
+newb AS (SELECT first_bin, count(*) AS new_tokens FROM first GROUP BY first_bin),
+toks_per_bin AS (
+  SELECT doc_id // 20 AS bin, count(*) AS n_tok FROM tok GROUP BY 1),
+curve AS (
+  SELECT t.bin,
+         sum(t.n_tok) OVER (ORDER BY t.bin) AS cum_tokens,
+         sum(coalesce(n.new_tokens, 0)) OVER (ORDER BY t.bin) AS vocab
+  FROM toks_per_bin t LEFT JOIN newb n ON n.first_bin = t.bin)
+SELECT CAST(count(*) AS BIGINT) AS n_points,
+       round(regr_slope(ln(CAST(vocab AS DOUBLE)),
+                        ln(CAST(cum_tokens AS DOUBLE))), 6) + 0.0 AS heaps_beta,
+       round(exp(regr_intercept(ln(CAST(vocab AS DOUBLE)),
+                                ln(CAST(cum_tokens AS DOUBLE)))), 6) AS heaps_k
+FROM curve
+""",
+)
+def txt_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAPS'-LAW fit: V = K·Nᵝ estimated by ln-ln OLS over the
+    vocabulary-growth curve — wl_vocab_growth plots the curve, this
+    extracts (K, β), and β directly answers the scaling question
+    Chao1 (txt_chao1_richness) answers statically: how fast new
+    types keep arriving as tokens accumulate (β ≈ 0.4–0.6 for
+    natural text; the synthetic jargon corpus sits lower). Both
+    running axes are the bounded 20-doc bins; the regression is the
+    REGR_* moment state."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    first = tok.groupBy("token").agg(F.expr("min(doc_id) div 20").alias("first_bin"))
+    newb = first.groupBy("first_bin").agg(F.count(F.lit(1)).alias("new_tokens"))
+    tpb = tok.groupBy(F.expr("doc_id div 20").alias("bin")).agg(
+        F.count(F.lit(1)).alias("n_tok")
+    )
+    curve = (
+        tpb.join(F.broadcast(newb), tpb.bin == newb.first_bin, "left")
+        .select(
+            "bin",
+            "n_tok",
+            F.coalesce("new_tokens", F.lit(0)).alias("nt"),
+        )
+        .select(
+            F.sum("n_tok").over(W.orderBy("bin")).alias("cum_tokens"),
+            F.sum("nt").over(W.orderBy("bin")).alias("vocab"),
+        )
+    )
+    lnv = F.log(F.col("vocab").cast("double"))
+    lnt = F.log(F.col("cum_tokens").cast("double"))
+    return curve.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        (F.round(F.regr_slope(lnv, lnt), 6) + 0.0).alias("heaps_beta"),
+        F.round(F.exp(F.regr_intercept(lnv, lnt)), 6).alias("heaps_k"),
+    )

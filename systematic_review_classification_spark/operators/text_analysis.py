@@ -1076,3 +1076,59 @@ def txt_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chao1_estimate"),
     )
+
+
+@query(
+    "txt_distinctive_terms",
+    oracle="""
+WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+stf AS (SELECT source, token, CAST(count(*) AS DOUBLE) AS tf
+        FROM tok GROUP BY 1, 2),
+sdf AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM stf GROUP BY token),
+ns AS (SELECT CAST(count(DISTINCT source) AS DOUBLE) AS n FROM stf),
+scored AS (
+  SELECT stf.source, stf.token,
+         round(stf.tf * ln((ns.n + 1.0) / (sdf.df + 1.0)), 6) AS score
+  FROM stf JOIN sdf USING (token), ns),
+ranked AS (
+  SELECT source, token, score,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY score DESC, token) AS rn
+  FROM scored)
+SELECT source, token, score FROM ranked WHERE rn <= 3
+""",
+)
+def txt_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCTIVE terms per source: tf-idf computed at the SOURCE
+    grain (each feed is the 'document') — the three terms that
+    characterize a feed against its peers, the one-line answer to
+    'what is this ingest source actually about'. Same machinery as
+    txt_tfidf_topk, one grain up: the source×token relation is tiny,
+    the source-frequency join bounded by the vocabulary, and the
+    per-source window ranks a handful of rows. Smoothed idf keeps
+    everywhere-present tokens finite."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("token"))
+    stf = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    sdf = stf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    ns = stf.agg(F.countDistinct("source").cast("double").alias("n"))
+    scored = (
+        stf.join(sdf, "token")
+        .join(F.broadcast(ns))
+        .select(
+            "source",
+            "token",
+            F.round(
+                F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("score"),
+        )
+    )
+    ranked = scored.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("source").orderBy(F.col("score").desc(), "token")
+        ),
+    )
+    return ranked.filter(F.col("rn") <= 3).select("source", "token", "score")
