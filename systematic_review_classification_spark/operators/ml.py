@@ -1573,3 +1573,67 @@ def ml_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lift"),
     )
+
+
+@query(
+    "ml_cascade_cost",
+    oracle=f"""
+WITH feat AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         n_chars,
+         CAST(len(list_filter(string_split(text, ' '), t -> t IN ({_GD_STOP_SQL})))
+              AS DOUBLE) / len(string_split(text, ' ')) AS stop_rate
+  FROM documents),
+staged AS (
+  SELECT y,
+         CASE WHEN n_chars >= 64 THEN 1 ELSE 0 END AS passes_cheap,
+         CASE WHEN n_chars >= 64 AND stop_rate >= 0.03 THEN 1 ELSE 0 END AS flagged
+  FROM feat)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(passes_cheap) AS BIGINT) AS to_stage2,
+       CAST(count(*) + 100 * sum(passes_cheap) AS BIGINT) AS cascade_cost,
+       CAST(101 * count(*) AS BIGINT) AS flat_cost,
+       round(CAST(sum(CASE WHEN flagged = 1 THEN y ELSE 0 END) AS DOUBLE)
+             / sum(y), 6) AS cascade_recall
+FROM staged
+""",
+)
+def ml_cascade_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Screening CASCADE cost model: a 1-unit cheap rule gates which
+    documents reach the 100-unit expensive model — the cost/recall
+    trade every large-scale classification deployment makes (the
+    reference's screening economics, and the LLM-era 'router' shape:
+    cheap filter → expensive judge). One conditional pass yields the
+    cascade cost, the always-expensive flat cost, and the recall the
+    cascade retains; moving the stage-1 threshold replays the whole
+    economics without new scans."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    feat = d.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        "n_chars",
+        (
+            F.size(F.filter(toks, lambda t: t.isin(*_GD_STOP))).cast("double")
+            / F.size(toks)
+        ).alias("stop_rate"),
+    )
+    staged = feat.select(
+        "y",
+        F.when(F.col("n_chars") >= 64, 1).otherwise(0).alias("passes_cheap"),
+        F.when((F.col("n_chars") >= 64) & (F.col("stop_rate") >= 0.03), 1)
+        .otherwise(0)
+        .alias("flagged"),
+    )
+    return staged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("passes_cheap").cast("bigint").alias("to_stage2"),
+        (F.count(F.lit(1)) + 100 * F.sum("passes_cheap"))
+        .cast("bigint")
+        .alias("cascade_cost"),
+        (101 * F.count(F.lit(1))).cast("bigint").alias("flat_cost"),
+        F.round(
+            F.sum(F.when(F.col("flagged") == 1, F.col("y")).otherwise(0)).cast("double")
+            / F.sum("y"),
+            6,
+        ).alias("cascade_recall"),
+    )

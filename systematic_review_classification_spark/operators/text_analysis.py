@@ -1132,3 +1132,45 @@ def txt_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return ranked.filter(F.col("rn") <= 3).select("source", "token", "score")
+
+
+@query(
+    "txt_script_mix",
+    oracle="""
+WITH f AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_extract_all(text, '[一-鿿]')) AS BIGINT) AS cjk_chars,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS latin_chars,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents)
+SELECT doc_id, lang, cjk_chars, latin_chars,
+       CASE WHEN cjk_chars > latin_chars THEN 'cjk'
+            WHEN latin_chars > 0 THEN 'latin'
+            ELSE 'other' END AS dominant_script,
+       round(CAST(cjk_chars AS DOUBLE) / n_chars, 6) AS cjk_ratio
+FROM f
+""",
+)
+def txt_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode SCRIPT detection: CJK vs Latin character census per
+    document — the writing-system-level language signal that
+    tokenizer routing and lang-ID priors consume before any model
+    runs (a 'zh'-tagged doc full of Latin text is a labeling bug this
+    catches; both occur in the fixture corpus). The CJK class is the
+    literal codepoint range 一-鿿 (U+4E00–U+9FFF) embedded as
+    characters, so the Java-regex and RE2 patterns are byte-identical.
+    Pure regexp-count projection, one scan."""
+    d = load(spark, sf_dir, "documents")
+    cjk = F.regexp_count(F.col("text"), F.lit("[一-鿿]")).cast("bigint")
+    latin = F.regexp_count(F.col("text"), F.lit("[A-Za-z]")).cast("bigint")
+    return d.select(
+        "doc_id",
+        "lang",
+        cjk.alias("cjk_chars"),
+        latin.alias("latin_chars"),
+        F.when(cjk > latin, "cjk")
+        .when(latin > 0, "latin")
+        .otherwise("other")
+        .alias("dominant_script"),
+        F.round(cjk.cast("double") / F.length("text"), 6).alias("cjk_ratio"),
+    )

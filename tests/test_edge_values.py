@@ -210,6 +210,7 @@ def test_document_operators_survive_empty_corpus(spark, tmp_path):
         "ml_logreg_gd", "ml_nb_portable", "dedup_exact_substring",
         "ml_kmeans_portable", "wl_prisma_flow", "wl_cohens_kappa",
         "ml_feature_mi", "ml_screen_e2e", "ml_split_leakage", "ml_gains_table",
+        "ml_cascade_cost", "txt_script_mix",
         "txt_boilerplate_strip", "wl_soft_dedup_sampling", "wl_retrieval_eval",
     ]
     q = all_queries()
