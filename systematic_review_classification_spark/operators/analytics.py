@@ -2601,3 +2601,126 @@ def wl_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("grp", F.col("n").cast("bigint").alias("n"), "theil_t")
     )
+
+
+@query(
+    "wl_holt_smoothing",
+    oracle="""
+WITH RECURSIVE daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1),
+days AS (SELECT row_number() OVER (ORDER BY d) AS i, y FROM daily),
+holt AS (
+  SELECT 1 AS i, (SELECT y FROM days WHERE i = 1) AS l, CAST(0.0 AS DOUBLE) AS b
+  UNION ALL
+  SELECT d.i,
+         0.5 * d.y + 0.5 * (h.l + h.b),
+         0.3 * (0.5 * d.y + 0.5 * (h.l + h.b) - h.l) + 0.7 * h.b
+  FROM holt h JOIN days d ON d.i = h.i + 1)
+SELECT CAST((SELECT max(i) FROM days) AS BIGINT) AS n_days,
+       round(l, 6) AS level, round(b, 6) AS trend,
+       round(l + b, 6) AS forecast_1d,
+       round(l + 7 * b, 6) AS forecast_7d
+FROM holt WHERE i = (SELECT max(i) FROM days)
+""",
+)
+def wl_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT double exponential smoothing (level + trend, α=0.5,
+    β=0.3) over the daily series, with 1-day and 7-day forecasts —
+    the adaptive forecaster between wl_linear_forecast's global OLS
+    and win_ewma's level-only recurrence. The two-state recurrence is
+    a JVM higher-order FOLD with a struct accumulator over the
+    time-ordered bounded array (the win_ewma pattern, one state
+    richer); both engines execute the identical left-to-right float
+    sequence, so level, trend, and forecasts agree bit-for-bit."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("y")
+    )
+    series = daily.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("d", "y"))), lambda s: s.y
+        ).alias("ys"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+    def step(a, c):
+        new_l = 0.5 * c + 0.5 * (a.l + a.b)
+        return F.struct(
+            new_l.alias("l"), (0.3 * (new_l - a.l) + 0.7 * a.b).alias("b")
+        )
+
+    st = F.aggregate(
+        F.slice(F.col("ys"), 2, F.greatest(F.size("ys") - 1, F.lit(0))),
+        F.struct(F.element_at(F.col("ys"), 1).alias("l"), F.lit(0.0).alias("b")),
+        step,
+    )
+    fitted = series.select("n", st.alias("st"))
+    return fitted.select(
+        F.col("n").alias("n_days"),
+        F.round(F.col("st.l"), 6).alias("level"),
+        F.round(F.col("st.b"), 6).alias("trend"),
+        F.round(F.col("st.l") + F.col("st.b"), 6).alias("forecast_1d"),
+        F.round(F.col("st.l") + 7 * F.col("st.b"), 6).alias("forecast_7d"),
+    )
+
+
+@query(
+    "wl_abc_analysis",
+    oracle="""
+WITH rev AS (
+  SELECT l_returnflag AS flag, l_partkey AS part,
+         round(sum(l_extendedprice), 2) AS revenue
+  FROM lineitem GROUP BY 1, 2),
+ranked AS (
+  SELECT flag, part, revenue,
+         sum(revenue) OVER (PARTITION BY flag
+                            ORDER BY revenue DESC, part) AS cum_rev,
+         sum(revenue) OVER (PARTITION BY flag) AS tot_rev
+  FROM rev),
+classed AS (
+  SELECT flag,
+         CASE WHEN cum_rev <= 0.8 * tot_rev THEN 'A'
+              WHEN cum_rev <= 0.95 * tot_rev THEN 'B'
+              ELSE 'C' END AS abc_class,
+         revenue
+  FROM ranked)
+SELECT flag, abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+       round(sum(revenue), 2) AS class_revenue
+FROM classed GROUP BY flag, abc_class
+""",
+)
+def wl_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC CLASSIFICATION: parts bucketed per group into A (first 80%
+    of cumulative revenue), B (to 95%), C (tail) — the inventory-
+    management Pareto cut that decides stocking policy per item class.
+    The cumulative share runs over per-(flag, part) AGGREGATED revenue
+    (never raw lines) ordered deterministically; revenue is rounded
+    BEFORE accumulating so class boundaries are knife-edge-free
+    cross-engine. At part-dimension scale the per-flag window becomes
+    ml_eval_auc's two-pass range rank — same cut logic."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy(
+        F.col("l_returnflag").alias("flag"), F.col("l_partkey").alias("part")
+    ).agg(F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
+    wflag = W.partitionBy("flag")
+    ranked = rev.select(
+        "flag",
+        "revenue",
+        F.sum("revenue")
+        .over(wflag.orderBy(F.col("revenue").desc(), "part"))
+        .alias("cum_rev"),
+        F.sum("revenue").over(wflag).alias("tot_rev"),
+    )
+    classed = ranked.select(
+        "flag",
+        F.when(F.col("cum_rev") <= 0.8 * F.col("tot_rev"), "A")
+        .when(F.col("cum_rev") <= 0.95 * F.col("tot_rev"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "revenue",
+    )
+    return classed.groupBy("flag", "abc_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.round(F.sum("revenue"), 2).alias("class_revenue"),
+    )

@@ -143,6 +143,7 @@ _PRIORITY: list[str] = [
     "txt_burstiness", "txt_chao1_richness", "wl_effective_sample_size",
     "txt_distinctive_terms", "wl_theil_index", "txt_heaps_fit",
     "ml_cascade_cost", "txt_script_mix",
+    "wl_holt_smoothing", "wl_abc_analysis",
     "wl_q11_partvalue", "wl_q20_excess", "wl_seasonality",
     "wl_skew_report", "wl_resample_ffill", "sample_reservoir",
     "agg_grouping_id", "agg_corr_matrix", "sql_qualify", "wl_profile",
