@@ -1518,3 +1518,94 @@ def wl_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("region_pct_of_total"),
     )
+
+
+@query(
+    "wl_data_vault_keys",
+    oracle="""
+SELECT o_orderkey,
+       md5('cust|' || CAST(o_custkey AS VARCHAR)) AS hub_customer_hk,
+       md5('order|' || CAST(o_orderkey AS VARCHAR)) AS hub_order_hk,
+       md5('cust|' || CAST(o_custkey AS VARCHAR) || '#order|'
+           || CAST(o_orderkey AS VARCHAR)) AS link_order_customer_hk,
+       md5(CAST(o_orderstatus AS VARCHAR) || '|' || CAST(o_totalprice AS VARCHAR)
+           || '|' || CAST(o_orderpriority AS VARCHAR)) AS order_hashdiff
+FROM orders WHERE o_orderkey <= 1000
+""",
+)
+def wl_data_vault_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA VAULT key generation: deterministic hub hash keys from
+    business keys, link keys from their ordered concatenation, and
+    the satellite HASHDIFF over descriptive attributes — the modeling
+    pattern that makes warehouse loads idempotent and parallel (any
+    loader, any order, same keys; changed attributes surface as a new
+    hashdiff without comparing columns). Pure md5 projection, no
+    shuffle; delimiters guard against concatenation ambiguity. The
+    float-to-string rendering of o_totalprice is part of the
+    contract — both engines print doubles identically for these
+    2-decimal values."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    ck = F.col("o_custkey").cast("string")
+    ok = F.col("o_orderkey").cast("string")
+    return o.select(
+        "o_orderkey",
+        F.md5(F.concat(F.lit("cust|"), ck)).alias("hub_customer_hk"),
+        F.md5(F.concat(F.lit("order|"), ok)).alias("hub_order_hk"),
+        F.md5(
+            F.concat(F.lit("cust|"), ck, F.lit("#order|"), ok)
+        ).alias("link_order_customer_hk"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("o_orderstatus"),
+                F.col("o_totalprice").cast("string"),
+                F.col("o_orderpriority"),
+            )
+        ).alias("order_hashdiff"),
+    )
+
+
+@query(
+    "wl_accumulating_snapshot",
+    oracle="""
+SELECT o.o_orderkey,
+       CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS ordered_on,
+       CAST(min(CAST(l.l_shipdate AS DATE)) AS VARCHAR) AS first_ship,
+       CAST(max(CAST(l.l_shipdate AS DATE)) AS VARCHAR) AS last_ship,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(datediff('day', CAST(o.o_orderdate AS DATE),
+                     max(CAST(l.l_shipdate AS DATE))) AS BIGINT) AS days_to_complete
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey <= 2000
+GROUP BY o.o_orderkey, o.o_orderdate
+""",
+)
+def wl_accumulating_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACCUMULATING-SNAPSHOT fact (Kimball): one row per order
+    carrying its lifecycle milestones — ordered, first shipment, last
+    shipment, completion lag — the fact-table design for processes
+    with a defined pipeline, updated in place as milestones land (vs
+    the transaction fact that appends). One key-join + per-order
+    min/max; at load time this row is the MERGE target
+    (wl_merge_upsert's branch logic) keyed on the order."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.min(F.col("l_shipdate").cast("date")).alias("fs"),
+            F.max(F.col("l_shipdate").cast("date")).alias("ls"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("ordered_on"),
+            F.col("fs").cast("string").alias("first_ship"),
+            F.col("ls").cast("string").alias("last_ship"),
+            "n_lines",
+            F.datediff(F.col("ls"), F.col("o_orderdate").cast("date"))
+            .cast("bigint")
+            .alias("days_to_complete"),
+        )
+    )
