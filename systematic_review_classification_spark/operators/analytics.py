@@ -2724,3 +2724,70 @@ def wl_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_parts"),
         F.round(F.sum("revenue"), 2).alias("class_revenue"),
     )
+
+
+@query(
+    "wl_interval_union",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
+  FROM events),
+mx AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM iv),
+isl AS (
+  SELECT user_id, s, e,
+         sum(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY s, e) AS island
+  FROM mx),
+merged AS (
+  SELECT user_id, island, min(s) AS ms, max(e) AS me
+  FROM isl GROUP BY user_id, island)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_busy_periods,
+       CAST(sum(me - ms) // 60000000 AS BIGINT) AS busy_minutes
+FROM merged GROUP BY user_id
+""",
+)
+def wl_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL UNION (overlap merge): each event opens a 5-minute
+    activity window; overlapping windows merge into busy periods and
+    total busy time is reported per user — the time-coverage question
+    (billing, utilization, SLA uptime) that wl_concurrency's
+    sweep-line answers for PEAK and this answers for AREA. The classic
+    algorithm relationally: a running max of interval ends flags
+    island starts (gaps-and-islands, win_gaps_islands' trick on
+    continuous time), islands collapse with min/max — two windows +
+    one aggregate, all inside user partitions."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = ev.select("user_id", us.alias("s"), (us + 300000000).alias("e"))
+    w = W.partitionBy("user_id").orderBy("s", "e")
+    mx = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.max("e").over(w.rowsBetween(W.unboundedPreceding, -1)).alias("prev_max"),
+    )
+    isl = mx.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum(
+            F.when(F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max")), 1)
+            .otherwise(0)
+        )
+        .over(w)
+        .alias("island"),
+    )
+    merged = isl.groupBy("user_id", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_busy_periods"),
+        F.floor(F.sum(F.col("me") - F.col("ms")) / 60000000)
+        .cast("bigint")
+        .alias("busy_minutes"),
+    )

@@ -1289,3 +1289,59 @@ def txt_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.regr_slope(lnv, lnt), 6) + 0.0).alias("heaps_beta"),
         F.round(F.exp(F.regr_intercept(lnv, lnt)), 6).alias("heaps_k"),
     )
+
+
+@query(
+    "txt_novelty_rate",
+    oracle="""
+WITH bg AS (
+  SELECT doc_id, doc_id // 20 AS bin,
+         unnest(list_filter(
+           list_transform(list_zip(t, list_slice(t, 2, len(t))),
+                          p -> CASE WHEN p[2] IS NULL THEN NULL
+                                    ELSE p[1] || '_' || p[2] END),
+           x -> x IS NOT NULL)) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+first AS (SELECT gram, min(bin) AS first_bin FROM bg GROUP BY gram),
+tagged AS (
+  SELECT bg.bin,
+         CASE WHEN f.first_bin = bg.bin THEN 1 ELSE 0 END AS is_new
+  FROM bg JOIN first f ON f.gram = bg.gram)
+SELECT bin, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(is_new) AS BIGINT) AS novel_occurrences,
+       round(CAST(sum(is_new) AS DOUBLE) / count(*), 6) AS novelty_rate
+FROM tagged GROUP BY bin
+""",
+)
+def txt_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOVELTY RATE per ingestion bin: the share of bigram occurrences
+    whose TYPE first appears in that bin — the curation signal behind
+    novelty-weighted data sampling (a feed whose novelty collapses is
+    re-serving old content; cf. wl_vocab_growth for types and
+    txt_heaps_fit for the trend). First-appearance attributes via one
+    min-bin aggregate joined back on the gram key — the shuffle
+    carries gram fingerprints, and the bin axis stays bounded."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(1))),
+            lambda a, b: F.when(b.isNull(), None).otherwise(F.concat(a, F.lit("_"), b)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    bg = d.select(
+        F.expr("doc_id div 20").alias("bin"), F.explode(grams).alias("gram")
+    )
+    first = bg.groupBy("gram").agg(F.min("bin").alias("first_bin"))
+    tagged = bg.join(first, "gram").select(
+        "bin", F.when(F.col("first_bin") == F.col("bin"), 1).otherwise(0).alias("is_new")
+    )
+    return tagged.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum("is_new").cast("bigint").alias("novel_occurrences"),
+        F.round(F.sum("is_new").cast("double") / F.count(F.lit(1)), 6).alias(
+            "novelty_rate"
+        ),
+    )
