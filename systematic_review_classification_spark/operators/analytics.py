@@ -2791,3 +2791,49 @@ def wl_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("busy_minutes"),
     )
+
+
+@query(
+    "wl_wilson_ci",
+    oracle="""
+WITH x AS (
+  SELECT source,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CASE WHEN n_chars >= 64 THEN 1 ELSE 0 END) AS DOUBLE) AS k
+  FROM documents GROUP BY source),
+w AS (
+  SELECT source, n, k, k / n AS p, 1.959964 AS z FROM x)
+SELECT source, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+       round(p, 6) AS rate,
+       round((p + z * z / (2 * n) - z * sqrt(p * (1 - p) / n + z * z / (4 * n * n)))
+             / (1 + z * z / n), 6) AS wilson_lo,
+       round((p + z * z / (2 * n) + z * sqrt(p * (1 - p) / n + z * z / (4 * n * n)))
+             / (1 + z * z / n), 6) AS wilson_hi
+FROM w
+""",
+)
+def wl_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WILSON score interval for per-source pass rates — the binomial
+    CI that stays sane at small n and extreme rates where the naive
+    normal interval leaks outside [0, 1] (the right uncertainty bars
+    for wl_hygiene_attribution's rates and any per-segment conversion
+    dashboard). Closed-form from one conditional-count pass; identical
+    expression trees both engines."""
+    d = load(spark, sf_dir, "documents")
+    x = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.when(F.col("n_chars") >= 64, 1).otherwise(0)).cast("double").alias("k"),
+    )
+    p = F.col("k") / F.col("n")
+    z = F.lit(1.959964)
+    half = z * F.sqrt(p * (1 - p) / F.col("n") + z * z / (4 * F.col("n") * F.col("n")))
+    center = p + z * z / (2 * F.col("n"))
+    denom = 1 + z * z / F.col("n")
+    return x.select(
+        "source",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("k").cast("bigint").alias("k"),
+        F.round(p, 6).alias("rate"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    )

@@ -146,6 +146,7 @@ _PRIORITY: list[str] = [
     "wl_holt_smoothing", "wl_abc_analysis",
     "wl_data_vault_keys", "wl_accumulating_snapshot",
     "wl_interval_union", "txt_novelty_rate",
+    "wl_wilson_ci",
     "wl_q11_partvalue", "wl_q20_excess", "wl_seasonality",
     "wl_skew_report", "wl_resample_ffill", "sample_reservoir",
     "agg_grouping_id", "agg_corr_matrix", "sql_qualify", "wl_profile",
