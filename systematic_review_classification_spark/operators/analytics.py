@@ -2837,3 +2837,111 @@ def wl_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - half) / denom, 6).alias("wilson_lo"),
         F.round((center + half) / denom, 6).alias("wilson_hi"),
     )
+
+
+@query(
+    "wl_autocorrelation",
+    oracle="""
+WITH daily AS (
+  SELECT datediff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE)) AS t,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1),
+m AS (SELECT avg(y) AS mu, sum((y - (SELECT avg(y) FROM daily))
+                              * (y - (SELECT avg(y) FROM daily))) AS ss
+      FROM daily),
+lags AS (SELECT unnest(range(1, 8)) AS k),
+pairs AS (
+  SELECT l.k, (a.y - m.mu) * (b.y - m.mu) AS prod
+  FROM lags l
+  JOIN daily a ON true
+  JOIN daily b ON b.t = a.t + l.k, m)
+SELECT k AS lag, round(sum(prod) / max(m.ss), 6) AS acf
+FROM pairs, m GROUP BY k
+""",
+)
+def wl_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTOCORRELATION function at lags 1–7 over the daily series —
+    the time-series diagnostic that exposes weekly cycles (spike at
+    lag 7) and decides whether wl_linear_forecast's independence
+    assumption even holds. Lagged pairs come from a self-join ON THE
+    BOUNDED DAY AXIS shifted by each lag (days × 7 rows total), the
+    mean and denominator from one broadcast moment pass — raw events
+    are touched exactly once."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.date_trunc("day", "ts"), F.lit("2024-01-01").cast("date")).alias("t")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    mu_df = daily.agg(F.avg("y").alias("mu"))
+    m = daily.join(F.broadcast(mu_df)).agg(
+        F.max("mu").alias("mu"),
+        F.sum((F.col("y") - F.col("mu")) * (F.col("y") - F.col("mu"))).alias("ss"),
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("k"))
+    a = daily.select(F.col("t").alias("ta"), F.col("y").alias("ya"))
+    b = daily.select(F.col("t").alias("tb"), F.col("y").alias("yb"))
+    pairs = (
+        lags.crossJoin(a)
+        .join(b, F.col("tb") == F.col("ta") + F.col("k"))
+        .join(F.broadcast(m))
+        .select(
+            "k",
+            ((F.col("ya") - F.col("mu")) * (F.col("yb") - F.col("mu"))).alias("prod"),
+            "ss",
+        )
+    )
+    return pairs.groupBy(F.col("k").alias("lag")).agg(
+        F.round(F.sum("prod") / F.max("ss"), 6).alias("acf")
+    )
+
+
+@query(
+    "wl_periodogram",
+    oracle="""
+WITH daily AS (
+  SELECT datediff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE)) AS t,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(y) AS mu FROM daily),
+freqs AS (SELECT unnest(range(1, 11)) AS k),
+terms AS (
+  SELECT f.k,
+         sum((d.y - n.mu) * cos(2 * pi() * f.k * d.t / n.n)) AS c,
+         sum((d.y - n.mu) * sin(2 * pi() * f.k * d.t / n.n)) AS s
+  FROM freqs f CROSS JOIN daily d, n
+  GROUP BY f.k, n.n)
+SELECT k AS freq_index,
+       round((c * c + s * s) / (SELECT n FROM n), 6) AS power
+FROM terms
+""",
+)
+def wl_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERIODOGRAM (discrete Fourier power spectrum) of the
+    mean-centered daily series at the first 10 frequencies — spectral
+    periodicity detection (a ~weekly cycle peaks near k = n/7) that
+    wl_autocorrelation sees in the time domain. The transform is a
+    |freqs| × |days| cross of two BOUNDED relations with cos/sin
+    projections summed per frequency — an O(n·k) DFT as a hash
+    aggregate; both engines evaluate the identical trig expression
+    tree."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.date_trunc("day", "ts"), F.lit("2024-01-01").cast("date")).alias("t")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    n = daily.agg(F.count(F.lit(1)).cast("double").alias("n"), F.avg("y").alias("mu"))
+    freqs = spark.range(1, 11).select(F.col("id").cast("int").alias("k"))
+    ang = 2 * F.lit(3.141592653589793) * F.col("k") * F.col("t") / F.col("n")
+    terms = (
+        freqs.crossJoin(daily)
+        .join(F.broadcast(n))
+        .groupBy("k", "n")
+        .agg(
+            F.sum((F.col("y") - F.col("mu")) * F.cos(ang)).alias("c"),
+            F.sum((F.col("y") - F.col("mu")) * F.sin(ang)).alias("s"),
+        )
+    )
+    return terms.select(
+        F.col("k").alias("freq_index"),
+        F.round((F.col("c") * F.col("c") + F.col("s") * F.col("s")) / F.col("n"), 6).alias(
+            "power"
+        ),
+    )
