@@ -2945,3 +2945,105 @@ def wl_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "power"
         ),
     )
+
+
+@query(
+    "wl_hhi",
+    oracle="""
+WITH s AS (
+  SELECT o_orderpriority AS market, o_custkey, sum(o_totalprice) AS spend
+  FROM orders GROUP BY 1, 2),
+t AS (SELECT market, sum(spend) AS tot, count(*) AS n_firms FROM s GROUP BY market)
+SELECT s.market, CAST(max(t.n_firms) AS BIGINT) AS n_participants,
+       round(sum((s.spend / t.tot) * (s.spend / t.tot)) * 10000, 4) AS hhi
+FROM s JOIN t ON s.market = t.market
+GROUP BY s.market
+""",
+)
+def wl_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HERFINDAHL–HIRSCHMAN concentration index per market: Σ(share²)
+    × 10000 over participant spend shares — the antitrust/market-
+    structure metric completing the inequality family (wl_gini ranks,
+    wl_theil_index decomposes, HHI is what regulators threshold at
+    1500/2500). Per-participant rollup first, totals broadcast back,
+    one squared-share aggregate — no sorting anywhere."""
+    o = load(spark, sf_dir, "orders")
+    s = o.groupBy(
+        F.col("o_orderpriority").alias("market"), "o_custkey"
+    ).agg(F.sum("o_totalprice").alias("spend"))
+    t = s.groupBy("market").agg(
+        F.sum("spend").alias("tot"), F.count(F.lit(1)).alias("n_firms")
+    )
+    return (
+        s.join(F.broadcast(t), "market")
+        .groupBy("market")
+        .agg(
+            F.max("n_firms").cast("bigint").alias("n_participants"),
+            F.round(
+                F.sum((F.col("spend") / F.col("tot")) * (F.col("spend") / F.col("tot")))
+                * 10000,
+                4,
+            ).alias("hhi"),
+        )
+    )
+
+
+@query(
+    "wl_retention_half_life",
+    oracle="""
+WITH wk AS (
+  SELECT DISTINCT user_id,
+         datediff('week', DATE '2024-01-01', CAST(date_trunc('week', ts) AS DATE)) AS w
+  FROM events),
+cohort AS (SELECT user_id, min(w) AS w0 FROM wk GROUP BY user_id),
+act AS (
+  SELECT wk.w - c.w0 AS k, count(DISTINCT wk.user_id) AS active
+  FROM wk JOIN cohort c ON wk.user_id = c.user_id
+  GROUP BY 1),
+base AS (SELECT active AS n0 FROM act WHERE k = 0),
+curve AS (
+  SELECT k, CAST(active AS DOUBLE) / base.n0 AS rate
+  FROM act, base WHERE k >= 1 AND active > 0)
+SELECT CAST(count(*) AS BIGINT) AS n_points,
+       round(regr_slope(ln(rate), CAST(k AS DOUBLE)), 6) AS decay_slope,
+       round(CASE WHEN regr_slope(ln(rate), CAST(k AS DOUBLE)) < 0
+                  THEN ln(2.0) / (-regr_slope(ln(rate), CAST(k AS DOUBLE)))
+             END, 6) AS half_life_weeks
+FROM curve
+""",
+)
+def wl_retention_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention HALF-LIFE: fit ln(retention_k) ~ k over the weekly
+    retention curve and convert the decay slope to ln2/|slope| weeks —
+    the single number product teams quote from wl_retention's matrix
+    ('half the cohort is gone every N weeks'). The curve itself is
+    bounded (weeks since first activity); positive-slope (growing
+    'retention' in a finite observation window) yields NULL rather
+    than a nonsense negative half-life."""
+    ev = load(spark, sf_dir, "events")
+    wk = ev.select(
+        "user_id",
+        F.datediff(
+            F.date_trunc("week", "ts"), F.lit("2024-01-01").cast("date")
+        ).alias("wd"),
+    ).select("user_id", F.expr("wd div 7").alias("w")).distinct()
+    cohort = wk.groupBy("user_id").agg(F.min("w").alias("w0"))
+    act = (
+        wk.join(cohort, "user_id")
+        .groupBy((F.col("w") - F.col("w0")).alias("k"))
+        .agg(F.countDistinct("user_id").alias("active"))
+    )
+    base = act.filter(F.col("k") == 0).select(F.col("active").alias("n0"))
+    curve = (
+        act.filter((F.col("k") >= 1) & (F.col("active") > 0))
+        .join(F.broadcast(base))
+        .select("k", (F.col("active").cast("double") / F.col("n0")).alias("rate"))
+    )
+    slope = F.regr_slope(F.log("rate"), F.col("k").cast("double"))
+    return curve.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.round(slope, 6).alias("decay_slope"),
+        F.round(
+            F.when(slope < 0, F.log(F.lit(2.0)) / (-slope)), 6
+        ).alias("half_life_weeks"),
+    )
