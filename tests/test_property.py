@@ -89,7 +89,11 @@ _EVENT = st.tuples(
 )
 _EVENTS = st.lists(_EVENT, min_size=1, max_size=25)
 
-_EVENT_KEYS = ["win_running_distinct", "wl_path_trigrams", "wl_hour_heatmap", "win_ewma"]
+_EVENT_KEYS = [
+    "win_running_distinct", "wl_path_trigrams", "wl_hour_heatmap", "win_ewma",
+    "wl_interval_union", "wl_lateness_profile", "wl_cusum", "wl_control_chart",
+    "wl_concurrency",
+]
 
 
 @settings(
