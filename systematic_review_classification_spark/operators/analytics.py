@@ -3047,3 +3047,125 @@ def wl_retention_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(slope < 0, F.log(F.lit(2.0)) / (-slope)), 6
         ).alias("half_life_weeks"),
     )
+
+
+@query(
+    "wl_eb_shrinkage",
+    oracle="""
+WITH s AS (
+  SELECT source, CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CASE WHEN n_chars >= 64 THEN 1 ELSE 0 END) AS DOUBLE) AS k
+  FROM documents GROUP BY source),
+r AS (SELECT source, n, k, k / n AS rate FROM s),
+mom AS (
+  SELECT avg(rate) AS mu,
+         sum((rate - (SELECT avg(rate) FROM r)) * (rate - (SELECT avg(rate) FROM r)))
+           / (count(*) - 1) AS var
+  FROM r),
+prior AS (
+  SELECT mu, var,
+         mu * (mu * (1 - mu) / var - 1) AS alpha,
+         (1 - mu) * (mu * (1 - mu) / var - 1) AS beta
+  FROM mom)
+SELECT r.source, CAST(r.n AS BIGINT) AS n,
+       round(r.rate, 6) AS raw_rate,
+       round((r.k + p.alpha) / (r.n + p.alpha + p.beta), 6) AS shrunk_rate
+FROM r, prior p
+""",
+)
+def wl_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMPIRICAL-BAYES shrinkage of per-source pass rates toward the
+    population: a Beta prior fit by method of moments from the
+    observed rate spread, then each source's rate becomes
+    (k+α)/(n+α+β) — the ranking fix that stops a 3-document source
+    with 100% from topping every leaderboard (the uncertainty
+    wl_wilson_ci quantifies, EB corrects). Two bounded passes over
+    the per-source rollup; all algebra closed-form and identical
+    cross-engine."""
+    d = load(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.when(F.col("n_chars") >= 64, 1).otherwise(0)).cast("double").alias("k"),
+    )
+    r = s.select("source", "n", "k", (F.col("k") / F.col("n")).alias("rate"))
+    mu_df = r.agg(F.avg("rate").alias("mu"))
+    mom = r.join(F.broadcast(mu_df)).agg(
+        F.max("mu").alias("mu"),
+        (
+            F.sum((F.col("rate") - F.col("mu")) * (F.col("rate") - F.col("mu")))
+            / (F.count(F.lit(1)) - 1)
+        ).alias("var"),
+    )
+    prior = mom.select(
+        (F.col("mu") * (F.col("mu") * (1 - F.col("mu")) / F.col("var") - 1)).alias(
+            "alpha"
+        ),
+        (
+            (1 - F.col("mu"))
+            * (F.col("mu") * (1 - F.col("mu")) / F.col("var") - 1)
+        ).alias("beta"),
+    )
+    return r.join(F.broadcast(prior)).select(
+        "source",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("rate", 6).alias("raw_rate"),
+        F.round(
+            (F.col("k") + F.col("alpha")) / (F.col("n") + F.col("alpha") + F.col("beta")),
+            6,
+        ).alias("shrunk_rate"),
+    )
+
+
+@query(
+    "wl_capture_recapture",
+    oracle="""
+WITH fp AS (SELECT DISTINCT source, md5(text) AS fp FROM documents),
+s1 AS (SELECT DISTINCT fp FROM fp WHERE source IN ('src0', 'src1', 'src2')),
+s2 AS (SELECT DISTINCT fp FROM fp WHERE source IN ('src2', 'src3', 'src4')),
+m AS (
+  SELECT (SELECT count(*) FROM s1) AS n1,
+         (SELECT count(*) FROM s2) AS n2,
+         (SELECT count(*) FROM s1 WHERE fp IN (SELECT fp FROM s2)) AS overlap,
+         (SELECT count(DISTINCT fp) FROM fp) AS observed_total)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       CAST(overlap AS BIGINT) AS overlap,
+       CAST(observed_total AS BIGINT) AS observed_total,
+       round(CAST(n1 AS DOUBLE) * n2 / greatest(overlap, 1), 4)
+         AS lincoln_petersen_estimate
+FROM m
+""",
+)
+def wl_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPTURE–RECAPTURE (Lincoln–Petersen) population estimation:
+    treat two feed groups as independent 'captures' of the underlying
+    document universe; the overlap of content fingerprints estimates
+    the total N̂ = n1·n2/m — how many distinct documents EXIST beyond
+    what all feeds have shown (the cross-source sibling of
+    txt_chao1_richness's within-corpus estimate, and the planning
+    number for 'is another crawl worth it'). Fingerprint sets are
+    linear scans; the overlap is one semi-join on md5 keys."""
+    d = load(spark, sf_dir, "documents")
+    fp = d.select("source", F.md5("text").alias("fp")).distinct()
+    s1 = fp.filter(F.col("source").isin("src0", "src1", "src2")).select("fp").distinct()
+    s2 = fp.filter(F.col("source").isin("src2", "src3", "src4")).select("fp").distinct()
+    n1 = s1.agg(F.count(F.lit(1)).alias("n1"))
+    n2 = s2.agg(F.count(F.lit(1)).alias("n2"))
+    ov = s1.join(s2, "fp", "left_semi").agg(F.count(F.lit(1)).alias("overlap"))
+    tot = fp.select("fp").distinct().agg(F.count(F.lit(1)).alias("observed_total"))
+    return (
+        n1.join(F.broadcast(n2))
+        .join(F.broadcast(ov))
+        .join(F.broadcast(tot))
+        .select(
+            F.col("n1").cast("bigint").alias("n1"),
+            F.col("n2").cast("bigint").alias("n2"),
+            F.col("overlap").cast("bigint").alias("overlap"),
+            F.col("observed_total").cast("bigint").alias("observed_total"),
+            F.round(
+                F.col("n1").cast("double")
+                * F.col("n2")
+                / F.greatest(F.col("overlap"), F.lit(1)),
+                4,
+            ).alias("lincoln_petersen_estimate"),
+        )
+    )
