@@ -710,3 +710,34 @@ def fn_phonetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection — the blocking join it feeds is dedup_biblio's."""
     df = spark.createDataFrame(_AUTHOR_ROWS, "id int, name string")
     return df.select("id", "name", F.soundex("name").alias("sx"))
+
+
+_BROUND_VALS = [0.5, 1.5, 2.5, 3.5, -0.5, -1.5, -2.5, 2.25, 6.25]
+
+
+@query(
+    "fn_bround",
+    oracle="""
+WITH v AS (SELECT unnest([0.5, 1.5, 2.5, 3.5, -0.5, -1.5, -2.5, 2.25, 6.25]::DOUBLE[]) AS x)
+SELECT x,
+       round_even(x, 0) + 0.0 AS banker_0,
+       round_even(x * 10, 0) / 10 + 0.0 AS banker_1_shifted
+FROM v
+""",
+)
+def fn_bround(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BANKER'S ROUNDING (half-to-even) parity — the rounding mode
+    financial aggregation requires because half-away accumulates
+    upward bias over millions of rows: Spark bround ≡ DuckDB
+    round_even on IEEE-exact tie values (0.5→0, 1.5→2, 2.5→2, ties
+    chosen so the doubles are binary-exact — 2.35 is NOT a real tie
+    in binary and would mislead). Sub-integer scales round via an
+    exact power-of-ten shift so both engines face the identical tie.
+    +0.0 folds −0.0. Row-local; the money-sum twin of
+    agg_decimal_exact."""
+    vals = spark.createDataFrame([(v,) for v in _BROUND_VALS], "x double")
+    return vals.select(
+        "x",
+        (F.bround(F.col("x"), 0) + 0.0).alias("banker_0"),
+        (F.bround(F.col("x") * 10, 0) / 10 + 0.0).alias("banker_1_shifted"),
+    )

@@ -3169,3 +3169,40 @@ def wl_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lincoln_petersen_estimate"),
         )
     )
+
+
+@query(
+    "wl_seasonal_index",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1),
+m AS (SELECT avg(y) AS mu FROM daily)
+SELECT CAST(isodow(d) AS INTEGER) AS iso_dow,
+       CAST(count(*) AS BIGINT) AS n_days,
+       round(avg(y), 6) AS dow_mean,
+       round(avg(y) / m.mu, 6) AS seasonal_index
+FROM daily, m GROUP BY isodow(d), m.mu
+""",
+)
+def wl_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical SEASONAL INDICES: each ISO weekday's mean daily
+    volume as a ratio to the overall mean — the multiplicative
+    decomposition factor (index 1.3 ⇒ that weekday runs 30% hot) that
+    deseasonalizes before wl_linear_forecast/wl_holt_smoothing fit
+    trend, and quantifies what wl_hour_heatmap only displays. Bounded
+    aggregates end to end; indices average to ~1 by construction."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("y")
+    )
+    m = daily.agg(F.avg("y").alias("mu"))
+    return (
+        daily.join(F.broadcast(m))
+        .groupBy((F.weekday("d") + 1).alias("iso_dow"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.round(F.avg("y"), 6).alias("dow_mean"),
+            F.round(F.avg("y") / F.max("mu"), 6).alias("seasonal_index"),
+        )
+    )
