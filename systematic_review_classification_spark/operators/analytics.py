@@ -3206,3 +3206,127 @@ def wl_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("y") / F.max("mu"), 6).alias("seasonal_index"),
         )
     )
+
+
+@query(
+    "wl_srm_check",
+    oracle="""
+WITH a AS (
+  SELECT user_id % 2 AS variant, count(DISTINCT user_id) AS n
+  FROM events GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM a)
+SELECT CAST(sum(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n_control,
+       CAST(sum(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n_treatment,
+       round(sum((n - t.tot / 2) * (n - t.tot / 2) / (t.tot / 2)), 6) AS chi_sq,
+       CASE WHEN sum((n - t.tot / 2) * (n - t.tot / 2) / (t.tot / 2)) > 3.841459
+            THEN 1 ELSE 0 END AS srm_alarm
+FROM a, t GROUP BY t.tot
+""",
+)
+def wl_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE-RATIO MISMATCH check: χ² of the realized variant split
+    against the intended 50/50, alarmed at the 0.05 critical value
+    (3.84, 1 dof) — the experimentation-platform tripwire that
+    invalidates a test BEFORE anyone reads wl_ab_ttest's p-value
+    (assignment bugs silently bias everything downstream). One
+    distinct-user count per variant; closed-form χ²."""
+    ev = load(spark, sf_dir, "events")
+    a = ev.groupBy((F.col("user_id") % 2).alias("variant")).agg(
+        F.countDistinct("user_id").alias("n")
+    )
+    t = a.agg(F.sum("n").cast("double").alias("tot"))
+    j = a.join(F.broadcast(t))
+    chi = F.sum(
+        (F.col("n") - F.col("tot") / 2)
+        * (F.col("n") - F.col("tot") / 2)
+        / (F.col("tot") / 2)
+    )
+    return j.groupBy("tot").agg(
+        F.sum(F.when(F.col("variant") == 0, F.col("n"))).cast("bigint").alias("n_control"),
+        F.sum(F.when(F.col("variant") == 1, F.col("n"))).cast("bigint").alias(
+            "n_treatment"
+        ),
+        F.round(chi, 6).alias("chi_sq"),
+        F.when(chi > 3.841459, 1).otherwise(0).alias("srm_alarm"),
+    ).drop("tot")
+
+
+@query(
+    "wl_growth_accounting",
+    oracle="""
+WITH wk AS (
+  SELECT DISTINCT user_id,
+         datediff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE)) // 7
+           AS w
+  FROM events),
+tagged AS (
+  SELECT user_id, w,
+         min(w) OVER (PARTITION BY user_id) AS first_w,
+         lag(w) OVER (PARTITION BY user_id ORDER BY w) AS prev_w
+  FROM wk),
+classified AS (
+  SELECT w,
+         CASE WHEN w = first_w THEN 'new'
+              WHEN prev_w = w - 1 THEN 'retained'
+              ELSE 'resurrected' END AS status
+  FROM tagged),
+churn AS (
+  SELECT w + 1 AS w, 'churned' AS status
+  FROM tagged t
+  WHERE NOT EXISTS (SELECT 1 FROM wk x
+                    WHERE x.user_id = t.user_id AND x.w = t.w + 1)
+    AND t.w + 1 <= (SELECT max(w) FROM wk))
+SELECT w AS week, status, CAST(count(*) AS BIGINT) AS n_users
+FROM (SELECT w, status FROM classified UNION ALL SELECT w, status FROM churn)
+GROUP BY w, status
+""",
+)
+def wl_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROWTH ACCOUNTING: every weekly active user classified as new
+    (first week), retained (active last week too), or resurrected
+    (returned after a gap), plus the churned count charged to the
+    following week — the product-analytics identity
+    (active_t = new + retained + resurrected; active_{t-1} − retained
+    = churned_t) that explains WHERE a flat DAU line actually moves.
+    One distinct (user, week) relation, one user-partitioned window
+    pass for first/prev week, and an anti-join-shaped NOT EXISTS for
+    churn — the per-user state is two integers, never a set."""
+    ev = load(spark, sf_dir, "events")
+    wk = ev.select(
+        "user_id",
+        F.expr(
+            "datediff(date_trunc('day', ts), date'2024-01-01') div 7"
+        ).alias("w"),
+    ).distinct()
+    uw = W.partitionBy("user_id")
+    tagged = wk.select(
+        "user_id",
+        "w",
+        F.min("w").over(uw).alias("first_w"),
+        F.lag("w").over(uw.orderBy("w")).alias("prev_w"),
+    )
+    classified = tagged.select(
+        "w",
+        F.when(F.col("w") == F.col("first_w"), "new")
+        .when(F.col("prev_w") == F.col("w") - 1, "retained")
+        .otherwise("resurrected")
+        .alias("status"),
+    )
+    mxw = wk.agg(F.max("w").alias("mx"))
+    a, b = wk.alias("a"), wk.alias("b")
+    no_next = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.w") == F.col("a.w") + 1),
+        "left_anti",
+    )
+    churn = (
+        no_next.join(F.broadcast(mxw))
+        .filter(F.col("w") + 1 <= F.col("mx"))
+        .select((F.col("w") + 1).alias("w"), F.lit("churned").alias("status"))
+    )
+    return (
+        classified.unionByName(churn)
+        .groupBy(F.col("w").alias("week"), "status")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
