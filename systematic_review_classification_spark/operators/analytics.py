@@ -3330,3 +3330,148 @@ def wl_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("w").alias("week"), "status")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
     )
+
+
+@query(
+    "wl_diff_in_diff",
+    oracle="""
+WITH u AS (
+  SELECT user_id % 2 AS treated,
+         CASE WHEN ts < TIMESTAMP '2024-01-02 12:00:00' THEN 0 ELSE 1 END AS post,
+         value
+  FROM events WHERE event_type = 'purchase'),
+cell AS (
+  SELECT treated, post, avg(value) AS m, CAST(count(*) AS BIGINT) AS n
+  FROM u GROUP BY treated, post)
+SELECT
+  round(max(CASE WHEN treated = 1 AND post = 1 THEN m END), 6) AS t_post,
+  round(max(CASE WHEN treated = 1 AND post = 0 THEN m END), 6) AS t_pre,
+  round(max(CASE WHEN treated = 0 AND post = 1 THEN m END), 6) AS c_post,
+  round(max(CASE WHEN treated = 0 AND post = 0 THEN m END), 6) AS c_pre,
+  round((max(CASE WHEN treated = 1 AND post = 1 THEN m END)
+         - max(CASE WHEN treated = 1 AND post = 0 THEN m END))
+        - (max(CASE WHEN treated = 0 AND post = 1 THEN m END)
+           - max(CASE WHEN treated = 0 AND post = 0 THEN m END)), 6) AS did_estimate
+FROM cell
+""",
+)
+def wl_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES: the 2×2 (treated × pre/post) cell
+    means and the DiD estimate (ΔT − ΔC) — the workhorse causal
+    design when randomization is impossible and both groups share a
+    trend (the parallel-trends assumption wl_cuped does not need but
+    observational rollouts must make). One conditional-mean pass; the
+    estimate is pure cell arithmetic."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    cut = F.lit("2024-01-02 12:00:00").cast("timestamp_ntz")
+    u = ev.select(
+        (F.col("user_id") % 2).alias("treated"),
+        F.when(F.col("ts") < cut, 0).otherwise(1).alias("post"),
+        "value",
+    )
+    cell = u.groupBy("treated", "post").agg(F.avg("value").alias("m"))
+
+    def c(t, p):
+        return F.max(
+            F.when((F.col("treated") == t) & (F.col("post") == p), F.col("m"))
+        )
+
+    return cell.agg(
+        F.round(c(1, 1), 6).alias("t_post"),
+        F.round(c(1, 0), 6).alias("t_pre"),
+        F.round(c(0, 1), 6).alias("c_post"),
+        F.round(c(0, 0), 6).alias("c_pre"),
+        F.round((c(1, 1) - c(1, 0)) - (c(0, 1) - c(0, 0)), 6).alias("did_estimate"),
+    )
+
+
+@query(
+    "wl_stratified_ate",
+    oracle="""
+WITH act AS (
+  SELECT user_id, user_id % 2 AS treated, count(*) AS n_events,
+         sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS outcome
+  FROM events GROUP BY user_id),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY n_events, user_id) AS rnk,
+         count(*) OVER () AS n
+  FROM act),
+strat AS (
+  SELECT treated, outcome,
+         CAST(ceil(4.0 * rnk / n) AS INTEGER) AS stratum
+  FROM ranked),
+cells AS (
+  SELECT stratum, treated, avg(outcome) AS m, CAST(count(*) AS DOUBLE) AS n
+  FROM strat GROUP BY stratum, treated),
+per_stratum AS (
+  SELECT stratum,
+         max(CASE WHEN treated = 1 THEN m END)
+           - max(CASE WHEN treated = 0 THEN m END) AS diff,
+         sum(n) AS w
+  FROM cells GROUP BY stratum),
+naive AS (
+  SELECT avg(CASE WHEN treated = 1 THEN outcome END)
+         - avg(CASE WHEN treated = 0 THEN outcome END) AS d
+  FROM strat)
+SELECT round(naive.d, 6) AS naive_diff,
+       round(sum(ps.diff * ps.w) / sum(ps.w), 6) AS stratified_ate,
+       CAST(count(*) AS BIGINT) AS n_strata
+FROM per_stratum ps, naive GROUP BY naive.d
+""",
+)
+def wl_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED treatment-effect estimation: users bucketed into
+    activity quartiles (the confounder), treated-vs-control outcome
+    differences computed WITHIN each stratum and combined by stratum
+    weight — the deconfounding that makes an observational comparison
+    honest when heavy users differ from light ones (the tabular form
+    of propensity stratification; wl_simpson_check detects the
+    pathology, this corrects it). Quartiles cut by rank arithmetic
+    (ml_gains_table's trick), strata are bounded, one pass per
+    aggregate."""
+    ev = load(spark, sf_dir, "events")
+    act = ev.groupBy("user_id").agg(
+        (F.col("user_id") % 2).alias("treated"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+        ).alias("outcome"),
+    )
+    ranked = act.select(
+        "treated",
+        "outcome",
+        F.row_number().over(W.orderBy("n_events", "user_id")).alias("rnk"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    strat = ranked.select(
+        "treated",
+        "outcome",
+        F.ceil(4.0 * F.col("rnk") / F.col("n")).cast("int").alias("stratum"),
+    )
+    cells = strat.groupBy("stratum", "treated").agg(
+        F.avg("outcome").alias("m"), F.count(F.lit(1)).cast("double").alias("cn")
+    )
+    per_stratum = cells.groupBy("stratum").agg(
+        (
+            F.max(F.when(F.col("treated") == 1, F.col("m")))
+            - F.max(F.when(F.col("treated") == 0, F.col("m")))
+        ).alias("diff"),
+        F.sum("cn").alias("w"),
+    )
+    naive = strat.agg(
+        (
+            F.avg(F.when(F.col("treated") == 1, F.col("outcome")))
+            - F.avg(F.when(F.col("treated") == 0, F.col("outcome")))
+        ).alias("d")
+    )
+    return (
+        per_stratum.join(F.broadcast(naive))
+        .groupBy("d")
+        .agg(
+            F.round(F.sum(F.col("diff") * F.col("w")) / F.sum("w"), 6).alias(
+                "stratified_ate"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        )
+        .select(F.round("d", 6).alias("naive_diff"), "stratified_ate", "n_strata")
+    )
