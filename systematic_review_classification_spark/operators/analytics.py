@@ -3475,3 +3475,75 @@ def wl_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.round("d", 6).alias("naive_diff"), "stratified_ate", "n_strata")
     )
+
+
+@query(
+    "wl_daily_quantile_bands",
+    oracle="""
+SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+       CAST(count(*) AS BIGINT) AS n,
+       round(quantile_cont(value, 0.1), 3) AS p10,
+       round(quantile_cont(value, 0.5), 3) AS p50,
+       round(quantile_cont(value, 0.9), 3) AS p90
+FROM events GROUP BY 1
+""",
+)
+def wl_daily_quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily QUANTILE BANDS (p10/p50/p90 of event value per day) —
+    the band chart behind every latency/value SLO dashboard, and the
+    input the anomaly family (z-score, control chart) conditions on
+    when the metric's spread itself drifts. Exact per-day percentiles
+    over the bounded day grouping; rounded at 3 dp per the
+    half-boundary discipline for 2-decimal data."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").cast("string").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.percentile("value", F.lit(0.1)), 3).alias("p10"),
+        F.round(F.percentile("value", F.lit(0.5)), 3).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 3).alias("p90"),
+    )
+
+
+@query(
+    "wl_error_budget",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)
+           AS errs
+  FROM events GROUP BY 1),
+tot AS (SELECT sum(n) AS tn FROM daily)
+SELECT CAST(d AS VARCHAR) AS day,
+       round(errs / n, 6) AS error_rate,
+       round((errs / n) / 0.05, 6) AS burn_factor,
+       round(sum(errs) OVER (ORDER BY d) / (0.05 * tot.tn), 6)
+         AS budget_consumed
+FROM daily, tot
+""",
+)
+def wl_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRE ERROR-BUDGET accounting against a 5% error-rate SLO: daily
+    error rate, burn factor (rate ÷ SLO — above 1 means the budget is
+    burning faster than it accrues), and the cumulative share of the
+    period's total budget already consumed — the escalation signal
+    behind burn-rate alerts. Daily conditional counts, a broadcast
+    period total, and one running sum on the bounded day axis."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("double")
+        .alias("errs"),
+    )
+    tot = daily.agg(F.sum("n").alias("tn"))
+    return daily.join(F.broadcast(tot)).select(
+        F.col("d").cast("string").alias("day"),
+        F.round(F.col("errs") / F.col("n"), 6).alias("error_rate"),
+        F.round((F.col("errs") / F.col("n")) / 0.05, 6).alias("burn_factor"),
+        F.round(
+            F.sum("errs").over(W.orderBy("d")) / (0.05 * F.col("tn")), 6
+        ).alias("budget_consumed"),
+    )
