@@ -3547,3 +3547,101 @@ def wl_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("errs").over(W.orderBy("d")) / (0.05 * F.col("tn")), 6
         ).alias("budget_consumed"),
     )
+
+
+@query(
+    "wl_causal_impact_lite",
+    oracle="""
+WITH daily AS (
+  SELECT datediff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE)) AS t,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1),
+horizon AS (SELECT CAST(max(t) * 2 / 3 AS BIGINT) AS cut FROM daily),
+fit AS (
+  SELECT regr_slope(y, CAST(t AS DOUBLE)) AS slope,
+         regr_intercept(y, CAST(t AS DOUBLE)) AS icept
+  FROM daily, horizon WHERE t <= horizon.cut),
+post AS (
+  SELECT d.t, d.y, f.icept + f.slope * d.t AS expected
+  FROM daily d, fit f, horizon h WHERE d.t > h.cut)
+SELECT CAST(count(*) AS BIGINT) AS post_days,
+       round(sum(y), 6) AS actual_total,
+       round(sum(expected), 6) AS counterfactual_total,
+       round(sum(y - expected), 6) AS cumulative_impact
+FROM post
+""",
+)
+def wl_causal_impact_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNTERFACTUAL impact estimation (CausalImpact's core idea,
+    linear form): fit the trend on the pre-period (first two-thirds
+    of days), project it over the post-period, and report actual
+    minus counterfactual — 'what did the launch ADD beyond where the
+    series was already heading', the question wl_diff_in_diff answers
+    with a control group and this answers with the series' own
+    history. Pre-fit is the REGR_* moment state; the projection and
+    cumulative impact are bounded-axis arithmetic."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.date_trunc("day", "ts"), F.lit("2024-01-01").cast("date")).alias("t")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    horizon = daily.agg((F.max("t") * 2 / 3).cast("bigint").alias("cut"))
+    fit = (
+        daily.join(F.broadcast(horizon))
+        .filter(F.col("t") <= F.col("cut"))
+        .agg(
+            F.regr_slope("y", F.col("t").cast("double")).alias("slope"),
+            F.regr_intercept("y", F.col("t").cast("double")).alias("icept"),
+        )
+    )
+    post = (
+        daily.join(F.broadcast(horizon))
+        .filter(F.col("t") > F.col("cut"))
+        .join(F.broadcast(fit))
+        .select(
+            "y", (F.col("icept") + F.col("slope") * F.col("t")).alias("expected")
+        )
+    )
+    return post.agg(
+        F.count(F.lit(1)).cast("bigint").alias("post_days"),
+        F.round(F.sum("y"), 6).alias("actual_total"),
+        F.round(F.sum("expected"), 6).alias("counterfactual_total"),
+        F.round(F.sum(F.col("y") - F.col("expected")), 6).alias("cumulative_impact"),
+    )
+
+
+@query(
+    "wl_engagement_hist",
+    oracle="""
+WITH ad AS (
+  SELECT user_id, count(DISTINCT CAST(date_trunc('day', ts) AS DATE)) AS active_days
+  FROM events GROUP BY user_id),
+b AS (
+  SELECT CASE WHEN active_days = 1 THEN '1'
+              WHEN active_days <= 3 THEN '2-3'
+              WHEN active_days <= 7 THEN '4-7'
+              WHEN active_days <= 14 THEN '8-14'
+              ELSE '15+' END AS bucket
+  FROM ad)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_users FROM b GROUP BY bucket
+""",
+)
+def wl_engagement_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGAGEMENT distribution: users bucketed by distinct active
+    days — the one-off-vs-habitual shape (power-law heavy in healthy
+    products) that wl_dau_wau's aggregate curves and
+    wl_growth_accounting's flows both summarize away. One distinct
+    (user, day) count + a five-bucket map-side aggregate."""
+    ev = load(spark, sf_dir, "events")
+    ad = ev.groupBy("user_id").agg(
+        F.countDistinct(F.date_trunc("day", "ts").cast("date")).alias("active_days")
+    )
+    bucket = (
+        F.when(F.col("active_days") == 1, "1")
+        .when(F.col("active_days") <= 3, "2-3")
+        .when(F.col("active_days") <= 7, "4-7")
+        .when(F.col("active_days") <= 14, "8-14")
+        .otherwise("15+")
+    )
+    return ad.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
