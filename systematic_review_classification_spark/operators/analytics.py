@@ -3645,3 +3645,139 @@ def wl_engagement_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ad.select(bucket.alias("bucket")).groupBy("bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users")
     )
+
+
+@query(
+    "wl_anomaly_deseasonalized",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1),
+m AS (SELECT avg(y) AS mu FROM daily),
+idx AS (
+  SELECT isodow(d) AS dow, avg(y) / m.mu AS si
+  FROM daily, m GROUP BY isodow(d), m.mu),
+adj AS (
+  SELECT daily.d, daily.y, daily.y / idx.si AS y_adj
+  FROM daily JOIN idx ON isodow(daily.d) = idx.dow),
+stats AS (
+  SELECT avg(y_adj) AS am,
+         sqrt((sum(y_adj * y_adj) - sum(y_adj) * sum(y_adj) / count(*))
+              / (count(*) - 1)) AS asd
+  FROM adj)
+SELECT CAST(adj.d AS VARCHAR) AS day, CAST(adj.y AS BIGINT) AS n_events,
+       round(adj.y_adj, 6) AS deseasonalized,
+       round((adj.y_adj - s.am) / s.asd, 6) AS adj_z,
+       CASE WHEN abs((adj.y_adj - s.am) / s.asd) > 2 THEN 1 ELSE 0 END AS anomaly
+FROM adj, stats s
+""",
+)
+def wl_anomaly_deseasonalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly detection on the DESEASONALIZED series: daily volume
+    divided by its weekday seasonal index (wl_seasonal_index) before
+    z-scoring — the methodological fix for the false alarms a naive
+    z-score (wl_anomaly_zscore) raises every quiet Sunday and misses
+    every soft Monday. Three bounded passes: indices, adjusted
+    series, moment stats; flags at |z| > 2 on the adjusted scale."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("y")
+    )
+    m = daily.agg(F.avg("y").alias("mu"))
+    idx = (
+        daily.join(F.broadcast(m))
+        .groupBy((F.weekday("d") + 1).alias("dow"))
+        .agg((F.avg("y") / F.max("mu")).alias("si"))
+    )
+    adj = daily.join(
+        F.broadcast(idx), (F.weekday(daily.d) + 1) == idx.dow
+    ).select("d", "y", (F.col("y") / F.col("si")).alias("y_adj"))
+    stats = adj.agg(
+        F.avg("y_adj").alias("am"),
+        F.sqrt(
+            (
+                F.sum(F.col("y_adj") * F.col("y_adj"))
+                - F.sum("y_adj") * F.sum("y_adj") / F.count(F.lit(1))
+            )
+            / (F.count(F.lit(1)) - 1)
+        ).alias("asd"),
+    )
+    z = (F.col("y_adj") - F.col("am")) / F.col("asd")
+    return adj.join(F.broadcast(stats)).select(
+        F.col("d").cast("string").alias("day"),
+        F.col("y").cast("bigint").alias("n_events"),
+        F.round("y_adj", 6).alias("deseasonalized"),
+        F.round(z, 6).alias("adj_z"),
+        F.when(F.abs(z) > 2, 1).otherwise(0).alias("anomaly"),
+    )
+
+
+@query(
+    "wl_rate_volume_mix",
+    oracle="""
+WITH h AS (
+  SELECT c.c_mktsegment AS segment,
+         CASE WHEN o.o_orderdate < DATE '1997-07-01' THEN 0 ELSE 1 END AS half,
+         CAST(count(*) AS DOUBLE) AS vol, avg(o.o_totalprice) AS rate
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE o.o_orderdate >= DATE '1997-01-01' AND o.o_orderdate < DATE '1998-01-01'
+  GROUP BY 1, 2),
+p AS (
+  SELECT segment,
+         max(CASE WHEN half = 0 THEN vol END) AS v0,
+         max(CASE WHEN half = 1 THEN vol END) AS v1,
+         max(CASE WHEN half = 0 THEN rate END) AS r0,
+         max(CASE WHEN half = 1 THEN rate END) AS r1
+  FROM h GROUP BY segment)
+SELECT segment,
+       round(v1 * r1 - v0 * r0, 2) + 0.0 AS revenue_delta,
+       round((v1 - v0) * r0, 2) + 0.0 AS volume_effect,
+       round((r1 - r0) * v0, 2) + 0.0 AS rate_effect,
+       round((v1 - v0) * (r1 - r0), 2) + 0.0 AS mix_effect
+FROM p WHERE v0 IS NOT NULL AND v1 IS NOT NULL
+""",
+)
+def wl_rate_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RATE/VOLUME/MIX decomposition: each segment's half-over-half
+    revenue change split exactly into volume effect (Δv·r₀), rate
+    effect (Δr·v₀), and the joint mix term (Δv·Δr) — the FP&A
+    variance-analysis identity that turns wl_change_attribution's
+    'who moved' into 'was it more orders or bigger orders'. Additive
+    by construction (the three effects sum to the delta); one
+    conditional aggregate per (segment, half), broadcast-joined dims."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = load(spark, sf_dir, "customer")
+    h = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.when(F.col("o_orderdate") < "1997-07-01", 0).otherwise(1).alias("half"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("vol"),
+            F.avg("o_totalprice").alias("rate"),
+        )
+    )
+    p = h.groupBy("segment").agg(
+        F.max(F.when(F.col("half") == 0, F.col("vol"))).alias("v0"),
+        F.max(F.when(F.col("half") == 1, F.col("vol"))).alias("v1"),
+        F.max(F.when(F.col("half") == 0, F.col("rate"))).alias("r0"),
+        F.max(F.when(F.col("half") == 1, F.col("rate"))).alias("r1"),
+    )
+    return p.filter(F.col("v0").isNotNull() & F.col("v1").isNotNull()).select(
+        "segment",
+        (F.round(F.col("v1") * F.col("r1") - F.col("v0") * F.col("r0"), 2) + 0.0).alias(
+            "revenue_delta"
+        ),
+        (F.round((F.col("v1") - F.col("v0")) * F.col("r0"), 2) + 0.0).alias(
+            "volume_effect"
+        ),
+        (F.round((F.col("r1") - F.col("r0")) * F.col("v0"), 2) + 0.0).alias(
+            "rate_effect"
+        ),
+        (F.round((F.col("v1") - F.col("v0")) * (F.col("r1") - F.col("r0")), 2) + 0.0).alias(
+            "mix_effect"
+        ),
+    )
