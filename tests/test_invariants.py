@@ -750,3 +750,60 @@ def test_multitouch_credit_conserved(spark, sf_dir):
     )
     assert abs(total_linear - n_paths) < 1e-3, (total_linear, n_paths)
     assert abs(total_u - n_paths) < 1e-3, (total_u, n_paths)
+
+
+def test_seasonal_indices_weighted_average_is_one(spark, sf_dir):
+    from systematic_review_classification_spark import all_queries
+
+    rows = all_queries()["wl_seasonal_index"](spark, sf_dir).collect()
+    tot_days = sum(r.n_days for r in rows)
+    wavg = sum(r.seasonal_index * r.n_days for r in rows) / tot_days
+    assert abs(wavg - 1.0) < 1e-4, wavg
+
+
+def test_hhi_bounds(spark, sf_dir):
+    from systematic_review_classification_spark import all_queries
+
+    for r in all_queries()["wl_hhi"](spark, sf_dir).collect():
+        assert 10000.0 / r.n_participants - 1e-6 <= r.hhi <= 10000.0 + 1e-6, r
+
+
+def test_growth_accounting_identity(spark, sf_dir):
+    """active_t = new + retained + resurrected, and churned_t equals
+    last week's actives minus this week's retained."""
+    from collections import defaultdict
+
+    from systematic_review_classification_spark import all_queries
+
+    g = defaultdict(dict)
+    for r in all_queries()["wl_growth_accounting"](spark, sf_dir).collect():
+        g[r.week][r.status] = r.n_users
+    weeks = sorted(g)
+    active = {
+        w: g[w].get("new", 0) + g[w].get("retained", 0) + g[w].get("resurrected", 0)
+        for w in weeks
+    }
+    for prev, cur in zip(weeks, weeks[1:]):
+        if cur == prev + 1:
+            assert g[cur].get("churned", 0) == active[prev] - g[cur].get("retained", 0), (
+                prev,
+                cur,
+                g[cur],
+                active[prev],
+            )
+
+
+def test_rate_volume_mix_additive(spark, sf_dir):
+    from systematic_review_classification_spark import all_queries
+
+    for r in all_queries()["wl_rate_volume_mix"](spark, sf_dir).collect():
+        recomposed = r.volume_effect + r.rate_effect + r.mix_effect
+        assert abs(recomposed - r.revenue_delta) < 0.05, r
+
+
+def test_capture_recapture_lower_bounds(spark, sf_dir):
+    from systematic_review_classification_spark import all_queries
+
+    r = all_queries()["wl_capture_recapture"](spark, sf_dir).first()
+    assert r.lincoln_petersen_estimate >= max(r.n1, r.n2) - 1e-6
+    assert r.overlap <= min(r.n1, r.n2)
