@@ -3781,3 +3781,122 @@ def wl_rate_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mix_effect"
         ),
     )
+
+
+@query(
+    "wl_forecast_backtest",
+    oracle="""
+WITH daily AS (
+  SELECT datediff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE)) AS t,
+         isodow(CAST(date_trunc('day', ts) AS DATE)) AS dow,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2),
+h AS (SELECT CAST(max(t) * 2 / 3 AS BIGINT) AS cut FROM daily),
+train AS (SELECT * FROM daily, h WHERE t <= h.cut),
+test AS (SELECT * FROM daily, h WHERE t > h.cut),
+mean_fit AS (SELECT avg(y) AS mu FROM train),
+ols AS (SELECT regr_slope(y, CAST(t AS DOUBLE)) AS slope,
+               regr_intercept(y, CAST(t AS DOUBLE)) AS icept FROM train),
+snaive AS (SELECT dow, avg(y) AS dow_mu FROM train GROUP BY dow),
+preds AS (
+  SELECT test.t, test.y,
+         m.mu AS p_mean,
+         o.icept + o.slope * test.t AS p_ols,
+         s.dow_mu AS p_snaive
+  FROM test, mean_fit m, ols o
+  JOIN snaive s ON s.dow = test.dow)
+SELECT model, round(mae, 6) AS mae FROM (
+  SELECT 'mean' AS model, avg(abs(y - p_mean)) AS mae FROM preds
+  UNION ALL
+  SELECT 'ols_trend', avg(abs(y - p_ols)) FROM preds
+  UNION ALL
+  SELECT 'seasonal_naive', avg(abs(y - p_snaive)) FROM preds)
+""",
+)
+def wl_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORECAST BACKTEST: three forecasters — global mean, OLS trend
+    (wl_linear_forecast's model), weekday seasonal-naive
+    (wl_seasonal_index's model) — trained on the first two-thirds of
+    days and scored by MAE on the held-out tail, in one relation.
+    This is the model-selection discipline that decides WHICH of the
+    engine's forecasting operators a pipeline should trust, done the
+    honest way (temporal holdout, never random). All fits are bounded
+    aggregates; predictions join on the bounded day/dow axes."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.date_trunc("day", "ts"), F.lit("2024-01-01").cast("date")).alias("t"),
+        (F.weekday(F.date_trunc("day", "ts")) + 1).alias("dow"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    h = daily.agg((F.max("t") * 2 / 3).cast("bigint").alias("cut"))
+    train = daily.join(F.broadcast(h)).filter(F.col("t") <= F.col("cut"))
+    test = daily.join(F.broadcast(h)).filter(F.col("t") > F.col("cut"))
+    mean_fit = train.agg(F.avg("y").alias("mu"))
+    ols = train.agg(
+        F.regr_slope("y", F.col("t").cast("double")).alias("slope"),
+        F.regr_intercept("y", F.col("t").cast("double")).alias("icept"),
+    )
+    snaive = train.groupBy("dow").agg(F.avg("y").alias("dow_mu"))
+    preds = (
+        test.join(F.broadcast(mean_fit))
+        .join(F.broadcast(ols))
+        .join(F.broadcast(snaive), "dow")
+        .select(
+            "y",
+            F.col("mu").alias("p_mean"),
+            (F.col("icept") + F.col("slope") * F.col("t")).alias("p_ols"),
+            F.col("dow_mu").alias("p_snaive"),
+        )
+    )
+    mae = lambda c, name: preds.agg(
+        F.round(F.avg(F.abs(F.col("y") - F.col(c))), 6).alias("mae")
+    ).select(F.lit(name).alias("model"), "mae")
+    return (
+        mae("p_mean", "mean")
+        .unionByName(mae("p_ols", "ols_trend"))
+        .unionByName(mae("p_snaive", "seasonal_naive"))
+    )
+
+
+@query(
+    "wl_stickiness",
+    oracle="""
+WITH d AS (
+  SELECT CAST(date_trunc('month', ts) AS DATE) AS m,
+         CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+  FROM events),
+dau AS (SELECT m, d, count(DISTINCT user_id) AS dau FROM d GROUP BY m, d),
+mau AS (SELECT m, count(DISTINCT user_id) AS mau FROM d GROUP BY m)
+SELECT CAST(dau.m AS VARCHAR) AS month,
+       CAST(max(mau.mau) AS BIGINT) AS mau,
+       round(avg(dau.dau), 6) AS avg_dau,
+       round(avg(dau.dau) / max(mau.mau), 6) AS stickiness
+FROM dau JOIN mau ON dau.m = mau.m
+GROUP BY dau.m
+""",
+)
+def wl_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STICKINESS (DAU/MAU): average daily actives over monthly
+    actives per month — the habit-formation ratio product teams track
+    beside wl_engagement_hist's distribution and
+    wl_growth_accounting's flows (1/30 means everyone shows up once;
+    0.5 means a daily habit). Two distinct-count aggregates on
+    bounded (month, day) grains, one broadcast join."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.select(
+        F.date_trunc("month", "ts").cast("date").alias("m"),
+        F.date_trunc("day", "ts").cast("date").alias("d"),
+        "user_id",
+    )
+    dau = d.groupBy("m", "d").agg(F.countDistinct("user_id").alias("dau"))
+    mau = d.groupBy(F.col("m").alias("m2")).agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    return (
+        dau.join(F.broadcast(mau), dau.m == mau.m2)
+        .groupBy(F.col("m").cast("string").alias("month"))
+        .agg(
+            F.max("mau").cast("bigint").alias("mau"),
+            F.round(F.avg("dau"), 6).alias("avg_dau"),
+            F.round(F.avg("dau") / F.max("mau"), 6).alias("stickiness"),
+        )
+    )
