@@ -3900,3 +3900,65 @@ def wl_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("dau") / F.max("mau"), 6).alias("stickiness"),
         )
     )
+
+
+@query(
+    "wl_arc_elasticity",
+    oracle="""
+WITH h AS (
+  SELECT c.c_mktsegment AS segment,
+         CASE WHEN o.o_orderdate < DATE '1997-07-01' THEN 0 ELSE 1 END AS half,
+         CAST(count(*) AS DOUBLE) AS q, avg(o.o_totalprice) AS p
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE o.o_orderdate >= DATE '1997-01-01' AND o.o_orderdate < DATE '1998-01-01'
+  GROUP BY 1, 2),
+w AS (
+  SELECT segment,
+         max(CASE WHEN half = 0 THEN q END) AS q0,
+         max(CASE WHEN half = 1 THEN q END) AS q1,
+         max(CASE WHEN half = 0 THEN p END) AS p0,
+         max(CASE WHEN half = 1 THEN p END) AS p1
+  FROM h GROUP BY segment)
+SELECT segment,
+       round((q1 - q0) / ((q1 + q0) / 2), 6) + 0.0 AS pct_dq,
+       round((p1 - p0) / ((p1 + p0) / 2), 6) + 0.0 AS pct_dp,
+       round(CASE WHEN abs((p1 - p0) / ((p1 + p0) / 2)) > 1e-9
+                  THEN ((q1 - q0) / ((q1 + q0) / 2))
+                       / ((p1 - p0) / ((p1 + p0) / 2)) END, 6) + 0.0 AS arc_elasticity
+FROM w WHERE q0 IS NOT NULL AND q1 IS NOT NULL
+""",
+)
+def wl_arc_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARC ELASTICITY per segment: midpoint-formula %Δquantity over
+    %Δprice between two halves — the demand-sensitivity reading of the
+    same 2×(segment) cells wl_rate_volume_mix decomposes (RVM says
+    what moved revenue; elasticity says how quantity responds to
+    price). Midpoint normalization keeps the measure symmetric in
+    direction; near-zero price moves yield NULL instead of an
+    exploding ratio."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = load(spark, sf_dir, "customer")
+    h = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.when(F.col("o_orderdate") < "1997-07-01", 0).otherwise(1).alias("half"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("q"), F.avg("o_totalprice").alias("p"))
+    )
+    w = h.groupBy("segment").agg(
+        F.max(F.when(F.col("half") == 0, F.col("q"))).alias("q0"),
+        F.max(F.when(F.col("half") == 1, F.col("q"))).alias("q1"),
+        F.max(F.when(F.col("half") == 0, F.col("p"))).alias("p0"),
+        F.max(F.when(F.col("half") == 1, F.col("p"))).alias("p1"),
+    )
+    dq = (F.col("q1") - F.col("q0")) / ((F.col("q1") + F.col("q0")) / 2)
+    dp = (F.col("p1") - F.col("p0")) / ((F.col("p1") + F.col("p0")) / 2)
+    return w.filter(F.col("q0").isNotNull() & F.col("q1").isNotNull()).select(
+        "segment",
+        (F.round(dq, 6) + 0.0).alias("pct_dq"),
+        (F.round(dp, 6) + 0.0).alias("pct_dp"),
+        (F.round(F.when(F.abs(dp) > 1e-9, dq / dp), 6) + 0.0).alias("arc_elasticity"),
+    )

@@ -1264,3 +1264,55 @@ def dedup_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(score > 0)
         .select("id1", "id2", F.round(score, 6).alias("fs_score"), "is_match")
     )
+
+
+@query(
+    "dedup_threshold_sweep",
+    oracle="""
+WITH t AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
+           FROM documents),
+pairs AS (
+  SELECT CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jac
+  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id),
+th AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold)
+SELECT th.threshold,
+       CAST(sum(CASE WHEN pairs.jac >= th.threshold THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_pairs
+FROM th CROSS JOIN pairs
+GROUP BY th.threshold
+""",
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup THRESHOLD SENSITIVITY: duplicate-pair counts at five
+    Jaccard cutoffs from ONE pass over the blocked exact pairs — the
+    curve a data lead reads before committing to a threshold (a cliff
+    between 0.7 and 0.8 means the corpus has a near-dup band exactly
+    there; a flat curve means the choice barely matters). Pairs
+    compute once; the sweep is a 5× conditional-sum broadcast — never
+    five pair jobs. Feeds the banding design dedup_scurve_empirical
+    then validates."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "source", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    a, b = t.alias("a"), t.alias("b")
+    nc = F.size(F.array_intersect("a.toks", "b.toks"))
+    jac = nc.cast("double") / (F.size("a.toks") + F.size("b.toks") - nc)
+    pairs = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(jac.alias("jac"))
+    th = spark.createDataFrame(
+        [(0.5,), (0.6,), (0.7,), (0.8,), (0.9,)], "threshold double"
+    )
+    return (
+        th.crossJoin(pairs)
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.when(F.col("jac") >= F.col("threshold"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_pairs")
+        )
+    )

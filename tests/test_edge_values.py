@@ -202,7 +202,7 @@ def test_document_operators_survive_empty_corpus(spark, tmp_path):
         "fn_collate",
         "txt_bm25_topk", "wl_inverted_index", "txt_containment",
         "dedup_biblio", "agg_cms_portable", "dedup_fellegi_sunter", "wl_hygiene_attribution",
-        "wl_eb_shrinkage", "wl_capture_recapture",
+        "wl_eb_shrinkage", "wl_capture_recapture", "dedup_threshold_sweep",
         "wl_vocab_growth", "txt_sentiment_lexicon", "wl_kl_source_mix", "txt_conditional_entropy",
         "txt_burstiness", "txt_chao1_richness", "txt_distinctive_terms", "txt_heaps_fit",
         "txt_bigram_lm_score", "wl_embedding_drift", "dedup_minhash_eval",
