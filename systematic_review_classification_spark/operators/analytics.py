@@ -3962,3 +3962,56 @@ def wl_arc_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(dp, 6) + 0.0).alias("pct_dp"),
         (F.round(F.when(F.abs(dp) > 1e-9, dq / dp), 6) + 0.0).alias("arc_elasticity"),
     )
+
+
+@query(
+    "wl_lorenz_points",
+    oracle="""
+WITH s AS (
+  SELECT o_custkey, sum(o_totalprice) AS spend FROM orders GROUP BY o_custkey),
+r AS (
+  SELECT spend, row_number() OVER (ORDER BY spend, o_custkey) AS rnk,
+         count(*) OVER () AS n, sum(spend) OVER () AS tot
+  FROM s),
+d AS (
+  SELECT CAST(ceil(10.0 * rnk / n) AS INTEGER) AS decile, spend, n, tot FROM r)
+SELECT decile,
+       round(CAST(max(n) / 10.0 * decile AS DOUBLE) / max(n), 6) AS pop_share,
+       round(sum(sum(spend)) OVER (ORDER BY decile) / max(tot), 6) AS cum_value_share
+FROM d GROUP BY decile
+""",
+)
+def wl_lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LORENZ CURVE points: cumulative value share at each population
+    decile (customers ranked poorest→richest by spend) — the curve
+    whose area defect wl_gini compresses to one number; the points are
+    what the equity/concentration chart actually plots. Deciles by
+    rank arithmetic over the per-customer rollup, cumulative share as
+    a bounded 10-row window. The far-right gap to the diagonal IS the
+    concentration wl_pareto reads top-down."""
+    o = load(spark, sf_dir, "orders")
+    s = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("spend"))
+    r = s.select(
+        "spend",
+        F.row_number().over(W.orderBy("spend", "o_custkey")).alias("rnk"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+        F.sum("spend").over(W.partitionBy()).alias("tot"),
+    )
+    d = r.select(
+        F.ceil(10.0 * F.col("rnk") / F.col("n")).cast("int").alias("decile"),
+        "spend",
+        "n",
+        "tot",
+    )
+    g = d.groupBy("decile").agg(
+        F.sum("spend").alias("dsp"), F.max("n").alias("n"), F.max("tot").alias("tot")
+    )
+    return g.select(
+        "decile",
+        F.round(
+            (F.col("n") / 10.0 * F.col("decile")).cast("double") / F.col("n"), 6
+        ).alias("pop_share"),
+        F.round(
+            F.sum("dsp").over(W.orderBy("decile")) / F.col("tot"), 6
+        ).alias("cum_value_share"),
+    )

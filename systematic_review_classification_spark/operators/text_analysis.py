@@ -1174,3 +1174,90 @@ def txt_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dominant_script"),
         F.round(cjk.cast("double") / F.length("text"), 6).alias("cjk_ratio"),
     )
+
+
+@query(
+    "txt_logodds_shift",
+    oracle="""
+WITH tok AS (
+  SELECT CASE WHEN doc_id < (SELECT max(doc_id) / 2 FROM documents)
+              THEN 0 ELSE 1 END AS era,
+         unnest(string_split(text, ' ')) AS token
+  FROM documents),
+c AS (SELECT era, token, CAST(count(*) AS DOUBLE) AS n FROM tok GROUP BY era, token),
+tot AS (SELECT era, sum(n) AS nt FROM c GROUP BY era),
+prior AS (SELECT token, sum(n) AS a FROM c GROUP BY token),
+a0 AS (SELECT sum(a) AS atot FROM prior),
+w AS (
+  SELECT p.token,
+         coalesce(max(CASE WHEN c.era = 0 THEN c.n END), 0) AS n0,
+         coalesce(max(CASE WHEN c.era = 1 THEN c.n END), 0) AS n1,
+         max(p.a) AS a,
+         max(CASE WHEN t.era = 0 THEN t.nt END) AS t0,
+         max(CASE WHEN t.era = 1 THEN t.nt END) AS t1
+  FROM prior p
+  LEFT JOIN c ON c.token = p.token
+  CROSS JOIN tot t
+  GROUP BY p.token)
+SELECT token,
+       round(ln((n1 + a) / (t1 + (SELECT atot FROM a0) - n1 - a))
+             - ln((n0 + a) / (t0 + (SELECT atot FROM a0) - n0 - a)), 6)
+         AS log_odds_shift
+FROM w
+ORDER BY abs(ln((n1 + a) / (t1 + (SELECT atot FROM a0) - n1 - a))
+             - ln((n0 + a) / (t0 + (SELECT atot FROM a0) - n0 - a))) DESC, token
+LIMIT 15
+""",
+)
+def txt_logodds_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCABULARY SHIFT via log-odds with an informative Dirichlet
+    prior (Monroe/Colaresi/Quinn's 'Fightin' Words'): which tokens
+    moved most between the corpus's earlier and later halves, with the
+    overall corpus as the smoothing prior so rare words cannot fake
+    huge shifts — the principled version of the naive frequency-ratio
+    comparison, and the temporal sibling of txt_distinctive_terms'
+    source contrast. Two bounded count relations; the top-15 cut
+    ranks on the rounded |shift| with token tie-break."""
+    d = load(spark, sf_dir, "documents")
+    half = d.agg((F.max("doc_id") / 2).alias("mid"))
+    tok = d.join(F.broadcast(half)).select(
+        F.when(F.col("doc_id") < F.col("mid"), 0).otherwise(1).alias("era"),
+        F.explode(F.split("text", " ")).alias("token"),
+    )
+    c = tok.groupBy("era", "token").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    tot = c.groupBy("era").agg(F.sum("n").alias("nt"))
+    prior = c.groupBy("token").agg(F.sum("n").alias("a"))
+    a0 = prior.agg(F.sum("a").alias("atot"))
+    w = (
+        prior.join(c, "token", "left")
+        .groupBy("token")
+        .agg(
+            F.coalesce(F.max(F.when(F.col("era") == 0, F.col("n"))), F.lit(0.0)).alias(
+                "n0"
+            ),
+            F.coalesce(F.max(F.when(F.col("era") == 1, F.col("n"))), F.lit(0.0)).alias(
+                "n1"
+            ),
+            F.max("a").alias("a"),
+        )
+        .join(
+            F.broadcast(
+                tot.groupBy().pivot("era", [0, 1]).agg(F.max("nt"))
+                .withColumnRenamed("0", "t0")
+                .withColumnRenamed("1", "t1")
+            )
+        )
+        .join(F.broadcast(a0))
+    )
+    lo = F.log(
+        (F.col("n1") + F.col("a"))
+        / (F.col("t1") + F.col("atot") - F.col("n1") - F.col("a"))
+    ) - F.log(
+        (F.col("n0") + F.col("a"))
+        / (F.col("t0") + F.col("atot") - F.col("n0") - F.col("a"))
+    )
+    return (
+        w.select("token", F.round(lo, 6).alias("log_odds_shift"))
+        .orderBy(F.abs(F.col("log_odds_shift")).desc(), "token")
+        .limit(15)
+    )

@@ -205,6 +205,7 @@ def test_document_operators_survive_empty_corpus(spark, tmp_path):
         "wl_eb_shrinkage", "wl_capture_recapture", "dedup_threshold_sweep",
         "wl_vocab_growth", "txt_sentiment_lexicon", "wl_kl_source_mix", "txt_conditional_entropy",
         "txt_burstiness", "txt_chao1_richness", "txt_distinctive_terms", "txt_heaps_fit",
+        "txt_logodds_shift",
         "txt_bigram_lm_score", "wl_embedding_drift", "dedup_minhash_eval",
         "sim_sparse_cosine", "ml_knn_classify", "txt_bpe_pair_counts",
         "wl_pretrain_pipeline", "sim_rp_lsh", "txt_ocr_artifact_filter",
