@@ -4015,3 +4015,54 @@ def wl_lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("dsp").over(W.orderBy("decile")) / F.col("tot"), 6
         ).alias("cum_value_share"),
     )
+
+
+@query(
+    "wl_pareto_frontier",
+    oracle="""
+WITH p AS (SELECT p_partkey, p_brand, p_retailprice, p_size FROM part),
+dominated AS (
+  SELECT DISTINCT a.p_partkey
+  FROM p a JOIN p b
+    ON b.p_retailprice <= a.p_retailprice AND b.p_size <= a.p_size
+   AND (b.p_retailprice < a.p_retailprice OR b.p_size < a.p_size))
+SELECT p.p_partkey, p.p_brand,
+       round(p.p_retailprice, 2) AS price, p.p_size AS size
+FROM p WHERE p.p_partkey NOT IN (SELECT p_partkey FROM dominated)
+""",
+)
+def wl_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARETO FRONTIER (skyline query): the parts no other part beats
+    on BOTH price and size — the multi-objective shortlist every
+    cheapest-and-smallest style search wants, and a classic database
+    operator (SKYLINE OF) Spark lacks natively. Expressed as a
+    dominance self-join + anti-join; at catalog scale the standard
+    optimization pre-filters with a grid of local skylines (the
+    block-then-verify discipline) before the dominance join — same
+    shape, bounded candidates."""
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice", "p_size"
+    )
+    a, b = p.alias("a"), p.alias("b")
+    dominated = (
+        a.join(
+            b,
+            (F.col("b.p_retailprice") <= F.col("a.p_retailprice"))
+            & (F.col("b.p_size") <= F.col("a.p_size"))
+            & (
+                (F.col("b.p_retailprice") < F.col("a.p_retailprice"))
+                | (F.col("b.p_size") < F.col("a.p_size"))
+            ),
+        )
+        .select(F.col("a.p_partkey").alias("dk"))
+        .distinct()
+    )
+    return (
+        p.join(dominated, p.p_partkey == dominated.dk, "left_anti")
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.round("p_retailprice", 2).alias("price"),
+            F.col("p_size").alias("size"),
+        )
+    )
