@@ -4066,3 +4066,75 @@ def wl_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_size").alias("size"),
         )
     )
+
+
+@query(
+    "wl_markov_absorbing",
+    oracle="""
+WITH e AS (
+  SELECT event_type AS t1, lead(event_type) OVER w AS t2
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+c AS (SELECT t1, t2, CAST(count(*) AS DOUBLE) AS n
+      FROM e WHERE t2 IS NOT NULL GROUP BY t1, t2),
+tr AS (SELECT t1, t2, n / sum(n) OVER (PARTITION BY t1) AS p FROM c),
+v0 AS (
+  SELECT t1 AS s, coalesce(max(CASE WHEN t2 = 'purchase' THEN p END), 0) AS v
+  FROM tr GROUP BY t1),
+v1 AS (
+  SELECT tr.t1 AS s,
+         coalesce(max(CASE WHEN tr.t2 = 'purchase' THEN tr.p END), 0)
+         + sum(CASE WHEN tr.t2 <> 'purchase' THEN tr.p * v0.v ELSE 0 END) AS v
+  FROM tr JOIN v0 ON v0.s = tr.t2 GROUP BY tr.t1),
+v2 AS (
+  SELECT tr.t1 AS s,
+         coalesce(max(CASE WHEN tr.t2 = 'purchase' THEN tr.p END), 0)
+         + sum(CASE WHEN tr.t2 <> 'purchase' THEN tr.p * v1.v ELSE 0 END) AS v
+  FROM tr JOIN v1 ON v1.s = tr.t2 GROUP BY tr.t1)
+SELECT s AS start_state, round(v, 6) AS p_reach_purchase_3
+FROM v2 WHERE s <> 'purchase'
+""",
+)
+def wl_markov_absorbing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABSORBING-STATE analysis: from each starting event type, the
+    probability of reaching 'purchase' within three transitions of
+    the empirical Markov chain — the forward-looking question
+    (wl_markov_transitions describes one step; this propagates it)
+    behind 'which entry behavior converts'. Two unrolled value-
+    iteration rounds as joins on the bounded |types|² transition
+    table — the wl_pagerank3 pattern at conversion-funnel scale."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.select(
+        F.col("event_type").alias("t1"), F.lead("event_type").over(w).alias("t2")
+    ).filter(F.col("t2").isNotNull())
+    c = e.groupBy("t1", "t2").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    tr = c.select(
+        "t1", "t2", (F.col("n") / F.sum("n").over(W.partitionBy("t1"))).alias("p")
+    )
+    v = tr.groupBy(F.col("t1").alias("s")).agg(
+        F.coalesce(
+            F.max(F.when(F.col("t2") == "purchase", F.col("p"))), F.lit(0.0)
+        ).alias("v")
+    )
+    for _ in range(2):
+        v = (
+            tr.join(v, tr.t2 == v.s)
+            .groupBy(F.col("t1").alias("s2"))
+            .agg(
+                (
+                    F.coalesce(
+                        F.max(F.when(F.col("t2") == "purchase", F.col("p"))),
+                        F.lit(0.0),
+                    )
+                    + F.sum(
+                        F.when(
+                            F.col("t2") != "purchase", F.col("p") * F.col("v")
+                        ).otherwise(0.0)
+                    )
+                ).alias("v")
+            )
+            .withColumnRenamed("s2", "s")
+        )
+    return v.filter(F.col("s") != "purchase").select(
+        F.col("s").alias("start_state"), F.round("v", 6).alias("p_reach_purchase_3")
+    )

@@ -160,6 +160,7 @@ _PRIORITY: list[str] = [
     "wl_arc_elasticity", "dedup_threshold_sweep",
     "wl_lorenz_points", "txt_logodds_shift",
     "wl_pareto_frontier",
+    "wl_markov_absorbing",
     "wl_q11_partvalue", "wl_q20_excess", "wl_seasonality",
     "wl_skew_report", "wl_resample_ffill", "sample_reservoir",
     "agg_grouping_id", "agg_corr_matrix", "sql_qualify", "wl_profile",
