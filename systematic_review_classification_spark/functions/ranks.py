@@ -1,0 +1,63 @@
+"""Distributed global ordering primitives — the two-pass range rank.
+
+A global ``row_number()`` / running sum ``over(W.orderBy(...))`` with no
+partition key collapses the whole relation into ONE task (Spark warns
+``WindowExec: No Partition Defined``) — fine for a bounded axis (days,
+deciles, partition stats), fatal when the ordered set scales with the
+data (users, vocabulary, documents). The scale-correct shape, shared by
+``wl_gini`` (operators/warehouse.py) and ``ml._screen_curve``
+(operators/ml.py) and factored here so every operator ranks the same
+way:
+
+1. ``repartitionByRange`` on the order key so each partition holds a
+   contiguous slice of the global order (Spark samples range bounds —
+   one extra pass over the keys, no data movement beyond the one
+   shuffle the rank needs anyway);
+2. per-partition row counts / value sums become cumulative OFFSETS via
+   a window over the bounded partition-stats table (``n_partitions``
+   rows — the only unpartitioned window left, bounded by config, not
+   by data);
+3. in-partition ``row_number``/running sum + broadcast offset = the
+   exact global result.
+
+Deterministic whenever the order key is a total order (callers append a
+unique tie-break column).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _with_offsets(df: DataFrame, order: tuple[Column, ...], stat: Column):
+    """Range-partition ``df`` on ``order``; return (tagged df, per-
+    partition cumulative offsets of ``stat``, in-partition window)."""
+    d = df.repartitionByRange(*order).withColumn("_pid", F.spark_partition_id())
+    pstats = d.groupBy("_pid").agg(stat.alias("_pstat"))
+    w_prev = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    offs = pstats.select(
+        "_pid", F.coalesce(F.sum("_pstat").over(w_prev), F.lit(0)).alias("_off")
+    )
+    w_in = W.partitionBy("_pid").orderBy(*order)
+    return d.join(F.broadcast(offs), "_pid"), w_in
+
+
+def global_rank(df: DataFrame, *order: Column, rank_col: str = "rnk") -> DataFrame:
+    """``row_number() over (ORDER BY *order)`` without the single-task
+    window. ``order`` must be a total order (include a tie-break)."""
+    tagged, w_in = _with_offsets(df, order, F.count(F.lit(1)))
+    return tagged.withColumn(
+        rank_col, F.row_number().over(w_in) + F.col("_off")
+    ).drop("_pid", "_off")
+
+
+def global_prefix_sum(
+    df: DataFrame, value: str, *order: Column, out_col: str = "cum"
+) -> DataFrame:
+    """Inclusive running ``sum(value) over (ORDER BY *order)`` — the
+    same two-pass shape with per-partition value sums as offsets."""
+    tagged, w_in = _with_offsets(df, order, F.sum(F.col(value)))
+    return tagged.withColumn(
+        out_col, F.sum(F.col(value)).over(w_in) + F.col("_off")
+    ).drop("_pid", "_off")

@@ -66,6 +66,20 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("agg_partial_final", oracle=PRICING_SUMMARY_ORACLE)
+def agg_partial_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.D partial→final aggregation, registered as its own key.
+
+    This is a PLAN property, not a distinct query: Catalyst compiles
+    every ``groupBy().agg()`` here into partial (map-side combine)
+    HashAggregate → Exchange on the group keys → final HashAggregate
+    — ``tests/test_plans.py::test_partial_aggregation`` pins exactly
+    that shape on this plan. The query body is the flagship pricing
+    summary so the key carries a full value-hash oracle rather than a
+    synthetic twin."""
+    return agg_pricing_summary(spark, sf_dir)
+
+
 @query(
     "agg_count_distinct",
     oracle="""

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from systematic_review_classification_spark.functions.ranks import global_rank
 from systematic_review_classification_spark.registry import query
 from systematic_review_classification_spark.sources.tables import load
 
@@ -1909,6 +1910,7 @@ credit AS (
   SELECT event_type,
          1.0 / path_len AS linear_credit,
          CASE WHEN path_len = 1 THEN 1.0
+              WHEN path_len = 2 THEN 0.5
               WHEN pos = 1 OR pos = path_len THEN 0.4
               ELSE 0.2 / (path_len - 2) END AS u_credit
   FROM path)
@@ -1921,7 +1923,8 @@ FROM credit GROUP BY event_type
 def wl_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MULTI-TOUCH attribution: conversion credit spread across every
     pre-purchase touch — linear (1/n each) and U-shaped (40% first,
-    40% last, 20% shared by the middle) side by side, completing
+    40% last, 20% shared by the middle; 2-touch paths split 50/50 so
+    credit stays conserved with no middle) side by side, completing
     wl_attribution's last-touch model. Touch paths come from one join
     against the per-user first conversion and ONE user-partitioned
     window pass (position + path length share the partition spec);
@@ -1950,6 +1953,7 @@ def wl_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         (1.0 / F.col("path_len")).alias("linear_credit"),
         F.when(F.col("path_len") == 1, 1.0)
+        .when(F.col("path_len") == 2, 0.5)
         .when((F.col("pos") == 1) | (F.col("pos") == F.col("path_len")), 0.4)
         .otherwise(0.2 / (F.col("path_len") - 2))
         .alias("u_credit"),
@@ -3427,8 +3431,10 @@ def wl_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
     honest when heavy users differ from light ones (the tabular form
     of propensity stratification; wl_simpson_check detects the
     pathology, this corrects it). Quartiles cut by rank arithmetic
-    (ml_gains_table's trick), strata are bounded, one pass per
-    aggregate."""
+    (ml_gains_table's trick) over the DISTRIBUTED two-pass range rank
+    (functions/ranks.py) — users scale with data, so a global-window
+    row_number would collapse to one task; the total count rides a
+    1-row broadcast. Strata are bounded, one pass per aggregate."""
     ev = load(spark, sf_dir, "events")
     act = ev.groupBy("user_id").agg(
         (F.col("user_id") % 2).alias("treated"),
@@ -3437,12 +3443,10 @@ def wl_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
         ).alias("outcome"),
     )
-    ranked = act.select(
-        "treated",
-        "outcome",
-        F.row_number().over(W.orderBy("n_events", "user_id")).alias("rnk"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
-    )
+    n_tot = act.agg(F.count(F.lit(1)).alias("n"))
+    ranked = global_rank(
+        act, F.col("n_events"), F.col("user_id"), rank_col="rnk"
+    ).join(F.broadcast(n_tot))
     strat = ranked.select(
         "treated",
         "outcome",
@@ -3556,7 +3560,7 @@ WITH daily AS (
   SELECT datediff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE)) AS t,
          CAST(count(*) AS DOUBLE) AS y
   FROM events GROUP BY 1),
-horizon AS (SELECT CAST(max(t) * 2 / 3 AS BIGINT) AS cut FROM daily),
+horizon AS (SELECT CAST(floor(max(t) * 2.0 / 3) AS BIGINT) AS cut FROM daily),
 fit AS (
   SELECT regr_slope(y, CAST(t AS DOUBLE)) AS slope,
          regr_intercept(y, CAST(t AS DOUBLE)) AS icept
@@ -3584,7 +3588,7 @@ def wl_causal_impact_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         F.datediff(F.date_trunc("day", "ts"), F.lit("2024-01-01").cast("date")).alias("t")
     ).agg(F.count(F.lit(1)).cast("double").alias("y"))
-    horizon = daily.agg((F.max("t") * 2 / 3).cast("bigint").alias("cut"))
+    horizon = daily.agg(F.floor(F.max("t") * 2 / 3).cast("bigint").alias("cut"))
     fit = (
         daily.join(F.broadcast(horizon))
         .filter(F.col("t") <= F.col("cut"))
@@ -3791,7 +3795,7 @@ WITH daily AS (
          isodow(CAST(date_trunc('day', ts) AS DATE)) AS dow,
          CAST(count(*) AS DOUBLE) AS y
   FROM events GROUP BY 1, 2),
-h AS (SELECT CAST(max(t) * 2 / 3 AS BIGINT) AS cut FROM daily),
+h AS (SELECT CAST(floor(max(t) * 2.0 / 3) AS BIGINT) AS cut FROM daily),
 train AS (SELECT * FROM daily, h WHERE t <= h.cut),
 test AS (SELECT * FROM daily, h WHERE t > h.cut),
 mean_fit AS (SELECT avg(y) AS mu FROM train),
@@ -3827,7 +3831,7 @@ def wl_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.date_trunc("day", "ts"), F.lit("2024-01-01").cast("date")).alias("t"),
         (F.weekday(F.date_trunc("day", "ts")) + 1).alias("dow"),
     ).agg(F.count(F.lit(1)).cast("double").alias("y"))
-    h = daily.agg((F.max("t") * 2 / 3).cast("bigint").alias("cut"))
+    h = daily.agg(F.floor(F.max("t") * 2 / 3).cast("bigint").alias("cut"))
     train = daily.join(F.broadcast(h)).filter(F.col("t") <= F.col("cut"))
     test = daily.join(F.broadcast(h)).filter(F.col("t") > F.col("cut"))
     mean_fit = train.agg(F.avg("y").alias("mu"))

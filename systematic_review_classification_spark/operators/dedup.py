@@ -1019,7 +1019,7 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 wins AS (
   SELECT doc_id, md5(array_to_string(list_slice(toks, i, i + 15), ' ')) AS fp
-  FROM t CROSS JOIN (SELECT unnest(range(1, 200)) AS i) r
+  FROM t CROSS JOIN UNNEST(range(1, len(toks) + 1)) AS r(i)
   WHERE i + 15 <= len(toks)),
 pairs AS (
   SELECT a.doc_id AS id1, b.doc_id AS id2,
@@ -1289,9 +1289,11 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     curve a data lead reads before committing to a threshold (a cliff
     between 0.7 and 0.8 means the corpus has a near-dup band exactly
     there; a flat curve means the choice barely matters). Pairs
-    compute once; the sweep is a 5× conditional-sum broadcast — never
-    five pair jobs. Feeds the banding design dedup_scurve_empirical
-    then validates."""
+    compute once and are scanned ONCE: five conditional partial
+    aggregates (sum(when(jac >= t))) ride a single map-side-combined
+    pass — no threshold×pairs replication — and the 1-row result
+    explodes into the 5-row curve. Feeds the banding design
+    dedup_scurve_empirical then validates."""
     d = load(spark, sf_dir, "documents")
     t = d.select(
         "doc_id", "source", F.array_distinct(F.split("text", " ")).alias("toks")
@@ -1304,15 +1306,23 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("a.source") == F.col("b.source"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     ).select(jac.alias("jac"))
-    th = spark.createDataFrame(
-        [(0.5,), (0.6,), (0.7,), (0.8,), (0.9,)], "threshold double"
-    )
-    return (
-        th.crossJoin(pairs)
-        .groupBy("threshold")
-        .agg(
-            F.sum(F.when(F.col("jac") >= F.col("threshold"), 1).otherwise(0))
+    ths = [0.5, 0.6, 0.7, 0.8, 0.9]
+    counts = pairs.agg(
+        *[
+            F.sum(F.when(F.col("jac") >= F.lit(t), 1).otherwise(0))
             .cast("bigint")
-            .alias("n_dup_pairs")
-        )
+            .alias(f"c{i}")
+            for i, t in enumerate(ths)
+        ]
+    )
+    curve = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("threshold"), F.col(f"c{i}").alias("n_dup_pairs")
+            )
+            for i, t in enumerate(ths)
+        ]
+    )
+    return counts.select(F.explode(curve).alias("s")).select(
+        "s.threshold", "s.n_dup_pairs"
     )

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from systematic_review_classification_spark.functions.ranks import global_prefix_sum
 from systematic_review_classification_spark.registry import query
 from systematic_review_classification_spark.sources.tables import load
 
@@ -347,9 +348,10 @@ def wl_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus grows, per ingestion bin of 20 docs. Running
     "distinct so far" without any stateful scan: each token
     contributes only at its FIRST bin (min(doc_id) per token — one
-    hash agg), then a cumulative sum over the BINNED axis. The window
-    is over bins, not docs, so its partition stays bounded no matter
-    the corpus size — the same bounded-axis trick as wl_shard_shuffle;
+    hash agg), then a cumulative sum over the BINNED axis. Bins grow
+    only as n_docs/20, but at corpus scale even that axis is large,
+    so the running total uses the distributed two-pass prefix sum
+    (functions/ranks.py) instead of a single-task global window;
     resolution is a knob, not a scale risk."""
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
@@ -361,11 +363,9 @@ def wl_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = bins.join(
         F.broadcast(newb), bins.bin == newb.first_bin, "left"
     ).select("bin", F.coalesce("new_tokens", F.lit(0)).alias("new_tokens"))
-    return joined.select(
-        "bin",
-        "new_tokens",
-        F.sum("new_tokens").over(W.orderBy("bin")).alias("vocab_size"),
-    )
+    return global_prefix_sum(
+        joined, "new_tokens", F.col("bin"), out_col="vocab_size"
+    ).select("bin", "new_tokens", "vocab_size")
 
 
 _LEXICON = [("fast", 2), ("small", 1), ("scan", 1), ("merge", -1), ("dup", -2)]
@@ -419,7 +419,7 @@ def txt_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 bg AS (
   SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
-  FROM tok CROSS JOIN (SELECT unnest(range(1, 200)) AS i) r
+  FROM tok CROSS JOIN UNNEST(range(1, len(t) + 1)) AS r(i)
   WHERE i + 1 <= len(t)),
 uni AS (
   SELECT token AS w1, count(*) AS cu

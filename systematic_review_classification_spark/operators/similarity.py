@@ -516,7 +516,7 @@ WITH e AS (SELECT vec_id, label, vec_id % 2 AS half, embedding::DOUBLE[] AS v
            FROM embeddings),
 dims AS (
   SELECT label, half, i, avg(v[i]) AS c
-  FROM e CROSS JOIN (SELECT unnest(range(1, 200)) AS i) r
+  FROM e CROSS JOIN UNNEST(range(1, len(v) + 1)) AS r(i)
   WHERE i <= len(v)
   GROUP BY label, half, i),
 pair AS (

@@ -307,7 +307,7 @@ WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 ch AS (
   SELECT doc_id, i, array_to_string(list_slice(toks, i, i + 15), ' ') AS chunk,
          md5(array_to_string(list_slice(toks, i, i + 15), ' ')) AS fp
-  FROM t CROSS JOIN (SELECT unnest(range(1, 200, 16)) AS i) r
+  FROM t CROSS JOIN UNNEST(range(1, len(toks) + 1, 16)) AS r(i)
   WHERE i <= len(toks)),
 common AS (
   SELECT fp FROM (SELECT fp, count(DISTINCT doc_id) AS nd FROM ch GROUP BY fp)

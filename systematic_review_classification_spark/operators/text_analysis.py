@@ -9,6 +9,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from systematic_review_classification_spark.functions.ranks import global_rank
 from systematic_review_classification_spark.registry import query
 from systematic_review_classification_spark.sources.tables import load
 
@@ -866,7 +867,7 @@ def wl_kl_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
 bg AS (
   SELECT toks[i] AS w1, toks[i + 1] AS w2
-  FROM t CROSS JOIN (SELECT unnest(range(1, 200)) AS i) r
+  FROM t CROSS JOIN UNNEST(range(1, len(toks) + 1)) AS r(i)
   WHERE i + 1 <= len(toks)),
 c2 AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS n12 FROM bg GROUP BY 1, 2),
 c1 AS (SELECT w1, sum(n12) AS n1 FROM c2 GROUP BY w1),
@@ -942,15 +943,17 @@ def txt_oov_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency-ranked types — the tokenizer-budget design input (pick
     the knee; everything beyond buys marginal coverage; pairs with
     txt_bpe_pair_counts which then spends the budget on merges).
-    Frequencies rank once over the bounded vocabulary; the curve is a
+    Frequencies rank once via the distributed two-pass range rank
+    (functions/ranks.py — vocabulary is 10⁷–10⁸ types at corpus
+    scale, too big for a single-task global window); the curve is a
     conditional sum over vocab × |k| candidate sizes — corpus touched
     once."""
     d = load(spark, sf_dir, "documents")
     tok = d.select(F.explode(F.split("text", " ")).alias("token"))
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("n"))
-    ranked = freq.select(
-        "n", F.row_number().over(W.orderBy(F.col("n").desc(), "token")).alias("rnk")
-    )
+    ranked = global_rank(
+        freq, F.col("n").desc(), F.col("token"), rank_col="rnk"
+    ).select("n", "rnk")
     tot = ranked.agg(F.sum("n").alias("nt"))
     ks = spark.createDataFrame([(5,), (10,), (20,), (40,), (80,)], "k int")
     return (

@@ -85,19 +85,24 @@ def stream_shuffle_partitions(spark: SparkSession, n: int = 8):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
-def run_to_memory(df: DataFrame, sf_dir: str, name: str, mode: str) -> str:
-    """Execute a streaming query into a memory sink with availableNow;
-    returns the sink table name. (Memory sink = test harness only; the
-    production path is update-mode into a replayable sink.)"""
+def run_to_memory(
+    df: DataFrame, sf_dir: str, name: str, mode: str, once: bool = False
+) -> str:
+    """Execute a streaming query into a memory sink with availableNow
+    (or Trigger.Once for unbounded sources like rate, which have no
+    "available now" notion); returns the sink table name. (Memory sink
+    = test harness only; the production path is update-mode into a
+    replayable sink.)"""
     qname = f"mem_{name}_{sf_tag(sf_dir)}"
     ckpt = work_dir(sf_dir, f"{name}_ckpt")
+    trigger = {"once": True} if once else {"availableNow": True}
     with stream_shuffle_partitions(df.sparkSession):
         (
             df.writeStream.format("memory")
             .queryName(qname)
             .outputMode(mode)
             .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
+            .trigger(**trigger)
             .start()
             .awaitTermination()
         )

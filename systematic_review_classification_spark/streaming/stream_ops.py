@@ -683,3 +683,43 @@ def stream_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "batch_id long, num_input_rows long, state_rows long"
     )
+
+
+@query(
+    "stream_rate_smoke",
+    oracle="""
+SELECT CAST(100 AS BIGINT) AS n_rows,
+       CAST(0 AS BIGINT) AS min_value,
+       CAST(99 AS BIGINT) AS max_value,
+       CAST(4950 AS BIGINT) AS sum_value
+""",
+)
+def stream_rate_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RATE-source smoke: the streaming tier's only non-file source in
+    this environment (no Kafka broker is installed; a production
+    deployment swaps format("kafka") into the same plan). The
+    rate-micro-batch source is deterministic per batch — batch 0
+    carries exactly rowsPerBatch rows valued 0..rowsPerBatch-1 from
+    the pinned startTimestamp — so one Trigger.Once micro-batch
+    through a real checkpointed execution yields a constant relation
+    the oracle can hash, not just count. State footprint: none (a
+    stateless agg in complete mode over one batch)."""
+    from systematic_review_classification_spark.session import ensure_confs
+
+    ensure_confs(spark)
+    stream = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 100)
+        .option("numPartitions", 4)
+        .option("startTimestamp", 0)
+        .option("advanceMillisPerBatch", 1000)
+        .load()
+    )
+    agg = stream.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.sum("value").alias("sum_value"),
+    )
+    qname = run_to_memory(agg, sf_dir, "rate_smoke", "complete", once=True)
+    return spark.table(qname)

@@ -1,0 +1,131 @@
+"""Differential tests on SYNTHESIZED inputs that cover branches the
+driver fixture happens to miss (ADVICE r3): 2-touch attribution paths
+(sf0.001 has path lengths {1,3,4,5,6,7,12} only) and documents longer
+than the old 200-token oracle spine. Each test writes its own parquet
+next to nothing else and runs the registered Spark query AND its
+DuckDB oracle on that same file — the driver's comparison, pointed at
+the adversarial input.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from systematic_review_classification_spark import all_oracles, all_queries
+from tests.harness import compare
+
+QUERIES = all_queries()
+ORACLES = all_oracles()
+
+
+@pytest.fixture(scope="module")
+def synth_events_dir(spark, tmp_path_factory):
+    """Events with one converting user per path length 1..4 — the
+    2-touch path is the case the U-shape credit formula gets wrong
+    without its dedicated branch (0.4+0.4 != 1)."""
+    d = tmp_path_factory.mktemp("synth_events")
+    rows, eid = [], 0
+    for user, n_touch in [(1, 1), (2, 2), (3, 3), (4, 4)]:
+        for i in range(n_touch):
+            eid += 1
+            rows.append(
+                (eid, f"2024-01-0{i + 1} 00:00:00", user, f"view{i % 2}", 1.0, "{}")
+            )
+        eid += 1
+        rows.append((eid, "2024-01-09 00:00:00", user, "purchase", 9.9, "{}"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ev (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    con.executemany("INSERT INTO ev VALUES (?, ?, ?, ?, ?, ?)", rows)
+    con.execute(f"COPY ev TO '{d}/events.parquet' (FORMAT PARQUET)")
+    con.close()
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def synth_long_docs_dir(spark, tmp_path_factory):
+    """Documents up to 400 tokens — past the 200-position cap the r3
+    oracles silently assumed (safe then only because fixture docs
+    maxed out at 100 tokens)."""
+    d = tmp_path_factory.mktemp("synth_docs")
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    docs = []
+    for doc_id, n_tok in [(0, 40), (1, 250), (2, 400), (3, 400)]:
+        toks = [words[(doc_id + 3 * i) % len(words)] for i in range(n_tok)]
+        if doc_id >= 2:  # shared 60-token run deep past position 200
+            toks[300:360] = [f"shared{j}" for j in range(60)]
+        text = " ".join(toks)
+        docs.append((doc_id, f"src{doc_id % 2}", "en", text, len(text)))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE doc (doc_id BIGINT, source VARCHAR, lang VARCHAR, "
+        "text VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany("INSERT INTO doc VALUES (?, ?, ?, ?, ?)", docs)
+    con.execute(f"COPY doc TO '{d}/documents.parquet' (FORMAT PARQUET)")
+    con.close()
+    return str(d)
+
+
+def _con_for(sf_dir: str, table: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW {table} AS SELECT * FROM read_parquet('{sf_dir}/{table}.parquet')"
+    )
+    return con
+
+
+def test_multitouch_two_touch_parity(spark, synth_events_dir):
+    con = _con_for(synth_events_dir, "events")
+    compare(
+        QUERIES["wl_multitouch_attribution"](spark, synth_events_dir),
+        con,
+        ORACLES["wl_multitouch_attribution"],
+        key="wl_multitouch_attribution@2touch",
+    )
+    con.close()
+
+
+def test_multitouch_two_touch_conserved(spark, synth_events_dir):
+    """4 users have non-empty paths (lengths 1, 2, 3, 4); both models
+    must hand out exactly 4.0 credits — the 2-touch user gets 0.5+0.5,
+    not 0.4+0.4."""
+    rows = QUERIES["wl_multitouch_attribution"](spark, synth_events_dir).collect()
+    expected = 4.0
+    assert abs(sum(r.linear_attrib for r in rows) - expected) < 1e-6, rows
+    assert abs(sum(r.u_shape_attrib for r in rows) - expected) < 1e-6, rows
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        "dedup_exact_substring",
+        "txt_conditional_entropy",
+        "txt_bigram_lm_score",
+        "txt_boilerplate_strip",
+    ],
+)
+def test_long_doc_oracle_parity(spark, synth_long_docs_dir, key):
+    """Token-position spines must be data-derived on both engines: a
+    400-token corpus with shared spans at positions 300+ still
+    hash-matches."""
+    con = _con_for(synth_long_docs_dir, "documents")
+    compare(
+        QUERIES[key](spark, synth_long_docs_dir),
+        con,
+        ORACLES[key],
+        key=f"{key}@long",
+    )
+    con.close()
+
+
+def test_long_doc_substring_finds_deep_span(spark, synth_long_docs_dir):
+    """The shared 60-token run sits at positions 301-360 — invisible
+    under the old 200-position cap; the fixed spine must surface the
+    (2, 3) duplicate pair."""
+    rows = QUERIES["dedup_exact_substring"](spark, synth_long_docs_dir).collect()
+    pairs = {(r.id1, r.id2) for r in rows}
+    assert (2, 3) in pairs, rows

@@ -735,3 +735,27 @@ def test_bucketed_agg_has_no_exchange(spark, sf_dir):
 def test_sql_hint_broadcast_is_honored(spark, sf_dir):
     plan = plan_of(QUERIES["sql_hint_broadcast"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "key", ["wl_stratified_ate", "txt_oov_curve", "wl_vocab_growth"]
+)
+def test_unbounded_rank_uses_two_pass(spark, sf_dir, key):
+    """Ranks/prefix sums over data-scaled sets (users, vocabulary,
+    doc bins) must use functions/ranks.py's two-pass range shape:
+    a RangePartitioning exchange plus _pid-partitioned windows —
+    never a single-task `WindowExec: No Partition Defined` over the
+    raw relation."""
+    plan = plan_of(QUERIES[key](spark, sf_dir))
+    assert "rangepartitioning" in plan.lower(), plan
+    assert "windowspecdefinition(_pid" in plan, plan
+
+
+def test_threshold_sweep_single_pass(spark, sf_dir):
+    """The 5-cutoff sensitivity curve must scan the (blocked) pair
+    stream ONCE via conditional aggregates — no threshold×pairs
+    cross-join replication."""
+    plan = plan_of(QUERIES["dedup_threshold_sweep"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    # single aggregation over pairs: partial+final over one scan pair
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
