@@ -23,7 +23,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from systematic_review_classification_spark.functions.ranks import global_rank
+from systematic_review_classification_spark.functions.ranks import (
+    global_prefix_sum,
+    global_rank,
+)
 from systematic_review_classification_spark.registry import query
 from systematic_review_classification_spark.sources.tables import load
 
@@ -1069,7 +1072,10 @@ def wl_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     first (bounded axis — the ks_test/vocab_growth discipline), then
     one cumulative sum walks the grid and a per-day max reports the
     peak. The classic interval-overlap question answered with two
-    linear passes — no interval self-join, which is the O(n²) trap."""
+    linear passes — no interval self-join, which is the O(n²) trap.
+    The grid grows with the time span (~525k minutes/year), so the
+    running sum is the two-pass range prefix sum (functions/ranks.py)
+    — unconditional at any span, not just "fine for a few years"."""
     ev = load(spark, sf_dir, "events")
     starts = ev.select(F.date_trunc("minute", "ts").alias("m"), F.lit(1).alias("delta"))
     ends = ev.select(
@@ -1081,7 +1087,7 @@ def wl_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("m")
         .agg(F.sum("delta").cast("bigint").alias("dl"))
     )
-    c = g.select("m", F.sum("dl").over(W.orderBy("m")).alias("concurrent"))
+    c = global_prefix_sum(g, "dl", F.col("m"), out_col="concurrent")
     return (
         c.groupBy(F.date_trunc("day", "m").cast("string").alias("day"))
         .agg(F.max("concurrent").cast("bigint").alias("peak_concurrent"))
@@ -3990,17 +3996,17 @@ def wl_lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     decile (customers ranked poorest→richest by spend) — the curve
     whose area defect wl_gini compresses to one number; the points are
     what the equity/concentration chart actually plots. Deciles by
-    rank arithmetic over the per-customer rollup, cumulative share as
-    a bounded 10-row window. The far-right gap to the diagonal IS the
+    rank arithmetic over the per-customer rollup via the two-pass
+    range rank (functions/ranks.py — customers scale with data);
+    totals ride a 1-row broadcast; cumulative share is a bounded
+    10-row window. The far-right gap to the diagonal IS the
     concentration wl_pareto reads top-down."""
     o = load(spark, sf_dir, "orders")
     s = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("spend"))
-    r = s.select(
-        "spend",
-        F.row_number().over(W.orderBy("spend", "o_custkey")).alias("rnk"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
-        F.sum("spend").over(W.partitionBy()).alias("tot"),
-    )
+    tots = s.agg(F.count(F.lit(1)).alias("n"), F.sum("spend").alias("tot"))
+    r = global_rank(
+        s, F.col("spend"), F.col("o_custkey"), rank_col="rnk"
+    ).join(F.broadcast(tots))
     d = r.select(
         F.ceil(10.0 * F.col("rnk") / F.col("n")).cast("int").alias("decile"),
         "spend",

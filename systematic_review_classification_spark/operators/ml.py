@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from systematic_review_classification_spark.functions.ranks import global_rank
 from systematic_review_classification_spark.registry import query
 from systematic_review_classification_spark.sources.tables import load
 
@@ -1303,12 +1304,10 @@ def ml_screen_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = feat.join(F.broadcast(w)).select(
         "doc_id", "y", F.round(z, 6).alias("z")
     )
-    ranked = scored.select(
-        "y",
-        F.row_number().over(W.orderBy(F.col("z").desc(), "doc_id")).alias("rnk"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
-        F.sum("y").over(W.partitionBy()).alias("n_pos"),
-    )
+    tots = scored.agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos"))
+    ranked = global_rank(
+        scored, F.col("z").desc(), F.col("doc_id"), rank_col="rnk"
+    ).join(F.broadcast(tots))
     return ranked.agg(
         F.max("n").cast("bigint").alias("n"),
         F.max("n_pos").cast("bigint").alias("n_pos"),
@@ -1541,12 +1540,10 @@ def ml_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = feat.select(
         "doc_id", "y", F.round(0.6 * F.col("x2") + 0.4 * F.col("x1"), 6).alias("score")
     )
-    ranked = scored.select(
-        "y",
-        F.row_number().over(W.orderBy(F.col("score").desc(), "doc_id")).alias("rnk"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
-        F.sum("y").over(W.partitionBy()).alias("n_pos"),
-    )
+    tots = scored.agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos"))
+    ranked = global_rank(
+        scored, F.col("score").desc(), F.col("doc_id"), rank_col="rnk"
+    ).join(F.broadcast(tots))
     dec = ranked.select(
         F.ceil(10.0 * F.col("rnk") / F.col("n")).cast("int").alias("decile"),
         "y",

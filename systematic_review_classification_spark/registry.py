@@ -61,7 +61,8 @@ _PRIORITY: list[str] = [
     "txt_conditional_entropy", "txt_bigram_lm_score",
     "txt_boilerplate_strip", "wl_embedding_drift", "wl_stratified_ate",
     "txt_oov_curve", "wl_vocab_growth", "dedup_threshold_sweep",
-    "agg_partial_final", "stream_rate_smoke",
+    "agg_partial_final", "stream_rate_smoke", "wl_concurrency",
+    "wl_lorenz_points", "ml_screen_e2e", "ml_gains_table",
     # (b) never-driver-verified keys, prior order preserved (the ~50-key
     # r4 window ends somewhere inside this block; r5 continues from
     # wherever CORRECTNESS_r04.json stops).
@@ -75,13 +76,13 @@ _PRIORITY: list[str] = [
     "wl_benford", "wl_ks_test", "wl_path_trigrams", "sql_group_by_all",
     "agg_sketch_merge", "agg_higher_moments", "dedup_minhash_eval",
     "sim_sparse_cosine", "join_bloom_prefilter", "ml_knn_classify",
-    "wl_forget_users", "sql_cluster_by", "wl_concurrency",
+    "wl_forget_users", "sql_cluster_by", 
     "txt_bpe_pair_counts", "fn_xml", "wl_pretrain_pipeline",
     "sql_window_clause", "sim_rp_lsh", "src_fixed_width", "fn_phonetic",
     "txt_ocr_artifact_filter", "ml_logreg_gd", "ml_nb_portable",
     "agg_variance_merge", "ml_kmeans_portable", "graph_bfs_levels",
     "mm_modality_router", "src_weblog", "wl_prisma_flow",
-    "wl_cohens_kappa", "ml_feature_mi", "ml_screen_e2e",
+    "wl_cohens_kappa", "ml_feature_mi", 
     "ml_split_leakage", "join_asof_forward", "scan_manifest_table",
     "wl_decayed_popularity", "wl_cuped", "win_rolling_zscore",
     "sample_reservoir_merge", "wl_soft_dedup_sampling",
@@ -97,7 +98,7 @@ _PRIORITY: list[str] = [
     "rt_analyze_stats", "wl_date_dim", "wl_hygiene_attribution",
     "wl_rank_correlation", "graph_clustering_coeff", "graph_powerlaw_fit",
     "wl_psi_drift", "wl_kl_source_mix", "win_top_percent",
-    "wl_kaplan_meier", "ml_gains_table", "wl_paired_ttest",
+    "wl_kaplan_meier", "wl_paired_ttest",
     "wl_percent_of_parent", "wl_cusum", "wl_control_chart", "wl_theil_sen",
     "wl_anova_seasonality", "wl_simpson_check", "wl_poisson_bootstrap",
     "wl_winsorized_mean", "txt_burstiness", "txt_chao1_richness",
@@ -111,7 +112,7 @@ _PRIORITY: list[str] = [
     "wl_growth_accounting", "wl_diff_in_diff", "wl_daily_quantile_bands",
     "wl_error_budget", "wl_engagement_hist", "wl_anomaly_deseasonalized",
     "wl_rate_volume_mix", "wl_stickiness", "wl_arc_elasticity",
-    "wl_lorenz_points", "txt_logodds_shift", "wl_pareto_frontier",
+    "txt_logodds_shift", "wl_pareto_frontier",
     "wl_markov_absorbing", "wl_q11_partvalue", "wl_q20_excess",
     "wl_seasonality", "wl_skew_report", "wl_resample_ffill",
     "sample_reservoir", "agg_grouping_id", "agg_corr_matrix",

@@ -63,5 +63,32 @@ def get_session(app_name: str = "systematic-review-classification-spark", cpus: 
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _quiet_bounded_window_warning(spark)
     ensure_confs(spark)
     return spark
+
+
+def _quiet_bounded_window_warning(spark: SparkSession) -> None:
+    """Raise WindowExec's log level to ERROR for this JVM.
+
+    Every REMAINING unpartitioned window in this codebase runs over a
+    provably bounded relation — calendar days, fixed deciles/bins, a
+    post-`limit(100)` top-k, or the two-pass rank's per-partition
+    stats table (functions/ranks.py) — where single-partition
+    execution is the correct plan. All data-scaled ranks/prefix sums
+    were converted to the two-pass range shape and are pinned by
+    tests/test_plans.py::test_unbounded_rank_uses_two_pass, so the
+    blanket `WindowExec: No Partition Defined` warning is pure noise
+    here; silencing it keeps real regressions visible in the bench
+    tail. (Spark folds constant partition keys, so `partitionBy(
+    lit(0))` cannot silence it structurally.)"""
+    try:
+        jvm = spark.sparkContext._jvm
+        logger = jvm.org.apache.logging.log4j.LogManager.getLogger(
+            "org.apache.spark.sql.execution.window.WindowExec"
+        )
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            logger.getName(), jvm.org.apache.logging.log4j.Level.ERROR
+        )
+    except Exception:
+        pass  # log4j internals unavailable — warning stays, behavior unchanged

@@ -738,7 +738,12 @@ def test_sql_hint_broadcast_is_honored(spark, sf_dir):
 
 
 @pytest.mark.parametrize(
-    "key", ["wl_stratified_ate", "txt_oov_curve", "wl_vocab_growth"]
+    "key",
+    [
+        "wl_stratified_ate", "txt_oov_curve", "wl_vocab_growth",
+        "wl_concurrency", "wl_lorenz_points", "ml_screen_e2e",
+        "ml_gains_table",
+    ],
 )
 def test_unbounded_rank_uses_two_pass(spark, sf_dir, key):
     """Ranks/prefix sums over data-scaled sets (users, vocabulary,
