@@ -30,23 +30,47 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
-def _with_offsets(df: DataFrame, order: tuple[Column, ...], stat: Column):
+def _with_offsets(
+    df: DataFrame,
+    order: tuple[Column, ...],
+    stat: Column,
+    totals: dict[str, Column] | None = None,
+):
     """Range-partition ``df`` on ``order``; return (tagged df, per-
-    partition cumulative offsets of ``stat``, in-partition window)."""
+    partition cumulative offsets of ``stat``, in-partition window).
+    ``totals`` aggregates ride the SAME per-partition stats pass and
+    come back as 1-row broadcast columns — global counts/sums cost no
+    extra scan of the base relation (the range exchange is reused for
+    the stats branch and the rank branch)."""
     d = df.repartitionByRange(*order).withColumn("_pid", F.spark_partition_id())
-    pstats = d.groupBy("_pid").agg(stat.alias("_pstat"))
+    totals = totals or {}
+    pstats = d.groupBy("_pid").agg(
+        stat.alias("_pstat"),
+        *[v.alias(f"_t_{k}") for k, v in totals.items()],
+    )
     w_prev = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
     offs = pstats.select(
         "_pid", F.coalesce(F.sum("_pstat").over(w_prev), F.lit(0)).alias("_off")
     )
+    tagged = d.join(F.broadcast(offs), "_pid")
+    if totals:
+        tot = pstats.agg(*[F.sum(f"_t_{k}").alias(k) for k in totals])
+        tagged = tagged.join(F.broadcast(tot))
     w_in = W.partitionBy("_pid").orderBy(*order)
-    return d.join(F.broadcast(offs), "_pid"), w_in
+    return tagged, w_in
 
 
-def global_rank(df: DataFrame, *order: Column, rank_col: str = "rnk") -> DataFrame:
+def global_rank(
+    df: DataFrame,
+    *order: Column,
+    rank_col: str = "rnk",
+    totals: dict[str, Column] | None = None,
+) -> DataFrame:
     """``row_number() over (ORDER BY *order)`` without the single-task
-    window. ``order`` must be a total order (include a tie-break)."""
-    tagged, w_in = _with_offsets(df, order, F.count(F.lit(1)))
+    window. ``order`` must be a total order (include a tie-break).
+    Pass ``totals={"n": F.count(F.lit(1)), ...}`` to get global
+    aggregates as extra columns for free (see ``_with_offsets``)."""
+    tagged, w_in = _with_offsets(df, order, F.count(F.lit(1)), totals)
     return tagged.withColumn(
         rank_col, F.row_number().over(w_in) + F.col("_off")
     ).drop("_pid", "_off")

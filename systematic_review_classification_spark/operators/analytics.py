@@ -3449,10 +3449,13 @@ def wl_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
         ).alias("outcome"),
     )
-    n_tot = act.agg(F.count(F.lit(1)).alias("n"))
     ranked = global_rank(
-        act, F.col("n_events"), F.col("user_id"), rank_col="rnk"
-    ).join(F.broadcast(n_tot))
+        act,
+        F.col("n_events"),
+        F.col("user_id"),
+        rank_col="rnk",
+        totals={"n": F.count(F.lit(1))},
+    )
     strat = ranked.select(
         "treated",
         "outcome",
@@ -4003,10 +4006,13 @@ def wl_lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     concentration wl_pareto reads top-down."""
     o = load(spark, sf_dir, "orders")
     s = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("spend"))
-    tots = s.agg(F.count(F.lit(1)).alias("n"), F.sum("spend").alias("tot"))
     r = global_rank(
-        s, F.col("spend"), F.col("o_custkey"), rank_col="rnk"
-    ).join(F.broadcast(tots))
+        s,
+        F.col("spend"),
+        F.col("o_custkey"),
+        rank_col="rnk",
+        totals={"n": F.count(F.lit(1)), "tot": F.sum("spend")},
+    )
     d = r.select(
         F.ceil(10.0 * F.col("rnk") / F.col("n")).cast("int").alias("decile"),
         "spend",

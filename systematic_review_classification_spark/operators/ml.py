@@ -1304,10 +1304,13 @@ def ml_screen_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = feat.join(F.broadcast(w)).select(
         "doc_id", "y", F.round(z, 6).alias("z")
     )
-    tots = scored.agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos"))
     ranked = global_rank(
-        scored, F.col("z").desc(), F.col("doc_id"), rank_col="rnk"
-    ).join(F.broadcast(tots))
+        scored,
+        F.col("z").desc(),
+        F.col("doc_id"),
+        rank_col="rnk",
+        totals={"n": F.count(F.lit(1)), "n_pos": F.sum("y")},
+    )
     return ranked.agg(
         F.max("n").cast("bigint").alias("n"),
         F.max("n_pos").cast("bigint").alias("n_pos"),
@@ -1540,10 +1543,13 @@ def ml_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = feat.select(
         "doc_id", "y", F.round(0.6 * F.col("x2") + 0.4 * F.col("x1"), 6).alias("score")
     )
-    tots = scored.agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos"))
     ranked = global_rank(
-        scored, F.col("score").desc(), F.col("doc_id"), rank_col="rnk"
-    ).join(F.broadcast(tots))
+        scored,
+        F.col("score").desc(),
+        F.col("doc_id"),
+        rank_col="rnk",
+        totals={"n": F.count(F.lit(1)), "n_pos": F.sum("y")},
+    )
     dec = ranked.select(
         F.ceil(10.0 * F.col("rnk") / F.col("n")).cast("int").alias("decile"),
         "y",

@@ -790,3 +790,89 @@ def sim_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("cos") >= 0.3).select(
         "id1", "id2", F.round("cos", 6).alias("cos_sim")
     )
+
+
+@query(
+    "sim_semdedup_centroid",
+    oracle="""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+d AS (
+  SELECT label, i, avg(v[i]) AS c
+  FROM e CROSS JOIN UNNEST(range(1, len(v) + 1)) AS r(i)
+  GROUP BY label, i),
+cn AS (SELECT label, sqrt(sum(c * c)) AS cnorm FROM d GROUP BY label),
+item AS (
+  SELECT e.vec_id, e.label,
+         sum(v[d.i] * d.c) AS dot,
+         sqrt(sum(v[d.i] * v[d.i])) AS vn
+  FROM e JOIN d ON e.label = d.label GROUP BY e.vec_id, e.label)
+SELECT item.label,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CASE WHEN dot / (vn * cnorm) >= 0.25 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup,
+       round(1.0 - sum(CASE WHEN dot / (vn * cnorm) >= 0.25 THEN 1 ELSE 0 END)
+               / count(*), 6) AS keep_rate,
+       round(avg(dot / (vn * cnorm)), 6) AS mean_cos
+FROM item JOIN cn USING (label) GROUP BY item.label
+""",
+)
+def sim_semdedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style SEMANTIC dedup: items too close to their
+    cluster centroid are redundant and pruned — the
+    embedding-cluster complement to dedup_embed_cos's pairwise check
+    (pairwise finds copies; centroid pruning finds the dense core of
+    near-identical meaning). Cluster = the label column here; a real
+    pipeline plugs ml_kmeans's assignment in unchanged. Reports per
+    cluster: size, items above the prune threshold, keep rate, mean
+    centroid-cosine. τ = 0.25 fits the synthetic near-random
+    embeddings (their centroid cosines top out ≈0.33); production
+    embeddings use τ ≈ 0.95+ — a knob, not a shape change.
+
+    Scale shape: ONE items×dim explode feeds the per-(cluster, dim)
+    centroid aggregate (the only data-sized shuffle); centroids
+    (|clusters| × 64, trivially bounded) collapse back to arrays and
+    BROADCAST onto items, where the cosine is a JVM zip_with fold —
+    no UDF, no pairwise join, items never shuffle again."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    dims = e.select("label", F.posexplode("v").alias("i", "x"))
+    cent = (
+        dims.groupBy("label", "i")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("s"))
+        .select(
+            "label",
+            F.transform("s", lambda t: t.getField("c")).alias("cv"),
+        )
+        .select(
+            "label",
+            "cv",
+            F.sqrt(
+                F.aggregate(
+                    F.transform("cv", lambda x: x * x),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            ).alias("cnorm"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    vn = F.sqrt(
+        F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    scored = e.join(F.broadcast(cent), "label").select(
+        "label", (dot / (vn * F.col("cnorm"))).alias("cos")
+    )
+    is_dup = F.when(F.col("cos") >= 0.25, 1).otherwise(0)
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(is_dup).cast("bigint").alias("n_dup"),
+        F.round(1.0 - F.sum(is_dup) / F.count(F.lit(1)), 6).alias("keep_rate"),
+        F.round(F.avg("cos"), 6).alias("mean_cos"),
+    )

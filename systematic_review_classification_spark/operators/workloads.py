@@ -1005,3 +1005,51 @@ def wl_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(
         (F.weekday("ts") + 1).alias("dow"), F.hour("ts").alias("hr")
     ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+
+
+@query(
+    "wl_temperature_mix",
+    oracle="""
+WITH src AS (
+  SELECT source, CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(len(string_split(text, ' '))) AS DOUBLE) AS toks
+  FROM documents GROUP BY source),
+tot AS (SELECT sum(n) AS nt, sum(pow(n, 0.3)) AS zt FROM src)
+SELECT source,
+       CAST(n AS BIGINT) AS n_docs,
+       round(n / tot.nt, 6) AS natural_share,
+       round(pow(n, 0.3) / tot.zt, 6) AS temp_share,
+       round((pow(n, 0.3) / tot.zt) / (n / tot.nt), 6) AS upsample_factor,
+       CAST(round(toks * (pow(n, 0.3) / tot.zt) / (n / tot.nt), 0) AS BIGINT)
+         AS epoch_token_budget
+FROM src, tot
+""",
+)
+def wl_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-scaled mixture weights: p_i ∝ n_i^α (α = 0.3), the
+    standard low-resource upsampling formula multilingual/multi-domain
+    pretraining uses to keep head sources from drowning the tail
+    (wl_domain_mix APPLIES a hand-set mix; this DERIVES the mix from
+    corpus counts). Reports natural vs temperature share, the
+    upsample factor each source gets, and the per-epoch token budget
+    that factor implies. One per-source hash agg + a 1-row broadcast
+    of the two normalizers — nothing here scales with documents, only
+    with |sources|."""
+    d = load(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.size(F.split("text", " "))).cast("double").alias("toks"),
+    )
+    tot = src.agg(
+        F.sum("n").alias("nt"), F.sum(F.pow("n", F.lit(0.3))).alias("zt")
+    )
+    w = F.pow("n", F.lit(0.3)) / F.col("zt")
+    nat = F.col("n") / F.col("nt")
+    return src.join(F.broadcast(tot)).select(
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round(nat, 6).alias("natural_share"),
+        F.round(w, 6).alias("temp_share"),
+        F.round(w / nat, 6).alias("upsample_factor"),
+        F.round(F.col("toks") * w / nat, 0).cast("bigint").alias("epoch_token_budget"),
+    )

@@ -63,6 +63,7 @@ _PRIORITY: list[str] = [
     "txt_oov_curve", "wl_vocab_growth", "dedup_threshold_sweep",
     "agg_partial_final", "stream_rate_smoke", "wl_concurrency",
     "wl_lorenz_points", "ml_screen_e2e", "ml_gains_table",
+    "wl_temperature_mix", "sim_semdedup_centroid",
     # (b) never-driver-verified keys, prior order preserved (the ~50-key
     # r4 window ends somewhere inside this block; r5 continues from
     # wherever CORRECTNESS_r04.json stops).
