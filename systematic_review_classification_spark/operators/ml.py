@@ -1271,9 +1271,13 @@ def ml_screen_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     library models as rows-only keys; here every number — weights,
     scores, the ranked cut, the recall — is bit-checked against the
     oracle. Ranking uses the 6-dp-rounded score with doc_id tie-break
-    (both engines cut the identical top decile); the global rank is a
-    window here for oracle parity — the production form is
-    ml_eval_auc's two-pass range rank."""
+    (both engines cut the identical top decile) through the two-pass
+    range rank. The feature matrix is persisted across the GD
+    iterations — wl_pagerank3's discipline: the loop re-reads feat
+    2×(grad) + 1×(score) + the rank's stats branch, and at cluster
+    scale that is 4 corpus scans vs one cached columnar block (a
+    real deployment checkpoints instead when lineage depth
+    matters)."""
     d = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     feat = d.select(
@@ -1285,7 +1289,7 @@ def ml_screen_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.filter(toks, lambda t: t.isin(*_GD_STOP))).cast("double")
             / F.size(toks)
         ).alias("x2"),
-    )
+    ).persist()
     w = spark.createDataFrame([(0.0, 0.0, 0.0)], "w0 double, w1 double, w2 double")
     for _ in range(2):
         z = F.col("w0") * F.col("x0") + F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2")

@@ -93,6 +93,9 @@ _EVENT_KEYS = [
     "win_running_distinct", "wl_path_trigrams", "wl_hour_heatmap", "win_ewma",
     "wl_interval_union", "wl_lateness_profile", "wl_cusum", "wl_control_chart",
     "wl_concurrency",
+    # r4: branchy conversion/censoring logic the fixture under-covers
+    # (any path length incl. 2-touch, empty treatment arms, all-censored)
+    "wl_multitouch_attribution", "wl_kaplan_meier", "wl_stratified_ate",
 ]
 
 
@@ -203,3 +206,77 @@ def test_order_oracles_hold_on_generated_tables(spark, corpus_dir, orders):
             assert sp == du, f"[{key}] diverged on generated orders {o_rows!r}"
     finally:
         con.close()
+
+
+# --- functions/ranks.py: the two-pass primitives vs the naive window ---
+
+_VALS = st.lists(
+    st.tuples(st.integers(-1000, 1000), st.integers(0, 5)),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(vals=_VALS)
+def test_global_rank_equals_naive_window(spark, vals):
+    """global_rank must equal row_number() over the same total order
+    for any data/partitioning — including duplicates in the range key
+    (id breaks ties), empty range partitions, and tiny inputs."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from systematic_review_classification_spark.functions.ranks import (
+        global_prefix_sum,
+        global_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(i, k, w) for i, (k, w) in enumerate(vals)], "id long, k long, w long"
+    )
+    got = {
+        r.id: r.rnk
+        for r in global_rank(df, F.col("k"), F.col("id"), rank_col="rnk").collect()
+    }
+    want = {
+        r.id: r.rnk
+        for r in df.select(
+            "id", F.row_number().over(W.orderBy("k", "id")).alias("rnk")
+        ).collect()
+    }
+    assert got == want
+
+    got_ps = {
+        r.id: r.cum
+        for r in global_prefix_sum(df, "w", F.col("k"), F.col("id")).collect()
+    }
+    want_ps = {
+        r.id: r.cum
+        for r in df.select(
+            "id", F.sum("w").over(W.orderBy("k", "id")).alias("cum")
+        ).collect()
+    }
+    assert got_ps == want_ps
+
+
+def test_global_rank_totals_match_aggregates(spark):
+    from pyspark.sql import functions as F
+
+    from systematic_review_classification_spark.functions.ranks import global_rank
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("k"), (F.col("id") * 2).alias("w")
+    )
+    out = global_rank(
+        df,
+        F.col("k"),
+        F.col("id"),
+        rank_col="rnk",
+        totals={"n": F.count(F.lit(1)), "tw": F.sum("w")},
+    )
+    row = out.select("n", "tw").distinct().collect()
+    assert row == [(100, 9900)], row
