@@ -442,7 +442,7 @@ tot AS (SELECT source, sum(n) AS tot FROM c GROUP BY source)
 SELECT c.source,
        CAST(count(*) AS INTEGER) AS n_langs,
        round(-sum((CAST(n AS DOUBLE) / tot) * ln(CAST(n AS DOUBLE) / tot)), 6)
-         AS lang_entropy
+         + 0.0 AS lang_entropy
 FROM c JOIN tot ON c.source = tot.source
 GROUP BY c.source
 """,
@@ -469,7 +469,8 @@ def wl_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_langs"),
-            F.round(-F.sum(p * F.log(p)), 6).alias("lang_entropy"),
+            # + 0.0 kills IEEE -0.0 for monolingual sources (p=1 ⇒ sum=0)
+            (F.round(-F.sum(p * F.log(p)), 6) + 0.0).alias("lang_entropy"),
         )
     )
 

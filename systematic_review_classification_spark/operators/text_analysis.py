@@ -873,8 +873,8 @@ c2 AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS n12 FROM bg GROUP BY 1, 2),
 c1 AS (SELECT w1, sum(n12) AS n1 FROM c2 GROUP BY w1),
 tot AS (SELECT sum(n12) AS nt FROM c2)
 SELECT CAST(tot.nt AS BIGINT) AS n_bigrams,
-       round(-sum((c2.n12 / tot.nt) * ln(c2.n12 / c1.n1)), 6) AS h_cond,
-       round(-sum((c2.n12 / tot.nt) * ln(c2.n12 / tot.nt)), 6) AS h_joint
+       round(-sum((c2.n12 / tot.nt) * ln(c2.n12 / c1.n1)), 6) + 0.0 AS h_cond,
+       round(-sum((c2.n12 / tot.nt) * ln(c2.n12 / tot.nt)), 6) + 0.0 AS h_joint
 FROM c2 JOIN c1 USING (w1), tot
 GROUP BY tot.nt
 """,
@@ -908,14 +908,32 @@ def txt_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 = c2.groupBy("w1").agg(F.sum("n12").alias("n1"))
     tot = c2.agg(F.sum("n12").alias("nt"))
     j = c2.join(c1, "w1").join(F.broadcast(tot))
-    return j.agg(
-        F.max("nt").cast("bigint").alias("n_bigrams"),
-        F.round(
-            -F.sum((F.col("n12") / F.col("nt")) * F.log(F.col("n12") / F.col("n1"))), 6
-        ).alias("h_cond"),
-        F.round(
-            -F.sum((F.col("n12") / F.col("nt")) * F.log(F.col("n12") / F.col("nt"))), 6
-        ).alias("h_joint"),
+    # grouped on the (single-valued) corpus total so a bigram-free
+    # corpus yields ZERO rows, matching the oracle's grouped aggregate
+    # — a global agg would emit one all-NULL row instead
+    return (
+        j.groupBy("nt")
+        .agg(
+            (
+                F.round(
+                    -F.sum(
+                        (F.col("n12") / F.col("nt")) * F.log(F.col("n12") / F.col("n1"))
+                    ),
+                    6,
+                )
+                + 0.0  # kill IEEE -0.0 when the entropy sum is exactly zero
+            ).alias("h_cond"),
+            (
+                F.round(
+                    -F.sum(
+                        (F.col("n12") / F.col("nt")) * F.log(F.col("n12") / F.col("nt"))
+                    ),
+                    6,
+                )
+                + 0.0
+            ).alias("h_joint"),
+        )
+        .select(F.col("nt").cast("bigint").alias("n_bigrams"), "h_cond", "h_joint")
     )
 
 

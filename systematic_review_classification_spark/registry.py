@@ -63,7 +63,7 @@ _PRIORITY: list[str] = [
     "txt_oov_curve", "wl_vocab_growth", "dedup_threshold_sweep",
     "agg_partial_final", "stream_rate_smoke", "wl_concurrency",
     "wl_lorenz_points", "ml_screen_e2e", "ml_gains_table",
-    "wl_temperature_mix", "sim_semdedup_centroid",
+    "wl_temperature_mix", "sim_semdedup_centroid", "wl_mix_entropy",
     # (b) never-driver-verified keys, prior order preserved (the ~50-key
     # r4 window ends somewhere inside this block; r5 continues from
     # wherever CORRECTNESS_r04.json stops).
@@ -133,7 +133,7 @@ _PRIORITY: list[str] = [
     "agg_linreg", "txt_collocation", "txt_zipf", "fn_struct",
     "sim_topk_int8", "wl_q16_suppcnt", "wl_q2_mincost", "wl_pagerank3",
     "ml_pca", "join_null_safe", "agg_mode_tiebreak", "fn_format",
-    "scan_metadata_cols", "txt_stem", "wl_ab_ttest", "wl_mix_entropy",
+    "scan_metadata_cols", "txt_stem", "wl_ab_ttest",
     "join_asof_tolerance", "dedup_keep_best", "win_gaps_islands", "wl_rfm",
     "set_ops_all", "fn_base64", "txt_readability", "wl_snapshot_diff",
     "wl_markov_transitions", "wl_pareto", "ml_feature_cross",

@@ -280,3 +280,65 @@ def test_global_rank_totals_match_aggregates(spark):
     )
     row = out.select("n", "tw").distinct().collect()
     assert row == [(100, 9900)], row
+
+
+# --- r4: position-arithmetic / entropy / growth-curve document keys ---
+# The advisor-bug class: oracles that enumerate token positions,
+# bigrams, or growth bins can silently hard-code fixture shape (the r3
+# 200-position cap). Fuzz them with LONG documents (up to ~300 tokens,
+# repeated runs, shared spans across docs) that the driver fixture
+# never produces.
+
+_LONG_TEXT = st.lists(
+    st.tuples(_WORDS, st.integers(min_value=1, max_value=40)),
+    min_size=1,
+    max_size=12,
+).map(lambda runs: " ".join(w for w, n in runs for _ in range(n)))
+
+_LONG_DOC = st.tuples(
+    _LONG_TEXT, st.sampled_from(["en", "unk"]), st.sampled_from(["s0", "s1"])
+)
+_LONG_CORPUS = st.lists(_LONG_DOC, min_size=1, max_size=6)
+
+_LONG_KEYS = [
+    "dedup_exact_substring",
+    "txt_bigram_lm_score",
+    "txt_conditional_entropy",
+    "txt_boilerplate_strip",
+    "txt_oov_curve",
+    "txt_repetition",
+    "txt_burstiness",
+    "wl_vocab_growth",
+    "txt_heaps_fit",
+    "txt_novelty_rate",
+]
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(corpus=_LONG_CORPUS)
+def test_long_document_oracles_hold(spark, corpus_dir, corpus):
+    rows = [
+        (i, text, lang, source, len(text))
+        for i, (text, lang, source) in enumerate(corpus)
+    ]
+    path = str(corpus_dir / "longcase")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+    queries, oracles = all_queries(), all_oracles()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/documents.parquet/*.parquet')"
+    )
+    try:
+        for key in _LONG_KEYS:
+            sp = canonical_rows(queries[key](spark, path).toPandas())
+            du = canonical_rows(con.execute(oracles[key]).df())
+            assert sp == du, f"[{key}] diverged on generated corpus {rows!r}"
+    finally:
+        con.close()
