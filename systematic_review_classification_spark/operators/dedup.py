@@ -384,12 +384,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_embed_cos",
     oracle="""
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT * FROM (
+       SELECT vec_id, label, embedding::DOUBLE[] AS v,
+              sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+                               (x, y) -> x + y)) AS nn
+       FROM embeddings) WHERE nn > 0),
 pairs AS (
   SELECT a.vec_id AS id1, b.vec_id AS id2,
          round(list_reduce(list_transform(list_zip(a.v, b.v), q -> q[1] * q[2]), (x, y) -> x + y)
-               / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
-                  * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y))), 6) AS cos_sim
+               / (a.nn * b.nn), 6) AS cos_sim
   FROM e a JOIN e b
     ON a.label = b.label AND a.vec_id < b.vec_id AND a.vec_id % 10 = 0)
 SELECT id1, id2, cos_sim FROM pairs WHERE cos_sim >= 0.3
@@ -408,14 +411,16 @@ def dedup_embed_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = F.sqrt(
         F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
     )
+    # zero-norm embeddings (padding / failed encodes) carry no
+    # direction — excluded on both engines; ANSI division would abort
     a = e.filter(F.col("vec_id") % 10 == 0).select(
         F.col("vec_id").alias("id1"), F.col("label").alias("l1"),
         F.col("v").alias("v1"), norm.alias("n1"),
-    )
+    ).filter(F.col("n1") > 0)
     b = e.select(
         F.col("vec_id").alias("id2"), F.col("label").alias("l2"),
         F.col("v").alias("v2"), norm.alias("n2"),
-    )
+    ).filter(F.col("n2") > 0)
     dot = F.aggregate(
         F.zip_with("v1", "v2", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
     )
@@ -854,13 +859,16 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_degree_hist",
     oracle="""
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT * FROM (
+       SELECT vec_id, label, embedding::DOUBLE[] AS v,
+              sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+                               (x, y) -> x + y)) AS nn
+       FROM embeddings) WHERE nn > 0),
 pairs AS (
   SELECT a.vec_id AS id1, b.vec_id AS id2
   FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
   WHERE round(list_reduce(list_transform(list_zip(a.v, b.v), q -> q[1] * q[2]), (x, y) -> x + y)
-              / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
-                 * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y))), 6) >= 0.2),
+              / (a.nn * b.nn), 6) >= 0.2),
 deg AS (
   SELECT node, count(*) AS degree FROM (
     SELECT id1 AS node FROM pairs UNION ALL SELECT id2 AS node FROM pairs) n
@@ -881,7 +889,7 @@ def dedup_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
     norm = F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
-    e = e.withColumn("nrm", norm)
+    e = e.withColumn("nrm", norm).filter(F.col("nrm") > 0)
     a, b = e.alias("a"), e.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),

@@ -1027,16 +1027,17 @@ bm AS (
   GROUP BY tf.doc_id),
 bmr AS (SELECT doc_id, row_number() OVER (ORDER BY round(s, 6) DESC, doc_id) AS r
         FROM bm),
-e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-qv AS (SELECT v AS q,
-              sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS qn
-       FROM e WHERE vec_id = 0),
+e AS (SELECT * FROM (
+       SELECT vec_id, embedding::DOUBLE[] AS v,
+              sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+                               (a, b) -> a + b)) AS nn
+       FROM embeddings) WHERE nn > 0),
+qv AS (SELECT v AS q, nn AS qn FROM e WHERE vec_id = 0),
 es AS (
   SELECT e.vec_id AS doc_id,
          round(list_reduce(list_transform(list_zip(e.v, qv.q), p -> p[1] * p[2]),
                            (a, b) -> a + b)
-               / (sqrt(list_reduce(list_transform(e.v, x -> x * x), (a, b) -> a + b))
-                  * qv.qn), 6) AS cos
+               / (e.nn * qv.qn), 6) AS cos
   FROM e, qv WHERE e.vec_id <> 0),
 esr AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS r FROM es),
 fused AS (
@@ -1097,8 +1098,11 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     nn = F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    # zero-norm vectors excluded on both engines (undefined cosine;
+    # ANSI division would abort the job)
+    e = e.withColumn("nn", F.sqrt(nn)).filter(F.col("nn") > 0)
     qv = e.filter(F.col("vec_id") == 0).select(
-        F.col("v").alias("q"), F.sqrt(nn).alias("qn")
+        F.col("v").alias("q"), F.col("nn").alias("qn")
     )
     dot = F.aggregate(
         F.zip_with("v", "q", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
@@ -1108,7 +1112,7 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(qv))
         .select(
             F.col("vec_id").alias("doc_id"),
-            F.round(dot / (F.sqrt(nn) * F.col("qn")), 6).alias("cos"),
+            F.round(dot / (F.col("nn") * F.col("qn")), 6).alias("cos"),
         )
     )
     esr = es.select(

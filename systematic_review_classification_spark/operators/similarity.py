@@ -34,13 +34,16 @@ def _norm(a):
     "sim_cosine_topk",
     oracle="""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-probes AS (SELECT * FROM e WHERE vec_id < 100),
+n AS (SELECT * FROM (
+        SELECT vec_id, label, v,
+               sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nn
+        FROM e) WHERE nn > 0),
+probes AS (SELECT * FROM n WHERE vec_id < 100),
 pairs AS (
   SELECT p.vec_id AS id1, c.vec_id AS id2,
          round(list_reduce(list_transform(list_zip(p.v, c.v), q -> q[1] * q[2]), (a, b) -> a + b)
-               / (sqrt(list_reduce(list_transform(p.v, x -> x * x), (a, b) -> a + b))
-                  * sqrt(list_reduce(list_transform(c.v, x -> x * x), (a, b) -> a + b))), 6) AS cos_sim
-  FROM probes p JOIN e c ON p.label = c.label AND p.vec_id <> c.vec_id)
+               / (p.nn * c.nn), 6) AS cos_sim
+  FROM probes p JOIN n c ON p.label = c.label AND p.vec_id <> c.vec_id)
 SELECT id1, id2, cos_sim, rn FROM (
   SELECT *, row_number() OVER (PARTITION BY id1 ORDER BY cos_sim DESC, id2) AS rn
   FROM pairs)
@@ -50,7 +53,10 @@ WHERE rn <= 3
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked brute-force cosine top-k: probe set ⋈ candidates within
     the same label block, zip_with dot product, windowed top-3.
-    Ranking uses the rounded similarity + id tie-break → deterministic."""
+    Ranking uses the rounded similarity + id tie-break → deterministic.
+    Zero-norm vectors (all-zero embeddings — padding/failed encodes in
+    a real corpus) are excluded up front: their cosine is undefined,
+    and under ANSI mode the division would abort the whole job."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _dbl(F.col("embedding")).alias("v")
     )
@@ -60,11 +66,11 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = e.filter(F.col("vec_id") < 100).select(
         F.col("vec_id").alias("id1"), F.col("label").alias("l1"),
         F.col("v").alias("v1"), _norm(F.col("v")).alias("n1"),
-    )
+    ).filter(F.col("n1") > 0)
     cand = e.select(
         F.col("vec_id").alias("id2"), F.col("label").alias("l2"),
         F.col("v").alias("v2"), _norm(F.col("v")).alias("n2"),
-    )
+    ).filter(F.col("n2") > 0)
     pairs = probes.join(
         cand, (F.col("l1") == F.col("l2")) & (F.col("id1") != F.col("id2"))
     ).select(
@@ -128,7 +134,7 @@ def sim_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT vec_id,
        round(sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)), 6) AS l2,
-       round(v[1] / sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)), 6) AS unit_first,
+       round(v[1] / nullif(sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)), 0), 6) AS unit_first,
        round(v[1] * 2 + 1, 6)  AS scaled_first,
        round(list_reduce(v, (a, b) -> a + b), 6) AS comp_sum
 FROM e
@@ -136,14 +142,16 @@ FROM e
 )
 def mm_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-column math: L2 norm, normalization, affine scale,
-    component sum — all higher-order functions, zero Python."""
+    component sum — all higher-order functions, zero Python. A
+    zero-norm vector normalizes to NULL (undefined direction) rather
+    than aborting the job under ANSI division."""
     e = load(spark, sf_dir, "embeddings")
     v = _dbl(F.col("embedding"))
     n = _norm(v)
     return e.select(
         "vec_id",
         F.round(n, 6).alias("l2"),
-        F.round(F.element_at(v, 1) / n, 6).alias("unit_first"),
+        F.round(F.element_at(v, 1) / F.nullif(n, F.lit(0.0)), 6).alias("unit_first"),
         F.round(F.element_at(v, 1) * 2 + 1, 6).alias("scaled_first"),
         F.round(F.aggregate(v, F.lit(0.0), lambda s, x: s + x), 6).alias("comp_sum"),
     )
@@ -217,13 +225,16 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sim_bruteforce_topk",
     oracle="""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT * FROM (
+       SELECT vec_id, embedding::DOUBLE[] AS v,
+              sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+                               (a, b) -> a + b)) AS nn
+       FROM embeddings) WHERE nn > 0),
 probes AS (SELECT * FROM e WHERE vec_id < 100),
 pairs AS (
   SELECT p.vec_id AS id1, c.vec_id AS id2,
          round(list_reduce(list_transform(list_zip(p.v, c.v), q -> q[1] * q[2]), (a, b) -> a + b)
-               / (sqrt(list_reduce(list_transform(p.v, x -> x * x), (a, b) -> a + b))
-                  * sqrt(list_reduce(list_transform(c.v, x -> x * x), (a, b) -> a + b))), 6) AS cos_sim
+               / (p.nn * c.nn), 6) AS cos_sim
   FROM probes p JOIN e c ON p.vec_id <> c.vec_id)
 SELECT id1, id2, cos_sim, rn FROM (
   SELECT *, row_number() OVER (PARTITION BY id1 ORDER BY cos_sim DESC, id2) AS rn
@@ -255,6 +266,9 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", _dbl(F.col("embedding")).alias("v")
     )
+    # zero-norm vectors out before the GEMM: numpy would emit NaN rows
+    # (0/0) that rank nondeterministically vs the oracle
+    e = e.filter(_norm(F.col("v")) > 0)
     probes = (
         e.filter(F.col("vec_id") < 100)
         .crossJoin(spark.range(B).select(F.col("id").cast("int").alias("blk")))
@@ -527,7 +541,7 @@ pair AS (
   WHERE a.half = 0 AND b.half = 1
   GROUP BY a.label)
 SELECT label, round(dot / (na * nb), 6) AS centroid_cos
-FROM pair
+FROM pair WHERE na > 0 AND nb > 0
 """,
 )
 def wl_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -565,7 +579,7 @@ def wl_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.sum(F.col("cb") * F.col("cb"))).alias("nb"),
         )
     )
-    return pair.select(
+    return pair.filter((F.col("na") > 0) & (F.col("nb") > 0)).select(
         "label", F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("centroid_cos")
     )
 
@@ -574,9 +588,10 @@ def wl_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ml_knn_classify",
     oracle="""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-n AS (SELECT vec_id, label, v,
-             sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nn
-      FROM e),
+n AS (SELECT * FROM (
+        SELECT vec_id, label, v,
+               sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nn
+        FROM e) WHERE nn > 0),
 q AS (SELECT * FROM n WHERE vec_id % 25 = 0),
 c AS (SELECT * FROM n WHERE vec_id % 25 <> 0),
 sims AS (
@@ -614,7 +629,7 @@ def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn = F.sqrt(
         F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
     )
-    n = e.select("vec_id", "label", "v", nn.alias("nn"))
+    n = e.select("vec_id", "label", "v", nn.alias("nn")).filter(F.col("nn") > 0)
     q = n.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("true_label"),
@@ -795,12 +810,18 @@ def sim_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sim_semdedup_centroid",
     oracle="""
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (
+  SELECT * FROM (
+    SELECT vec_id, label, embedding::DOUBLE[] AS v,
+           sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+                            (a, b) -> a + b)) AS vnorm
+    FROM embeddings) WHERE vnorm > 0),
 d AS (
   SELECT label, i, avg(v[i]) AS c
   FROM e CROSS JOIN UNNEST(range(1, len(v) + 1)) AS r(i)
   GROUP BY label, i),
-cn AS (SELECT label, sqrt(sum(c * c)) AS cnorm FROM d GROUP BY label),
+cn AS (SELECT label, sqrt(sum(c * c)) AS cnorm FROM d GROUP BY label
+       HAVING sqrt(sum(c * c)) > 0),
 item AS (
   SELECT e.vec_id, e.label,
          sum(v[d.i] * d.c) AS dot,
@@ -832,11 +853,20 @@ def sim_semdedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid aggregate (the only data-sized shuffle); centroids
     (|clusters| × 64, trivially bounded) collapse back to arrays and
     BROADCAST onto items, where the cosine is a JVM zip_with fold —
-    no UDF, no pairwise join, items never shuffle again."""
+    no UDF, no pairwise join, items never shuffle again. Zero-norm
+    items are excluded (undefined cosine; ANSI division would abort),
+    and a cluster whose centroid cancels to exactly zero drops out
+    whole — both guards mirrored in the oracle."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    e = e.filter(
+        F.aggregate(
+            F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+        > 0
     )
     dims = e.select("label", F.posexplode("v").alias("i", "x"))
     cent = (
@@ -859,6 +889,7 @@ def sim_semdedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("cnorm"),
         )
+        .filter(F.col("cnorm") > 0)
     )
     dot = F.aggregate(
         F.zip_with("v", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x

@@ -64,6 +64,7 @@ _PRIORITY: list[str] = [
     "agg_partial_final", "stream_rate_smoke", "wl_concurrency",
     "wl_lorenz_points", "ml_screen_e2e", "ml_gains_table",
     "wl_temperature_mix", "sim_semdedup_centroid", "wl_mix_entropy",
+    "sim_cosine_topk", "mm_vector_norm", "dedup_embed_cos", "dedup_degree_hist", "ml_knn_classify", "sim_hybrid_rrf", "sim_bruteforce_topk",
     # (b) never-driver-verified keys, prior order preserved (the ~50-key
     # r4 window ends somewhere inside this block; r5 continues from
     # wherever CORRECTNESS_r04.json stops).
@@ -76,8 +77,7 @@ _PRIORITY: list[str] = [
     "txt_sentiment_lexicon", "win_running_distinct", "win_ewma",
     "wl_benford", "wl_ks_test", "wl_path_trigrams", "sql_group_by_all",
     "agg_sketch_merge", "agg_higher_moments", "dedup_minhash_eval",
-    "sim_sparse_cosine", "join_bloom_prefilter", "ml_knn_classify",
-    "wl_forget_users", "sql_cluster_by", 
+    "sim_sparse_cosine", "join_bloom_prefilter", "wl_forget_users", "sql_cluster_by", 
     "txt_bpe_pair_counts", "fn_xml", "wl_pretrain_pipeline",
     "sql_window_clause", "sim_rp_lsh", "src_fixed_width", "fn_phonetic",
     "txt_ocr_artifact_filter", "ml_logreg_gd", "ml_nb_portable",
@@ -94,7 +94,7 @@ _PRIORITY: list[str] = [
     "wl_postings_delta", "wl_partition_balance", "ml_confusion_multiclass",
     "wl_ivm_retraction", "wl_lateness_profile", "txt_bpe_apply",
     "wl_hll_daily_rollup", "sql_lateral_view", "sql_hint_broadcast",
-    "sim_hybrid_rrf", "graph_link_prediction", "sample_weighted_es",
+    "graph_link_prediction", "sample_weighted_es",
     "wl_rendezvous_hashing", "dedup_fellegi_sunter", "wl_power_analysis",
     "rt_analyze_stats", "wl_date_dim", "wl_hygiene_attribution",
     "wl_rank_correlation", "graph_clustering_coeff", "graph_powerlaw_fit",
@@ -122,7 +122,7 @@ _PRIORITY: list[str] = [
     "dedup_cluster_hist", "fn_epoch", "sink_partitioned", "cache_reuse",
     "scan_observe", "sql_params", "stat_crosstab", "agg_string_agg",
     "src_csv_corrupt", "sql_pipe", "fn_variant", "fn_collate",
-    "dedup_incremental", "dedup_degree_hist", "agg_approx_topk",
+    "dedup_incremental", "agg_approx_topk",
     "join_dpp", "ml_fpgrowth", "ml_als", "wl_chi2_assoc", "src_json_array",
     "sink_csv_options", "sink_zorder", "sim_pq_adc", "stream_stateful_ttl",
     "ml_active_screen", "sink_compaction", "fn_string_more",
@@ -145,7 +145,7 @@ _PRIORITY: list[str] = [
     "unpivot_long", "src_range", "set_union_missing", "sample_seeded",
     "src_binaryfile", "src_text", "txt_chunk", "wl_q4_late",
     "wl_q14_promo", "wl_q18_large", "agg_hll_sketch",
-    "sim_bruteforce_topk", "join_skew_salted", "fn_url",
+    "join_skew_salted", "fn_url",
     "txt_sentence_split", "join_range_bucket", "agg_decimal_exact",
     "dedup_paragraph", "txt_chunk_tokens", "wl_shard_shuffle",
     "wl_q7_volume", "wl_q8_share", "wl_q12_late", "wl_q13_custdist",

@@ -129,3 +129,60 @@ def test_long_doc_substring_finds_deep_span(spark, synth_long_docs_dir):
     rows = QUERIES["dedup_exact_substring"](spark, synth_long_docs_dir).collect()
     pairs = {(r.id1, r.id2) for r in rows}
     assert (2, 3) in pairs, rows
+
+
+@pytest.fixture(scope="module")
+def synth_zero_vec_dir(spark, tmp_path_factory):
+    """Embeddings including an all-zero vector and a cancelling pair
+    (centroid exactly zero) — the degenerate inputs a 100 TB corpus
+    certainly contains (padding rows, failed encodes) and the fixture
+    never does. Under ANSI mode an unguarded norm division aborts the
+    whole job."""
+    d = tmp_path_factory.mktemp("synth_vecs")
+    import duckdb as _duck
+
+    rows = []
+    for vid in range(8):
+        if vid == 3:
+            vec = [0.0] * 64                       # zero vector
+        elif vid in (4, 5):
+            sign = 1.0 if vid == 4 else -1.0       # cancelling pair: centroid 0
+            vec = [sign * float((i % 3) - 1) for i in range(64)]
+        else:
+            vec = [float(((vid + i) % 5) - 2) for i in range(64)]
+        rows.append((vid, vec, vid % 2))
+    con = _duck.connect()
+    con.execute("CREATE TABLE e (vec_id BIGINT, embedding FLOAT[], label INTEGER)")
+    con.executemany("INSERT INTO e VALUES (?, ?, ?)", rows)
+    con.execute(f"COPY e TO '{d}/embeddings.parquet' (FORMAT PARQUET)")
+    con.close()
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        "sim_cosine_topk",
+        "sim_semdedup_centroid",
+        "mm_vector_norm",
+        "wl_embedding_drift",
+        "dedup_embed_cos",
+        "dedup_degree_hist",
+        "ml_knn_classify",
+        "sim_bruteforce_topk",
+        "mm_embed_quantize",
+        "sim_topk_int8",
+    ],
+)
+def test_zero_norm_vectors_survive(spark, synth_zero_vec_dir, key):
+    """Every cosine-family operator must neither crash (ANSI
+    DIVIDE_BY_ZERO) nor diverge from its oracle when zero-norm /
+    cancelling vectors are present."""
+    con = _con_for(synth_zero_vec_dir, "embeddings")
+    compare(
+        QUERIES[key](spark, synth_zero_vec_dir),
+        con,
+        ORACLES[key],
+        key=f"{key}@zerovec",
+    )
+    con.close()

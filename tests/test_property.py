@@ -311,6 +311,7 @@ _LONG_KEYS = [
     "wl_vocab_growth",
     "txt_heaps_fit",
     "txt_novelty_rate",
+    "sim_sparse_cosine",
 ]
 
 
@@ -340,5 +341,58 @@ def test_long_document_oracles_hold(spark, corpus_dir, corpus):
             sp = canonical_rows(queries[key](spark, path).toPandas())
             du = canonical_rows(con.execute(oracles[key]).df())
             assert sp == du, f"[{key}] diverged on generated corpus {rows!r}"
+    finally:
+        con.close()
+
+
+# --- r4: embedding-space keys on INTEGER-valued vectors ---
+# Small-integer components keep every dot product / norm exact in
+# float64, so any mismatch is a LOGIC divergence, never fp noise.
+# Vectors are always 64-dim (the production dim several ops pin in
+# their projection constants); zero vectors are allowed — division
+# handling (NaN/Inf) must agree cross-engine too.
+
+_VEC = st.lists(
+    st.integers(min_value=-3, max_value=3), min_size=64, max_size=64
+).map(lambda xs: [float(x) for x in xs])
+
+_EMB_ROW = st.tuples(_VEC, st.integers(min_value=0, max_value=2))
+_EMB_TABLE = st.lists(_EMB_ROW, min_size=1, max_size=10)
+
+_EMB_KEYS = [
+    "sim_cosine_topk",
+    "sim_centroid",
+    "wl_embedding_drift",
+    "sim_semdedup_centroid",
+    "dedup_embed_cos",
+    "dedup_degree_hist",
+    "mm_embed_quantize",
+    "sim_topk_int8",
+]
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(table=_EMB_TABLE)
+def test_embedding_oracles_hold_on_generated_vectors(spark, corpus_dir, table):
+    rows = [(i, vec, label) for i, (vec, label) in enumerate(table)]
+    path = str(corpus_dir / "embcase")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
+
+    queries, oracles = all_queries(), all_oracles()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{path}/embeddings.parquet/*.parquet')"
+    )
+    try:
+        for key in _EMB_KEYS:
+            sp = canonical_rows(queries[key](spark, path).toPandas())
+            du = canonical_rows(con.execute(oracles[key]).df())
+            assert sp == du, f"[{key}] diverged on generated embeddings {rows!r}"
     finally:
         con.close()
