@@ -131,8 +131,8 @@ stats AS (
   SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sigma
   FROM daily GROUP BY event_type)
 SELECT d.event_type, CAST(d.day AS VARCHAR) AS day, d.n,
-       round((d.n - s.mu) / s.sigma, 6) AS z,
-       (abs((d.n - s.mu) / s.sigma) > 2.0) AS is_anomaly
+       round((d.n - s.mu) / nullif(s.sigma, 0), 6) AS z,
+       (abs((d.n - s.mu) / nullif(s.sigma, 0)) > 2.0) AS is_anomaly
 FROM daily d JOIN stats s ON d.event_type = s.event_type
 """,
 )
@@ -143,7 +143,10 @@ def wl_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one hash agg to daily grain, then a second agg to a
     stats table BOUNDED BY EVENT-TYPE CARDINALITY — broadcast back
     against daily. No window over all days, so adding years of history
-    widens neither shuffle."""
+    widens neither shuffle. A type with constant daily counts has
+    σ = 0 and NO z-score (NULL via nullif on both engines; unguarded,
+    ANSI division aborts) — a single-day type already yields NULL
+    through stddev_samp."""
     daily = (
         load(spark, sf_dir, "events")
         .groupBy("event_type", F.col("ts").cast("date").alias("day"))
@@ -152,7 +155,7 @@ def wl_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = daily.groupBy("event_type").agg(
         F.avg("n").alias("mu"), F.stddev_samp("n").alias("sigma")
     )
-    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    z = (F.col("n") - F.col("mu")) / F.nullif(F.col("sigma"), F.lit(0.0))
     return (
         daily.join(F.broadcast(stats), "event_type")
         .select(
@@ -982,8 +985,8 @@ pts AS (SELECT g, CAST(sum(ia) AS BIGINT) AS ca, CAST(sum(ib) AS BIGINT) AS cb
         FROM s GROUP BY g),
 tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM pts),
 cdf AS (
-  SELECT CAST(sum(ca) OVER (ORDER BY g) AS DOUBLE) / t.na AS fa,
-         CAST(sum(cb) OVER (ORDER BY g) AS DOUBLE) / t.nb AS fb
+  SELECT CAST(sum(ca) OVER (ORDER BY g) AS DOUBLE) / nullif(t.na, 0) AS fa,
+         CAST(sum(cb) OVER (ORDER BY g) AS DOUBLE) / nullif(t.nb, 0) AS fb
   FROM pts, tot t)
 SELECT round(max(abs(fa - fb)), 6) AS ks_stat,
        (SELECT na FROM tot) AS n_a, (SELECT nb FROM tot) AS n_b
@@ -1008,9 +1011,17 @@ def wl_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pts = s.groupBy("g").agg(F.sum("ia").alias("ca"), F.sum("ib").alias("cb"))
     tot = pts.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    # an empty sample (no purchases, or no clicks) has no ECDF — the
+    # statistic is NULL via nullif rather than an ANSI-division abort
     cdf = pts.join(F.broadcast(tot)).select(
-        (F.sum("ca").over(W.orderBy("g")).cast("double") / F.col("na")).alias("fa"),
-        (F.sum("cb").over(W.orderBy("g")).cast("double") / F.col("nb")).alias("fb"),
+        (
+            F.sum("ca").over(W.orderBy("g")).cast("double")
+            / F.nullif(F.col("na"), F.lit(0))
+        ).alias("fa"),
+        (
+            F.sum("cb").over(W.orderBy("g")).cast("double")
+            / F.nullif(F.col("nb"), F.lit(0))
+        ).alias("fb"),
     )
     return cdf.agg(F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 6).alias("ks_stat")).join(
         F.broadcast(tot.select(F.col("na").alias("n_a"), F.col("nb").alias("n_b")))
@@ -1212,7 +1223,8 @@ mom AS (
          sum(x * x) AS sxx, sum(x * y) AS sxy
   FROM u),
 theta AS (
-  SELECT (sxy / n - (sx / n) * (sy / n)) / (sxx / n - (sx / n) * (sx / n)) AS th,
+  SELECT coalesce((sxy / n - (sx / n) * (sy / n))
+                  / nullif(sxx / n - (sx / n) * (sx / n), 0), 0) AS th,
          sx / n AS mean_x
   FROM mom)
 SELECT variant,
@@ -1246,10 +1258,20 @@ def wl_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
     )
+    # var(x) = 0 (no pre-period signal at all) ⇒ θ := 0, i.e. no
+    # adjustment — unguarded, ANSI division aborts the job
     theta = mom.select(
-        (
-            (F.col("sxy") / F.col("n") - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n")))
-            / (F.col("sxx") / F.col("n") - (F.col("sx") / F.col("n")) * (F.col("sx") / F.col("n")))
+        F.coalesce(
+            (
+                F.col("sxy") / F.col("n")
+                - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n"))
+            )
+            / F.nullif(
+                F.col("sxx") / F.col("n")
+                - (F.col("sx") / F.col("n")) * (F.col("sx") / F.col("n")),
+                F.lit(0.0),
+            ),
+            F.lit(0.0),
         ).alias("th"),
         (F.col("sx") / F.col("n")).alias("mean_x"),
     )
@@ -1892,12 +1914,17 @@ def wl_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("cb") + 0.5) / (F.col("nb") + 0.5 * F.col("k"))).alias("pb"),
         "k",
     )
-    return p.agg(
-        F.max("k").cast("bigint").alias("n_bins"),
+    # n_bins rides the totals row, not max(k) over p: with zero
+    # qualifying events p is EMPTY and the oracle's scalar subquery
+    # still reports 0 bins (max over empty would say NULL)
+    psi = p.agg(
         F.round(
             F.sum((F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))), 6
-        ).alias("psi"),
+        ).alias("psi")
     )
+    return psi.join(
+        F.broadcast(t.select(F.col("k").cast("bigint").alias("n_bins")))
+    ).select("n_bins", "psi")
 
 
 @query(
@@ -2107,7 +2134,8 @@ m AS (
   FROM u)
 SELECT CAST(n AS BIGINT) AS n_users,
        round(s1 / n, 6) AS mean_diff,
-       round((s1 / n) / sqrt(((s2 - s1 * s1 / n) / (n - 1)) / n), 6) AS t_stat
+       round((s1 / n) / nullif(sqrt(((s2 - s1 * s1 / n) / nullif(n - 1, 0)) / n), 0),
+             6) AS t_stat
 FROM m
 """,
 )
@@ -2118,7 +2146,10 @@ def wl_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     test cannot express, and usually far more powerful because
     between-user variance cancels. One per-user conditional-sum
     rollup, one moment pass over the diffs — the same mergeable
-    (n, Σd, Σd²) state as everything in the moments family."""
+    (n, Σd, Σd²) state as everything in the moments family. The
+    t statistic is NULL (nullif, both engines) when it is undefined:
+    a single user (n−1 = 0) or zero-variance diffs — unguarded,
+    ANSI division aborts the job on such cohorts."""
     ev = load(spark, sf_dir, "events")
     cut = F.lit("2024-01-02 12:00:00").cast("timestamp_ntz")
     u = ev.groupBy("user_id").agg(
@@ -2140,11 +2171,15 @@ def wl_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(diff * diff).alias("s2"),
     )
     mean_d = F.col("s1") / F.col("n")
-    var_d = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    var_d = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / F.nullif(
+        F.col("n") - 1, F.lit(0.0)
+    )
     return m.select(
         F.col("n").cast("bigint").alias("n_users"),
         F.round(mean_d, 6).alias("mean_diff"),
-        F.round(mean_d / F.sqrt(var_d / F.col("n")), 6).alias("t_stat"),
+        F.round(
+            mean_d / F.nullif(F.sqrt(var_d / F.col("n")), F.lit(0.0)), 6
+        ).alias("t_stat"),
     )
 
 

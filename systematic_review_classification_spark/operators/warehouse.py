@@ -824,7 +824,7 @@ mad AS (
 SELECT e.event_id, e.event_type,
        round((e.value - m.med_v) / m.mad_v, 4) AS mad_score
 FROM events e JOIN mad m USING (event_type)
-WHERE abs((e.value - m.med_v) / m.mad_v) > 1.8
+WHERE m.mad_v > 0 AND abs((e.value - m.med_v) / m.mad_v) > 1.8
 """,
 )
 def wl_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -837,7 +837,10 @@ def wl_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same two middle doubles), broadcast back; a second per-type
     median over the absolute deviations; then one broadcast join
     flags |score| > 1.8. Two bounded aggregates + two broadcast joins;
-    the fact never self-joins."""
+    the fact never self-joins. A type whose MAD is exactly 0 (over
+    half its values identical — common for fee-like metrics) has no
+    robust spread to score against and is skipped on both engines;
+    unguarded, that division aborts the job under ANSI mode."""
     ev = load(spark, sf_dir, "events")
     med = ev.groupBy("event_type").agg(
         F.round(F.median("value"), 6).alias("med_v")
@@ -849,7 +852,7 @@ def wl_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     score = (F.col("value") - F.col("med_v")) / F.col("mad_v")
     return (
-        ev.join(F.broadcast(mad), "event_type")
+        ev.join(F.broadcast(mad.filter(F.col("mad_v") > 0)), "event_type")
         .where(F.abs(score) > 1.8)
         .select("event_id", "event_type", F.round(score, 4).alias("mad_score"))
     )

@@ -65,6 +65,7 @@ _PRIORITY: list[str] = [
     "wl_lorenz_points", "ml_screen_e2e", "ml_gains_table",
     "wl_temperature_mix", "sim_semdedup_centroid", "wl_mix_entropy",
     "sim_cosine_topk", "mm_vector_norm", "dedup_embed_cos", "dedup_degree_hist", "ml_knn_classify", "sim_hybrid_rrf", "sim_bruteforce_topk",
+    "wl_mad_outliers", "wl_paired_ttest", "wl_cuped", "wl_ks_test", "wl_anomaly_zscore", "wl_psi_drift",
     # (b) never-driver-verified keys, prior order preserved (the ~50-key
     # r4 window ends somewhere inside this block; r5 continues from
     # wherever CORRECTNESS_r04.json stops).
@@ -75,7 +76,7 @@ _PRIORITY: list[str] = [
     "dedup_biblio", "agg_cms_portable", "wl_data_quality",
     "wl_merge_upsert", "agg_weighted_median", "wl_hour_heatmap",
     "txt_sentiment_lexicon", "win_running_distinct", "win_ewma",
-    "wl_benford", "wl_ks_test", "wl_path_trigrams", "sql_group_by_all",
+    "wl_benford", "wl_path_trigrams", "sql_group_by_all",
     "agg_sketch_merge", "agg_higher_moments", "dedup_minhash_eval",
     "sim_sparse_cosine", "join_bloom_prefilter", "wl_forget_users", "sql_cluster_by", 
     "txt_bpe_pair_counts", "fn_xml", "wl_pretrain_pipeline",
@@ -85,7 +86,7 @@ _PRIORITY: list[str] = [
     "mm_modality_router", "src_weblog", "wl_prisma_flow",
     "wl_cohens_kappa", "ml_feature_mi", 
     "ml_split_leakage", "join_asof_forward", "scan_manifest_table",
-    "wl_decayed_popularity", "wl_cuped", "win_rolling_zscore",
+    "wl_decayed_popularity", "win_rolling_zscore",
     "sample_reservoir_merge", "wl_soft_dedup_sampling",
     "wl_retrieval_eval", "wl_change_attribution", "dedup_scurve_empirical",
     "wl_markov2_conditional", "wl_linear_forecast", "sql_identifier",
@@ -98,9 +99,8 @@ _PRIORITY: list[str] = [
     "wl_rendezvous_hashing", "dedup_fellegi_sunter", "wl_power_analysis",
     "rt_analyze_stats", "wl_date_dim", "wl_hygiene_attribution",
     "wl_rank_correlation", "graph_clustering_coeff", "graph_powerlaw_fit",
-    "wl_psi_drift", "wl_kl_source_mix", "win_top_percent",
-    "wl_kaplan_meier", "wl_paired_ttest",
-    "wl_percent_of_parent", "wl_cusum", "wl_control_chart", "wl_theil_sen",
+    "wl_kl_source_mix", "win_top_percent",
+    "wl_kaplan_meier", "wl_percent_of_parent", "wl_cusum", "wl_control_chart", "wl_theil_sen",
     "wl_anova_seasonality", "wl_simpson_check", "wl_poisson_bootstrap",
     "wl_winsorized_mean", "txt_burstiness", "txt_chao1_richness",
     "wl_effective_sample_size", "txt_distinctive_terms", "wl_theil_index",
@@ -127,9 +127,9 @@ _PRIORITY: list[str] = [
     "sink_csv_options", "sink_zorder", "sim_pq_adc", "stream_stateful_ttl",
     "ml_active_screen", "sink_compaction", "fn_string_more",
     "stream_progress", "fn_mask", "sql_natural_join", "win_nth_value",
-    "win_lag_ignore_nulls", "wl_mad_outliers", "wl_source_overlap",
+    "win_lag_ignore_nulls", "wl_source_overlap",
     "agg_percentile_disc", "agg_bitmap_distinct", "wl_retention",
-    "wl_dau_wau", "wl_anomaly_zscore", "wl_copurchase", "wl_q9_profit",
+    "wl_dau_wau", "wl_copurchase", "wl_q9_profit",
     "agg_linreg", "txt_collocation", "txt_zipf", "fn_struct",
     "sim_topk_int8", "wl_q16_suppcnt", "wl_q2_mincost", "wl_pagerank3",
     "ml_pca", "join_null_safe", "agg_mode_tiebreak", "fn_format",

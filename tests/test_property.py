@@ -82,10 +82,17 @@ def test_document_oracles_hold_on_generated_corpora(spark, corpus_dir, corpus):
 _EVT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
 _EVENT = st.tuples(
-    st.integers(min_value=0, max_value=3600 * 72),  # seconds offset (collisions likely)
+    # offsets: constants and same-second collisions COMMON — constant
+    # daily counts make stddev/MAD exactly 0, the ANSI-division trap
+    st.one_of(
+        st.just(0),
+        st.sampled_from([3600, 86_400, 172_800]),
+        st.integers(min_value=0, max_value=3600 * 72),
+    ),
     st.integers(min_value=1, max_value=4),          # user_id — few users => deep windows
     st.sampled_from(_EVT_TYPES),
-    st.integers(min_value=1, max_value=100_000),    # value cents => exact doubles
+    # values: degenerate constants common (zero variance arms)
+    st.one_of(st.just(1_000), st.integers(min_value=1, max_value=100_000)),
 )
 _EVENTS = st.lists(_EVENT, min_size=1, max_size=25)
 
@@ -96,6 +103,11 @@ _EVENT_KEYS = [
     # r4: branchy conversion/censoring logic the fixture under-covers
     # (any path length incl. 2-touch, empty treatment arms, all-censored)
     "wl_multitouch_attribution", "wl_kaplan_meier", "wl_stratified_ate",
+    # r4: statistics that divide by data-dependent spreads — constant
+    # inputs make sigma/MAD/variance exactly 0
+    "wl_anomaly_zscore", "win_rolling_zscore", "wl_mad_outliers",
+    "wl_ab_ttest", "wl_paired_ttest", "wl_cuped", "wl_ks_test",
+    "wl_psi_drift", "wl_srm_check",
 ]
 
 
