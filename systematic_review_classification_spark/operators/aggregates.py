@@ -659,10 +659,10 @@ WITH m AS (
   FROM lineitem GROUP BY 1)
 SELECT flag, CAST(n AS BIGINT) AS n,
        round((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * pow(s1 / n, 3))
-             / pow(s2 / n - pow(s1 / n, 2), 1.5), 6) AS skew,
+             / nullif(pow(s2 / n - pow(s1 / n, 2), 1.5), 0), 6) AS skew,
        round((s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * pow(s1 / n, 2) * (s2 / n)
               - 3 * pow(s1 / n, 4))
-             / pow(s2 / n - pow(s1 / n, 2), 2) - 3, 6) AS ex_kurtosis
+             / nullif(pow(s2 / n - pow(s1 / n, 2), 2), 0) - 3, 6) AS ex_kurtosis
 FROM m
 """,
 )
@@ -676,7 +676,8 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     the statistics are derived by an IDENTICAL expression tree on both
     sides. Because l_quantity is integer-valued, every partial sum
     stays an exact double (< 2^53), so the comparison is bit-equal,
-    not merely close."""
+    not merely close. A zero-variance group has no shape statistics —
+    NULL via nullif on both engines (ANSI division would abort)."""
     li = load(spark, sf_dir, "lineitem")
     q = F.col("l_quantity")
     m = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
@@ -690,13 +691,13 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     var = F.col("s2") / F.col("n") - F.pow(mean, 2)
     skew = (
         F.col("s3") / F.col("n") - 3 * mean * (F.col("s2") / F.col("n")) + 2 * F.pow(mean, 3)
-    ) / F.pow(var, 1.5)
+    ) / F.nullif(F.pow(var, 1.5), F.lit(0.0))
     kurt = (
         F.col("s4") / F.col("n")
         - 4 * mean * (F.col("s3") / F.col("n"))
         + 6 * F.pow(mean, 2) * (F.col("s2") / F.col("n"))
         - 3 * F.pow(mean, 4)
-    ) / F.pow(var, 2) - 3
+    ) / F.nullif(F.pow(var, 2), F.lit(0.0)) - 3
     return m.select(
         "flag",
         F.col("n").cast("bigint").alias("n"),

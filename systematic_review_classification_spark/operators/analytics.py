@@ -1684,7 +1684,7 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH m AS (
   SELECT CAST(count(*) AS DOUBLE) AS n, sum(value) AS s1, sum(value * value) AS s2
   FROM events WHERE event_type = 'purchase'),
-v AS (SELECT n, (s2 - s1 * s1 / n) / (n - 1) AS var, s1 / n AS mean FROM m)
+v AS (SELECT n, (s2 - s1 * s1 / n) / nullif(n - 1, 0) AS var, s1 / n AS mean FROM m)
 SELECT CAST(n AS BIGINT) AS n_obs,
        round(mean, 6) AS mean,
        round(var, 6) AS variance,
@@ -1710,9 +1710,10 @@ def wl_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v = m.select(
         "n",
-        ((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)).alias(
-            "var"
-        ),
+        (
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / F.nullif(F.col("n") - 1, F.lit(0.0))
+        ).alias("var"),
         (F.col("s1") / F.col("n")).alias("mean"),
     )
     return v.select(

@@ -65,7 +65,8 @@ _PRIORITY: list[str] = [
     "wl_lorenz_points", "ml_screen_e2e", "ml_gains_table",
     "wl_temperature_mix", "sim_semdedup_centroid", "wl_mix_entropy",
     "sim_cosine_topk", "mm_vector_norm", "dedup_embed_cos", "dedup_degree_hist", "ml_knn_classify", "sim_hybrid_rrf", "sim_bruteforce_topk",
-    "wl_mad_outliers", "wl_paired_ttest", "wl_cuped", "wl_ks_test", "wl_anomaly_zscore", "wl_psi_drift",
+    "wl_mad_outliers", "wl_paired_ttest", "wl_cuped", "wl_ks_test", "wl_anomaly_zscore", "wl_psi_drift", "agg_higher_moments",
+    "wl_power_analysis",
     # (b) never-driver-verified keys, prior order preserved (the ~50-key
     # r4 window ends somewhere inside this block; r5 continues from
     # wherever CORRECTNESS_r04.json stops).
@@ -77,7 +78,7 @@ _PRIORITY: list[str] = [
     "wl_merge_upsert", "agg_weighted_median", "wl_hour_heatmap",
     "txt_sentiment_lexicon", "win_running_distinct", "win_ewma",
     "wl_benford", "wl_path_trigrams", "sql_group_by_all",
-    "agg_sketch_merge", "agg_higher_moments", "dedup_minhash_eval",
+    "agg_sketch_merge", "dedup_minhash_eval",
     "sim_sparse_cosine", "join_bloom_prefilter", "wl_forget_users", "sql_cluster_by", 
     "txt_bpe_pair_counts", "fn_xml", "wl_pretrain_pipeline",
     "sql_window_clause", "sim_rp_lsh", "src_fixed_width", "fn_phonetic",
@@ -96,8 +97,7 @@ _PRIORITY: list[str] = [
     "wl_ivm_retraction", "wl_lateness_profile", "txt_bpe_apply",
     "wl_hll_daily_rollup", "sql_lateral_view", "sql_hint_broadcast",
     "graph_link_prediction", "sample_weighted_es",
-    "wl_rendezvous_hashing", "dedup_fellegi_sunter", "wl_power_analysis",
-    "rt_analyze_stats", "wl_date_dim", "wl_hygiene_attribution",
+    "wl_rendezvous_hashing", "dedup_fellegi_sunter", "rt_analyze_stats", "wl_date_dim", "wl_hygiene_attribution",
     "wl_rank_correlation", "graph_clustering_coeff", "graph_powerlaw_fit",
     "wl_kl_source_mix", "win_top_percent",
     "wl_kaplan_meier", "wl_percent_of_parent", "wl_cusum", "wl_control_chart", "wl_theil_sen",

@@ -107,7 +107,7 @@ _EVENT_KEYS = [
     # inputs make sigma/MAD/variance exactly 0
     "wl_anomaly_zscore", "win_rolling_zscore", "wl_mad_outliers",
     "wl_ab_ttest", "wl_paired_ttest", "wl_cuped", "wl_ks_test",
-    "wl_psi_drift", "wl_srm_check",
+    "wl_psi_drift", "wl_srm_check", "wl_power_analysis",
 ]
 
 
@@ -163,7 +163,15 @@ _ORDER = st.tuples(
 _ORDERS = st.lists(_ORDER, min_size=1, max_size=20)
 
 _ORDER_KEYS = ["wl_benford", "agg_weighted_median", "wl_merge_upsert",
-               "wl_data_quality", "wl_pit_features", "wl_decayed_popularity"]
+               "wl_data_quality", "wl_pit_features", "wl_decayed_popularity",
+               # r4: concentration/inequality/moment statistics on
+               # degenerate tables (constant prices, single customer,
+               # duplicate keys) — zero-spread division traps
+               "wl_theil_index", "wl_hhi", "wl_gini", "wl_equidepth_bins",
+               "wl_lorenz_points", "wl_simpson_check",
+               "wl_effective_sample_size", "wl_winsorized_mean",
+               "wl_iqr_outliers", "agg_higher_moments", "agg_linreg",
+               "wl_abc_analysis"]
 
 
 @settings(
