@@ -332,6 +332,14 @@ _LONG_KEYS = [
     "txt_heaps_fit",
     "txt_novelty_rate",
     "sim_sparse_cosine",
+    # r4b: hashing/ratio dedup + scoring keys on long repeated-run docs
+    "dedup_paragraph",
+    "dedup_ngram_jaccard",
+    "dedup_keep_best",
+    "txt_langid",
+    "txt_quality_score",
+    "txt_fingerprint",
+    "wl_clean_corpus",
 ]
 
 
