@@ -41,6 +41,14 @@ _KEYS = [
     "wl_inverted_index",
     "txt_containment",
     "wl_pretrain_pipeline",
+    # r4b: the portable-hash LSH families — band bucketing and hamming
+    # verification logic on tiny adversarial corpora (duplicate texts,
+    # single-token docs, unicode)
+    "dedup_minhash_portable",
+    "dedup_minhash_canonical",
+    "dedup_simhash64",
+    "dedup_simhash_band",
+    "dedup_biblio",
 ]
 
 
