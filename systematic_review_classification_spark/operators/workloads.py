@@ -1032,20 +1032,27 @@ def wl_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (wl_domain_mix APPLIES a hand-set mix; this DERIVES the mix from
     corpus counts). Reports natural vs temperature share, the
     upsample factor each source gets, and the per-epoch token budget
-    that factor implies. One per-source hash agg + a 1-row broadcast
-    of the two normalizers — nothing here scales with documents, only
-    with |sources|."""
+    that factor implies. One per-source hash agg — the corpus is
+    scanned ONCE; the two normalizers are global windows over the
+    agg, which is bounded by |sources| (a separate `.agg` branch
+    would re-derive the scan lineage: measured 4 scans in the
+    formatted plan before this shape, 1 after)."""
     d = load(spark, sf_dir, "documents")
     src = d.groupBy("source").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum(F.size(F.split("text", " "))).cast("double").alias("toks"),
     )
-    tot = src.agg(
-        F.sum("n").alias("nt"), F.sum(F.pow("n", F.lit(0.3))).alias("zt")
+    wall = W.partitionBy()  # over the bounded per-source aggregate
+    src = src.select(
+        "source",
+        "n",
+        "toks",
+        F.sum("n").over(wall).alias("nt"),
+        F.sum(F.pow("n", F.lit(0.3))).over(wall).alias("zt"),
     )
     w = F.pow("n", F.lit(0.3)) / F.col("zt")
     nat = F.col("n") / F.col("nt")
-    return src.join(F.broadcast(tot)).select(
+    return src.select(
         "source",
         F.col("n").cast("bigint").alias("n_docs"),
         F.round(nat, 6).alias("natural_share"),

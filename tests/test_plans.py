@@ -764,3 +764,18 @@ def test_threshold_sweep_single_pass(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     # single aggregation over pairs: partial+final over one scan pair
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_temperature_mix_single_scan(spark, sf_dir):
+    """The mixture-weight derivation must scan documents ONCE: the
+    normalizers are windows over the bounded per-source aggregate,
+    not a second aggregate branch re-deriving the scan lineage."""
+    plan = plan_of(QUERIES["wl_temperature_mix"](spark, sf_dir))
+    assert plan.count("InMemoryFileIndex [file:") == 1, plan
+
+
+def test_semdedup_centroids_broadcast(spark, sf_dir):
+    """Items join their cluster centroid via BROADCAST — the corpus
+    never shuffles for the cosine pass."""
+    plan = plan_of(QUERIES["sim_semdedup_centroid"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
