@@ -807,3 +807,68 @@ def test_capture_recapture_lower_bounds(spark, sf_dir):
     r = all_queries()["wl_capture_recapture"](spark, sf_dir).first()
     assert r.lincoln_petersen_estimate >= max(r.n1, r.n2) - 1e-6
     assert r.overlap <= min(r.n1, r.n2)
+
+
+# --- r4: invariants for the remaining rows-only keys ----------------------
+
+
+def test_seeded_classifiers_valid_and_deterministic(spark, sf_dir):
+    """ml_lr / ml_svm: binary predictions, calibrated probability in
+    [0,1], and bit-identical on a second run (seeded, deterministic
+    featurization)."""
+    from systematic_review_classification_spark import all_queries
+
+    Q = all_queries()
+    lr1 = {r.doc_id: (r.prediction, r.p1) for r in Q["ml_lr"](spark, sf_dir).collect()}
+    assert lr1 and all(p in (0.0, 1.0) and 0.0 <= p1 <= 1.0 for p, p1 in lr1.values())
+    lr2 = {r.doc_id: (r.prediction, r.p1) for r in Q["ml_lr"](spark, sf_dir).collect()}
+    assert lr1 == lr2
+    svm = Q["ml_svm"](spark, sf_dir).collect()
+    assert svm and all(r.prediction in (0.0, 1.0) for r in svm)
+
+
+def test_gbt_and_cv_metrics_sane(spark, sf_dir):
+    """ml_gbt predicts a valid class per doc; ml_cv reports one row
+    per grid point with an AUC in [0.5-ish, 1]."""
+    from systematic_review_classification_spark import all_queries
+
+    Q = all_queries()
+    gbt = Q["ml_gbt"](spark, sf_dir).collect()
+    assert gbt and all(r.prediction in (0.0, 1.0) for r in gbt)
+    cv = Q["ml_cv"](spark, sf_dir).collect()
+    assert len(cv) == 2  # two regParam grid points
+    assert all(0.0 <= r[1] <= 1.0 for r in cv)
+
+
+def test_sample_seeded_deterministic_and_sized(spark, sf_dir):
+    """Same seed => identical sample; size within a loose Bernoulli
+    band around the 10% fraction."""
+    from systematic_review_classification_spark import all_queries
+    from systematic_review_classification_spark.sources.tables import load
+
+    Q = all_queries()
+    s1 = sorted(tuple(r) for r in Q["sample_seeded"](spark, sf_dir).collect())
+    s2 = sorted(tuple(r) for r in Q["sample_seeded"](spark, sf_dir).collect())
+    assert s1 == s2
+    n_total = load(spark, sf_dir, "lineitem").count()
+    assert 0.05 * n_total <= len(s1) <= 0.15 * n_total
+
+
+def test_hashing_tf_bounds(spark, sf_dir):
+    """nnz bounded by the 1024-wide hashed space AND by the doc's
+    token count; norms positive for non-empty docs."""
+    from pyspark.sql import functions as F
+    from systematic_review_classification_spark import all_queries
+    from systematic_review_classification_spark.sources.tables import load
+
+    rows = all_queries()["txt_hashing_tf"](spark, sf_dir).collect()
+    toks = {
+        r.doc_id: r.n
+        for r in load(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split("text", "\\s+")).alias("n"))
+        .collect()
+    }
+    assert rows
+    for r in rows:
+        assert 0 < r.nnz <= min(1024, toks[r.doc_id])
+        assert r.vec_norm > 0
