@@ -116,6 +116,9 @@ _EVENT_KEYS = [
     "wl_anomaly_zscore", "win_rolling_zscore", "wl_mad_outliers",
     "wl_ab_ttest", "wl_paired_ttest", "wl_cuped", "wl_ks_test",
     "wl_psi_drift", "wl_srm_check", "wl_power_analysis",
+    # r4b: window family under same-second ties (tie-break determinism)
+    "win_gaps_islands", "win_time_range", "win_lag_ignore_nulls",
+    "win_lag_lead",
 ]
 
 
@@ -179,7 +182,7 @@ _ORDER_KEYS = ["wl_benford", "agg_weighted_median", "wl_merge_upsert",
                "wl_lorenz_points", "wl_simpson_check",
                "wl_effective_sample_size", "wl_winsorized_mean",
                "wl_iqr_outliers", "agg_higher_moments", "agg_linreg",
-               "wl_abc_analysis"]
+               "wl_abc_analysis", "win_nth_value", "win_top_percent"]
 
 
 @settings(
