@@ -214,6 +214,7 @@ def test_document_operators_survive_empty_corpus(spark, tmp_path):
         "ml_feature_mi", "ml_screen_e2e", "ml_split_leakage", "ml_gains_table",
         "ml_cascade_cost", "txt_script_mix",
         "txt_boilerplate_strip", "wl_soft_dedup_sampling", "wl_retrieval_eval",
+        "wl_temperature_mix", "sim_semdedup_centroid", "txt_oov_curve",
     ]
     q = all_queries()
     for key in keys:
