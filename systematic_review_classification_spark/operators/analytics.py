@@ -381,9 +381,9 @@ w AS (
          max(CASE WHEN event_type = 'purchase' THEN v END) AS v2
   FROM g)
 SELECT n1, n2, round(mu1, 6) AS mean_click, round(mu2, 6) AS mean_purchase,
-       round((mu1 - mu2) / sqrt(v1 / n1 + v2 / n2), 4) AS t_stat,
+       round((mu1 - mu2) / nullif(sqrt(v1 / n1 + v2 / n2), 0), 4) AS t_stat,
        round(pow(v1 / n1 + v2 / n2, 2)
-             / (pow(v1 / n1, 2) / (n1 - 1) + pow(v2 / n2, 2) / (n2 - 1)),
+             / nullif(pow(v1 / n1, 2) / (n1 - 1) + pow(v2 / n2, 2) / (n2 - 1), 0),
              2) AS welch_df
 FROM w
 """,
@@ -421,17 +421,23 @@ def wl_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick("mu", "purchase").alias("mu2"),
         pick("v", "purchase").alias("v2"),
     )
+    # both-arms-constant data makes se2 exactly 0 — the statistic is
+    # undefined (NULL via nullif); a single-sample arm already yields
+    # NULL through var_samp. Unguarded, ANSI division aborts the job.
     se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
-    df_w = F.pow(se2, 2) / (
+    df_w = F.pow(se2, 2) / F.nullif(
         F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
-        + F.pow(F.col("v2") / F.col("n2"), 2) / (F.col("n2") - 1)
+        + F.pow(F.col("v2") / F.col("n2"), 2) / (F.col("n2") - 1),
+        F.lit(0.0),
     )
     return w.select(
         "n1",
         "n2",
         F.round("mu1", 6).alias("mean_click"),
         F.round("mu2", 6).alias("mean_purchase"),
-        F.round((F.col("mu1") - F.col("mu2")) / F.sqrt(se2), 4).alias("t_stat"),
+        F.round(
+            (F.col("mu1") - F.col("mu2")) / F.nullif(F.sqrt(se2), F.lit(0.0)), 4
+        ).alias("t_stat"),
         F.round(df_w, 2).alias("welch_df"),
     )
 

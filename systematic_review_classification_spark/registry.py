@@ -66,7 +66,7 @@ _PRIORITY: list[str] = [
     "wl_temperature_mix", "sim_semdedup_centroid", "wl_mix_entropy",
     "sim_cosine_topk", "mm_vector_norm", "dedup_embed_cos", "dedup_degree_hist", "ml_knn_classify", "sim_hybrid_rrf", "sim_bruteforce_topk",
     "wl_mad_outliers", "wl_paired_ttest", "wl_cuped", "wl_ks_test", "wl_anomaly_zscore", "wl_psi_drift", "agg_higher_moments",
-    "wl_power_analysis",
+    "wl_power_analysis", "wl_ab_ttest",
     # (b) never-driver-verified keys, prior order preserved (the ~50-key
     # r4 window ends somewhere inside this block; r5 continues from
     # wherever CORRECTNESS_r04.json stops).
@@ -133,8 +133,7 @@ _PRIORITY: list[str] = [
     "agg_linreg", "txt_collocation", "txt_zipf", "fn_struct",
     "sim_topk_int8", "wl_q16_suppcnt", "wl_q2_mincost", "wl_pagerank3",
     "ml_pca", "join_null_safe", "agg_mode_tiebreak", "fn_format",
-    "scan_metadata_cols", "txt_stem", "wl_ab_ttest",
-    "join_asof_tolerance", "dedup_keep_best", "win_gaps_islands", "wl_rfm",
+    "scan_metadata_cols", "txt_stem", "join_asof_tolerance", "dedup_keep_best", "win_gaps_islands", "wl_rfm",
     "set_ops_all", "fn_base64", "txt_readability", "wl_snapshot_diff",
     "wl_markov_transitions", "wl_pareto", "ml_feature_cross",
     "sql_lateral", "src_parquet_merge_schema", "wl_funnel_steps",
