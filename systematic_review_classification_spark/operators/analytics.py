@@ -2141,7 +2141,7 @@ m AS (
   FROM u)
 SELECT CAST(n AS BIGINT) AS n_users,
        round(s1 / n, 6) AS mean_diff,
-       round((s1 / n) / nullif(sqrt(((s2 - s1 * s1 / n) / nullif(n - 1, 0)) / n), 0),
+       round((s1 / n) / nullif(sqrt(greatest((s2 - s1 * s1 / n) / nullif(n - 1, 0), 0) / n), 0),
              6) AS t_stat
 FROM m
 """,
@@ -2178,8 +2178,13 @@ def wl_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(diff * diff).alias("s2"),
     )
     mean_d = F.col("s1") / F.col("n")
-    var_d = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / F.nullif(
-        F.col("n") - 1, F.lit(0.0)
+    # greatest(...,0): fp cancellation can push the raw moment
+    # difference a few ulps NEGATIVE — Spark's sqrt would yield NaN,
+    # DuckDB's sqrt raises Out of Range
+    var_d = F.greatest(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+        / F.nullif(F.col("n") - 1, F.lit(0.0)),
+        F.lit(0.0),
     )
     return m.select(
         F.col("n").cast("bigint").alias("n_users"),
@@ -2464,7 +2469,7 @@ agg AS (
   SELECT CAST(count(*) AS DOUBLE) AS k, sum(m) AS s1, sum(m * m) AS s2 FROM means)
 SELECT CAST(k AS BIGINT) AS n_replicates,
        round(s1 / k, 4) AS boot_mean,
-       round(sqrt((s2 - s1 * s1 / k) / (k - 1)), 4) AS boot_se
+       round(sqrt(greatest((s2 - s1 * s1 / k) / (k - 1), 0)), 4) AS boot_se
 FROM agg
 """,
 )
@@ -2530,7 +2535,11 @@ def wl_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("s1") / F.col("k"), 4).alias("boot_mean"),
         F.round(
             F.sqrt(
-                (F.col("s2") - F.col("s1") * F.col("s1") / F.col("k")) / (F.col("k") - 1)
+                F.greatest(
+                    (F.col("s2") - F.col("s1") * F.col("s1") / F.col("k"))
+                    / (F.col("k") - 1),
+                    F.lit(0.0),
+                )
             ),
             4,
         ).alias("boot_se"),
@@ -3113,12 +3122,12 @@ r AS (SELECT source, n, k, k / n AS rate FROM s),
 mom AS (
   SELECT avg(rate) AS mu,
          sum((rate - (SELECT avg(rate) FROM r)) * (rate - (SELECT avg(rate) FROM r)))
-           / (count(*) - 1) AS var
+           / nullif(count(*) - 1, 0) AS var
   FROM r),
 prior AS (
   SELECT mu, var,
-         mu * (mu * (1 - mu) / var - 1) AS alpha,
-         (1 - mu) * (mu * (1 - mu) / var - 1) AS beta
+         mu * (mu * (1 - mu) / nullif(var, 0) - 1) AS alpha,
+         (1 - mu) * (mu * (1 - mu) / nullif(var, 0) - 1) AS beta
   FROM mom)
 SELECT r.source, CAST(r.n AS BIGINT) AS n,
        round(r.rate, 6) AS raw_rate,
@@ -3146,16 +3155,19 @@ def wl_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("mu").alias("mu"),
         (
             F.sum((F.col("rate") - F.col("mu")) * (F.col("rate") - F.col("mu")))
-            / (F.count(F.lit(1)) - 1)
+            / F.nullif(F.count(F.lit(1)) - 1, F.lit(0))
         ).alias("var"),
     )
+    # a single source (n-1 = 0) or zero rate spread has no moment
+    # prior — NULL via nullif on both engines (ANSI would abort)
     prior = mom.select(
-        (F.col("mu") * (F.col("mu") * (1 - F.col("mu")) / F.col("var") - 1)).alias(
-            "alpha"
-        ),
+        (
+            F.col("mu")
+            * (F.col("mu") * (1 - F.col("mu")) / F.nullif(F.col("var"), F.lit(0.0)) - 1)
+        ).alias("alpha"),
         (
             (1 - F.col("mu"))
-            * (F.col("mu") * (1 - F.col("mu")) / F.col("var") - 1)
+            * (F.col("mu") * (1 - F.col("mu")) / F.nullif(F.col("var"), F.lit(0.0)) - 1)
         ).alias("beta"),
     )
     return r.join(F.broadcast(prior)).select(
@@ -3718,13 +3730,13 @@ adj AS (
   FROM daily JOIN idx ON isodow(daily.d) = idx.dow),
 stats AS (
   SELECT avg(y_adj) AS am,
-         sqrt((sum(y_adj * y_adj) - sum(y_adj) * sum(y_adj) / count(*))
-              / (count(*) - 1)) AS asd
+         sqrt(greatest((sum(y_adj * y_adj) - sum(y_adj) * sum(y_adj) / count(*))
+                       / nullif(count(*) - 1, 0), 0)) AS asd
   FROM adj)
 SELECT CAST(adj.d AS VARCHAR) AS day, CAST(adj.y AS BIGINT) AS n_events,
        round(adj.y_adj, 6) AS deseasonalized,
-       round((adj.y_adj - s.am) / s.asd, 6) AS adj_z,
-       CASE WHEN abs((adj.y_adj - s.am) / s.asd) > 2 THEN 1 ELSE 0 END AS anomaly
+       round((adj.y_adj - s.am) / nullif(s.asd, 0), 6) AS adj_z,
+       CASE WHEN abs((adj.y_adj - s.am) / nullif(s.asd, 0)) > 2 THEN 1 ELSE 0 END AS anomaly
 FROM adj, stats s
 """,
 )
@@ -3751,14 +3763,19 @@ def wl_anomaly_deseasonalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = adj.agg(
         F.avg("y_adj").alias("am"),
         F.sqrt(
-            (
-                F.sum(F.col("y_adj") * F.col("y_adj"))
-                - F.sum("y_adj") * F.sum("y_adj") / F.count(F.lit(1))
+            F.greatest(
+                (
+                    F.sum(F.col("y_adj") * F.col("y_adj"))
+                    - F.sum("y_adj") * F.sum("y_adj") / F.count(F.lit(1))
+                )
+                / F.nullif(F.count(F.lit(1)) - 1, F.lit(0)),
+                F.lit(0.0),
             )
-            / (F.count(F.lit(1)) - 1)
         ).alias("asd"),
     )
-    z = (F.col("y_adj") - F.col("am")) / F.col("asd")
+    # one adjusted day (n-1 = 0) or a perfectly flat adjusted series
+    # (asd = 0) has no z-scale — NULL via nullif on both engines
+    z = (F.col("y_adj") - F.col("am")) / F.nullif(F.col("asd"), F.lit(0.0))
     return adj.join(F.broadcast(stats)).select(
         F.col("d").cast("string").alias("day"),
         F.col("y").cast("bigint").alias("n_events"),

@@ -118,7 +118,7 @@ _EVENT_KEYS = [
     "wl_psi_drift", "wl_srm_check", "wl_power_analysis",
     # r4b: window family under same-second ties (tie-break determinism)
     "win_gaps_islands", "win_time_range", "win_lag_ignore_nulls",
-    "win_lag_lead",
+    "win_lag_lead", "wl_anomaly_deseasonalized",
 ]
 
 
@@ -351,6 +351,7 @@ _LONG_KEYS = [
     "txt_quality_score",
     "txt_fingerprint",
     "wl_clean_corpus",
+    "wl_eb_shrinkage",
 ]
 
 
