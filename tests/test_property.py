@@ -436,3 +436,109 @@ def test_embedding_oracles_hold_on_generated_vectors(spark, corpus_dir, table):
             assert sp == du, f"[{key}] diverged on generated embeddings {rows!r}"
     finally:
         con.close()
+
+
+# --- r4c: the join family on generated tables with FULL schemas ---
+# Static tiny dims + generated customers/orders/lineitem exercise
+# join semantics (left/full null extension, semi/anti de-dup, theta
+# ranges, null-safe buckets incl. the NULL key) on shapes the fixture
+# holds constant: empty probe sides, all-match, no-match, duplicate
+# keys, NULL-bucket collisions.
+
+_CUST = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),      # c_nationkey (incl. %5==4 -> NULL bucket)
+        st.sampled_from(["BUILDING", "MACHINERY"]),
+        st.integers(min_value=-100, max_value=1000),  # acctbal (negatives matter)
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+_JOIN_KEYS = [
+    "join_broadcast", "join_left", "join_full", "join_semi",
+    "join_anti", "join_theta", "join_null_safe", "join_multiway",
+]
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(custs=_CUST, orders=_ORDERS)
+def test_join_oracles_hold_on_generated_tables(spark, corpus_dir, custs, orders):
+    import datetime as dt
+
+    path = str(corpus_dir / "joincase")
+    spark.createDataFrame(
+        [(0, "AMERICA"), (1, "EUROPE")], "r_regionkey int, r_name string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/region.parquet")
+    spark.createDataFrame(
+        [(0, "BRAZIL", 0), (1, "FRANCE", 1), (2, "GERMANY", 1)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/nation.parquet")
+    spark.createDataFrame(
+        [(1, "sup1", 0, 100.0), (2, "sup2", 1, -5.0), (3, "sup3", 9, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/supplier.parquet")
+    spark.createDataFrame(
+        [
+            (1, "part1", "Brand#1", "SMALL BRASS", 5, 900.0),
+            (2, "part2", "Brand#2", "LARGE STEEL", 30, 1500.0),
+            (3, "part3", "Brand#1", "MEDIUM COPPER", 15, 1200.0),
+            (4, "part4", "Brand#3", "SMALL STEEL", 50, 400.0),
+        ],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/part.parquet")
+
+    c_rows = [
+        (k + 1, f"cust{k + 1}", nk, float(bal), seg)
+        for k, (nk, seg, bal) in enumerate(custs)
+    ]
+    spark.createDataFrame(
+        c_rows,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/customer.parquet")
+
+    o_rows = [
+        (i + 1, ck, stat, cents / 100.0,
+         dt.datetime.fromisoformat(day + " 00:00:00"), prio)
+        for i, (ck, stat, cents, day, prio) in enumerate(orders)
+    ]
+    spark.createDataFrame(
+        o_rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/orders.parquet")
+
+    l_rows = [
+        (o[0], (o[0] % 4) + 1, (o[0] % 3) + 1, 1 + (o[0] % 2),
+         float(1 + o[0] % 5), 100.0 * (1 + o[0] % 3), 0.05, 0.01,
+         "N" if o[0] % 2 else "R", "O",
+         dt.datetime(1997, 1 + (o[0] % 12), 1))
+        for o in o_rows
+    ]
+    spark.createDataFrame(
+        l_rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp_ntz",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/lineitem.parquet")
+
+    queries, oracles = all_queries(), all_oracles()
+    con = duckdb.connect()
+    for t in ("region", "nation", "supplier", "part", "customer", "orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}/{t}.parquet/*.parquet')"
+        )
+    try:
+        for key in _JOIN_KEYS:
+            sp = canonical_rows(queries[key](spark, path).toPandas())
+            du = canonical_rows(con.execute(oracles[key]).df())
+            assert sp == du, f"[{key}] diverged on generated join tables"
+    finally:
+        con.close()
