@@ -458,6 +458,11 @@ _CUST = st.lists(
 _JOIN_KEYS = [
     "join_broadcast", "join_left", "join_full", "join_semi",
     "join_anti", "join_theta", "join_null_safe", "join_multiway",
+    # graph family on the same tables: degenerate graphs (no edges,
+    # isolated nodes, single component) that sf fixtures never produce
+    "graph_clustering_coeff", "graph_powerlaw_fit",
+    "graph_link_prediction", "graph_bfs_levels",
+    "wl_triangles", "wl_copurchase",
 ]
 
 
