@@ -291,11 +291,25 @@ def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from systematic_review_classification_spark.sources.tables import load as _load
 
     ev = _load(spark, sf_dir, "events")
-    return (
+    pv = (
         ev.groupBy((F.col("user_id") % 50).alias("bucket"))
         .pivot("event_type", ["click", "purchase", "error"])
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), 2).alias("val"),
         )
+    )
+    # a bucket with NO rows for a pivot value gets NULL from pivot,
+    # but COUNT of an empty set is 0 (the FILTERed-aggregate / SQL
+    # semantics): coalesce the count columns; sums stay NULL
+    return pv.select(
+        "bucket",
+        *[
+            c
+            for t in ("click", "purchase", "error")
+            for c in (
+                F.coalesce(F.col(f"{t}_n"), F.lit(0)).cast("bigint").alias(f"{t}_n"),
+                F.col(f"{t}_val"),
+            )
+        ],
     )

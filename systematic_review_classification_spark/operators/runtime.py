@@ -170,9 +170,17 @@ def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (value columns come from a distinct pass on the pivot
     key; bounded domain {F,O} here). Crosstab is safe at 100 TB only
     when the pivot column's cardinality is bounded — that contract is
-    the operator's documented precondition."""
+    the operator's documented precondition. The OUTPUT schema is
+    pinned to the documented {F,O} domain (missing statuses
+    materialize as 0 columns): raw crosstab's data-dependent column
+    set breaks downstream consumers the first day one status is
+    absent from a partition of history."""
     li = load(spark, sf_dir, "lineitem")
-    return li.stat.crosstab("l_returnflag", "l_linestatus")
+    ct = li.stat.crosstab("l_returnflag", "l_linestatus")
+    for c in ("F", "O"):
+        if c not in ct.columns:
+            ct = ct.withColumn(c, F.lit(0).cast("bigint"))
+    return ct.select("l_returnflag_l_linestatus", "F", "O")
 
 
 @query(

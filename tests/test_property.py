@@ -118,7 +118,7 @@ _EVENT_KEYS = [
     "wl_psi_drift", "wl_srm_check", "wl_power_analysis",
     # r4b: window family under same-second ties (tie-break determinism)
     "win_gaps_islands", "win_time_range", "win_lag_ignore_nulls",
-    "win_lag_lead", "wl_anomaly_deseasonalized",
+    "win_lag_lead", "wl_anomaly_deseasonalized", "pivot_multi_agg",
 ]
 
 
@@ -463,6 +463,10 @@ _JOIN_KEYS = [
     "graph_clustering_coeff", "graph_powerlaw_fit",
     "graph_link_prediction", "graph_bfs_levels",
     "wl_triangles", "wl_copurchase",
+    # SQL frontend / set ops / reshape on the same tables
+    "sql_qualify", "sql_natural_join", "sql_params", "sql_subqueries",
+    "set_ops_all", "set_union_missing", "pivot_wide", "unpivot_long",
+    "stat_crosstab", "agg_string_agg", "agg_mode_tiebreak", "agg_geomean",
 ]
 
 
