@@ -2868,9 +2868,9 @@ w AS (
 SELECT source, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
        round(p, 6) AS rate,
        round((p + z * z / (2 * n) - z * sqrt(p * (1 - p) / n + z * z / (4 * n * n)))
-             / (1 + z * z / n), 6) AS wilson_lo,
+             / (1 + z * z / n), 6) + 0.0 AS wilson_lo,
        round((p + z * z / (2 * n) + z * sqrt(p * (1 - p) / n + z * z / (4 * n * n)))
-             / (1 + z * z / n), 6) AS wilson_hi
+             / (1 + z * z / n), 6) + 0.0 AS wilson_hi
 FROM w
 """,
 )
@@ -2896,8 +2896,10 @@ def wl_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.col("k").cast("bigint").alias("k"),
         F.round(p, 6).alias("rate"),
-        F.round((center - half) / denom, 6).alias("wilson_lo"),
-        F.round((center + half) / denom, 6).alias("wilson_hi"),
+        # + 0.0: at k=0 the lower bound cancels to ±0 within an ulp —
+        # DuckDB's round keeps IEEE -0.0 where Spark's yields 0.0
+        (F.round((center - half) / denom, 6) + 0.0).alias("wilson_lo"),
+        (F.round((center + half) / denom, 6) + 0.0).alias("wilson_hi"),
     )
 
 

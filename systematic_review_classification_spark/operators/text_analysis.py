@@ -1221,12 +1221,12 @@ w AS (
   CROSS JOIN tot t
   GROUP BY p.token)
 SELECT token,
-       round(ln((n1 + a) / (t1 + (SELECT atot FROM a0) - n1 - a))
-             - ln((n0 + a) / (t0 + (SELECT atot FROM a0) - n0 - a)), 6)
+       round(ln((n1 + a) / nullif(t1 + (SELECT atot FROM a0) - n1 - a, 0))
+             - ln((n0 + a) / nullif(t0 + (SELECT atot FROM a0) - n0 - a, 0)), 6)
          AS log_odds_shift
 FROM w
-ORDER BY abs(ln((n1 + a) / (t1 + (SELECT atot FROM a0) - n1 - a))
-             - ln((n0 + a) / (t0 + (SELECT atot FROM a0) - n0 - a))) DESC, token
+ORDER BY abs(ln((n1 + a) / nullif(t1 + (SELECT atot FROM a0) - n1 - a, 0))
+             - ln((n0 + a) / nullif(t0 + (SELECT atot FROM a0) - n0 - a, 0))) DESC, token
 LIMIT 15
 """,
 )
@@ -1270,12 +1270,19 @@ def txt_logodds_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(a0))
     )
+    # a token owning ALL of an era's smoothed mass zeroes its odds
+    # complement — the shift is undefined (NULL via nullif), not an
+    # ANSI division abort (hit when a corpus has one distinct token)
     lo = F.log(
         (F.col("n1") + F.col("a"))
-        / (F.col("t1") + F.col("atot") - F.col("n1") - F.col("a"))
+        / F.nullif(
+            F.col("t1") + F.col("atot") - F.col("n1") - F.col("a"), F.lit(0.0)
+        )
     ) - F.log(
         (F.col("n0") + F.col("a"))
-        / (F.col("t0") + F.col("atot") - F.col("n0") - F.col("a"))
+        / F.nullif(
+            F.col("t0") + F.col("atot") - F.col("n0") - F.col("a"), F.lit(0.0)
+        )
     )
     return (
         w.select("token", F.round(lo, 6).alias("log_odds_shift"))

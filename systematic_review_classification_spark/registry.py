@@ -67,7 +67,7 @@ _PRIORITY: list[str] = [
     "sim_cosine_topk", "mm_vector_norm", "dedup_embed_cos", "dedup_degree_hist", "ml_knn_classify", "sim_hybrid_rrf", "sim_bruteforce_topk",
     "wl_mad_outliers", "wl_paired_ttest", "wl_cuped", "wl_ks_test", "wl_anomaly_zscore", "wl_psi_drift", "agg_higher_moments",
     "wl_power_analysis", "wl_ab_ttest", "wl_eb_shrinkage",
-    "wl_anomaly_deseasonalized", "wl_poisson_bootstrap", "stat_crosstab", "pivot_multi_agg",
+    "wl_anomaly_deseasonalized", "wl_poisson_bootstrap", "stat_crosstab", "pivot_multi_agg", "txt_logodds_shift", "wl_wilson_ci",
     # (b) never-driver-verified keys, prior order preserved (the ~50-key
     # r4 window ends somewhere inside this block; r5 continues from
     # wherever CORRECTNESS_r04.json stops).
@@ -107,12 +107,12 @@ _PRIORITY: list[str] = [
     "txt_heaps_fit", "ml_cascade_cost", "txt_script_mix",
     "wl_holt_smoothing", "wl_abc_analysis", "wl_data_vault_keys",
     "wl_accumulating_snapshot", "wl_interval_union", "txt_novelty_rate",
-    "wl_wilson_ci", "wl_autocorrelation", "wl_periodogram", "wl_hhi",
+    "wl_autocorrelation", "wl_periodogram", "wl_hhi",
     "wl_retention_half_life", "wl_capture_recapture",
     "fn_bround", "wl_seasonal_index", "wl_srm_check",
     "wl_growth_accounting", "wl_diff_in_diff", "wl_daily_quantile_bands",
     "wl_error_budget", "wl_engagement_hist", "wl_rate_volume_mix", "wl_stickiness", "wl_arc_elasticity",
-    "txt_logodds_shift", "wl_pareto_frontier",
+    "wl_pareto_frontier",
     "wl_markov_absorbing", "wl_q11_partvalue", "wl_q20_excess",
     "wl_seasonality", "wl_skew_report", "wl_resample_ffill",
     "sample_reservoir", "agg_grouping_id", "agg_corr_matrix",

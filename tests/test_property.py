@@ -49,6 +49,11 @@ _KEYS = [
     "dedup_simhash64",
     "dedup_simhash_band",
     "dedup_biblio",
+    # r4c: corpus statistics with smoothing/ratio branches
+    "txt_readability", "txt_script_mix", "txt_chao1_richness",
+    "txt_distinctive_terms", "txt_logodds_shift", "wl_wilson_ci",
+    "wl_capture_recapture", "txt_repetition", "wl_dataset_card",
+    "txt_ocr_artifact_filter", "txt_bpe_pair_counts",
 ]
 
 
