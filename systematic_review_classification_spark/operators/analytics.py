@@ -796,9 +796,9 @@ SELECT (SELECT count(*) FROM v) AS n_view,
        (SELECT count(*) FROM c) AS n_click,
        (SELECT count(*) FROM p) AS n_purchase,
        round(CAST((SELECT count(*) FROM c) AS DOUBLE)
-             / (SELECT count(*) FROM v), 6) AS view_to_click,
+             / nullif((SELECT count(*) FROM v), 0), 6) AS view_to_click,
        round(CAST((SELECT count(*) FROM p) AS DOUBLE)
-             / (SELECT count(*) FROM c), 6) AS click_to_buy
+             / nullif((SELECT count(*) FROM c), 0), 6) AS click_to_buy
 """,
 )
 def wl_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -842,11 +842,17 @@ def wl_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_view",
             "n_click",
             "n_purchase",
+            # empty upstream stage => the rate is undefined, NULL via
+            # nullif (ANSI division would abort on a view-less stream)
             F.round(
-                F.col("n_click").cast("double") / F.col("n_view"), 6
+                F.col("n_click").cast("double")
+                / F.nullif(F.col("n_view"), F.lit(0)),
+                6,
             ).alias("view_to_click"),
             F.round(
-                F.col("n_purchase").cast("double") / F.col("n_click"), 6
+                F.col("n_purchase").cast("double")
+                / F.nullif(F.col("n_click"), F.lit(0)),
+                6,
             ).alias("click_to_buy"),
         )
     )

@@ -67,7 +67,7 @@ _PRIORITY: list[str] = [
     "sim_cosine_topk", "mm_vector_norm", "dedup_embed_cos", "dedup_degree_hist", "ml_knn_classify", "sim_hybrid_rrf", "sim_bruteforce_topk",
     "wl_mad_outliers", "wl_paired_ttest", "wl_cuped", "wl_ks_test", "wl_anomaly_zscore", "wl_psi_drift", "agg_higher_moments",
     "wl_power_analysis", "wl_ab_ttest", "wl_eb_shrinkage",
-    "wl_anomaly_deseasonalized", "wl_poisson_bootstrap", "stat_crosstab", "pivot_multi_agg", "txt_logodds_shift", "wl_wilson_ci",
+    "wl_anomaly_deseasonalized", "wl_poisson_bootstrap", "stat_crosstab", "pivot_multi_agg", "txt_logodds_shift", "wl_wilson_ci", "wl_funnel_steps",
     # (b) never-driver-verified keys, prior order preserved (the ~50-key
     # r4 window ends somewhere inside this block; r5 continues from
     # wherever CORRECTNESS_r04.json stops).
@@ -135,8 +135,7 @@ _PRIORITY: list[str] = [
     "scan_metadata_cols", "txt_stem", "join_asof_tolerance", "dedup_keep_best", "win_gaps_islands", "wl_rfm",
     "set_ops_all", "fn_base64", "txt_readability", "wl_snapshot_diff",
     "wl_markov_transitions", "wl_pareto", "ml_feature_cross",
-    "sql_lateral", "src_parquet_merge_schema", "wl_funnel_steps",
-    "win_time_range", "agg_geomean", "join_scd2",
+    "sql_lateral", "src_parquet_merge_schema", "win_time_range", "agg_geomean", "join_scd2",
     "txt_compression_ratio", "wl_qtr_growth", "wl_basket_rules",
     "sql_subqueries", "fn_explode_outer", "fn_try", "wl_clean_corpus",
     "dedup_components", "txt_pii_scrub", "agg_histogram", "pivot_wide",

@@ -124,6 +124,17 @@ _EVENT_KEYS = [
     # r4b: window family under same-second ties (tie-break determinism)
     "win_gaps_islands", "win_time_range", "win_lag_ignore_nulls",
     "win_lag_lead", "wl_anomaly_deseasonalized", "pivot_multi_agg",
+    # r4c: sessionization / chain / time-series analytics on sparse,
+    # collision-heavy, constant-valued streams
+    "wl_retention", "wl_dau_wau", "wl_markov_transitions",
+    "wl_markov2_conditional", "wl_markov_absorbing", "wl_funnel",
+    "wl_funnel_steps", "wl_stickiness", "wl_growth_accounting",
+    "wl_interarrival_hist", "wl_engagement_hist",
+    "wl_retention_half_life", "wl_autocorrelation", "wl_periodogram",
+    "wl_holt_smoothing", "wl_theil_sen", "wl_seasonal_index",
+    "wl_error_budget", "wl_causal_impact_lite", "wl_forecast_backtest",
+    "wl_linear_forecast", "wl_resample_ffill", "wl_attribution",
+    "wl_dp_counts",
 ]
 
 
