@@ -567,3 +567,55 @@ def test_join_oracles_hold_on_generated_tables(spark, corpus_dir, custs, orders)
             assert sp == du, f"[{key}] diverged on generated join tables"
     finally:
         con.close()
+
+
+# --- r4c: streaming tier on generated collision streams ---
+# Each key REALLY executes through micro-batches (availableNow over a
+# staged copy of the generated events); 3 examples keep the state-store
+# startup cost bounded. Exercises window assignment and session merge
+# on same-second collisions and single-event streams.
+
+_STREAM_KEYS = ["stream_tumbling", "stream_sliding", "stream_session"]
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(events=_EVENTS)
+def test_streaming_oracles_hold_on_generated_streams(spark, corpus_dir, events):
+    import datetime as dt
+    import os
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=off), uid, typ, cents / 100.0, "{}")
+        for i, (off, uid, typ, cents) in enumerate(events)
+    ]
+    path = str(corpus_dir / "streamcase")
+    os.makedirs(path, exist_ok=True)
+    # streaming staging symlinks {sf_dir}/events.parquet as ONE FILE
+    # (the fixture layout); a Spark-written parquet DIRECTORY would be
+    # invisible to the file-stream source — write via DuckDB instead
+    wcon = duckdb.connect()
+    wcon.execute(
+        "CREATE TABLE ev (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    wcon.executemany("INSERT INTO ev VALUES (?, ?, ?, ?, ?, ?)", rows)
+    wcon.execute(f"COPY ev TO '{path}/events.parquet' (FORMAT PARQUET)")
+    wcon.close()
+
+    queries, oracles = all_queries(), all_oracles()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{path}/events.parquet')"
+    )
+    try:
+        for key in _STREAM_KEYS:
+            sp = canonical_rows(queries[key](spark, path).toPandas())
+            du = canonical_rows(con.execute(oracles[key]).df())
+            assert sp == du, f"[{key}] diverged on generated stream {rows!r}"
+    finally:
+        con.close()
