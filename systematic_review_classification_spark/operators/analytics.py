@@ -2362,7 +2362,8 @@ tot AS (
   FROM cells)
 SELECT CAST(nt AS BIGINT) AS n_obs,
        CAST((SELECT count(*) FROM cells) AS BIGINT) AS n_cells,
-       round((sum_group_sq - st * st / nt) / (s2t - st * st / nt), 6) AS eta_sq
+       round((sum_group_sq - st * st / nt)
+             / nullif(s2t - st * st / nt, 0), 6) + 0.0 AS eta_sq
 FROM tot
 """,
 )
@@ -2393,10 +2394,12 @@ def wl_anova_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ssb = F.col("sum_group_sq") - F.col("st") * F.col("st") / F.col("nt")
     sst = F.col("s2t") - F.col("st") * F.col("st") / F.col("nt")
+    # constant values make SS_total exactly 0: eta_sq is undefined —
+    # NULL on both engines (nullif in the oracle), not DIVIDE_BY_ZERO.
     return tot.select(
         F.col("nt").cast("bigint").alias("n_obs"),
         "n_cells",
-        F.round(ssb / sst, 6).alias("eta_sq"),
+        (F.round(ssb / F.nullif(sst, F.lit(0.0)), 6) + 0.0).alias("eta_sq"),
     )
 
 
@@ -2925,7 +2928,7 @@ pairs AS (
   FROM lags l
   JOIN daily a ON true
   JOIN daily b ON b.t = a.t + l.k, m)
-SELECT k AS lag, round(sum(prod) / max(m.ss), 6) AS acf
+SELECT k AS lag, round(sum(prod) / nullif(max(m.ss), 0), 6) + 0.0 AS acf
 FROM pairs, m GROUP BY k
 """,
 )
@@ -2959,8 +2962,16 @@ def wl_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ss",
         )
     )
+    # ss = 0 on a constant (or single-day) series: ACF is undefined —
+    # NULL on both engines (nullif in the oracle) instead of an ANSI
+    # DIVIDE_BY_ZERO job abort; + 0.0 folds IEEE -0.0 like wl_wilson_ci.
     return pairs.groupBy(F.col("k").alias("lag")).agg(
-        F.round(F.sum("prod") / F.max("ss"), 6).alias("acf")
+        (
+            F.round(
+                F.sum("prod") / F.when(F.max("ss") > 0, F.max("ss")), 6
+            )
+            + 0.0
+        ).alias("acf")
     )
 
 

@@ -1315,13 +1315,22 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     ).select(jac.alias("jac"))
     ths = [0.5, 0.6, 0.7, 0.8, 0.9]
-    counts = pairs.agg(
-        *[
-            F.sum(F.when(F.col("jac") >= F.lit(t), 1).otherwise(0))
-            .cast("bigint")
-            .alias(f"c{i}")
-            for i, t in enumerate(ths)
-        ]
+    # groupBy on a pairs-derived constant, not a global agg: when no two
+    # docs share a source the pair stream is EMPTY, and the oracle's
+    # th CROSS JOIN pairs yields 0 rows — a global agg would emit one
+    # all-NULL row that explodes into 5 bogus curve points (same
+    # empty-input divergence class as txt_conditional_entropy).
+    counts = (
+        pairs.select(F.lit(1).alias("g"), "jac")
+        .groupBy("g")
+        .agg(
+            *[
+                F.sum(F.when(F.col("jac") >= F.lit(t), 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"c{i}")
+                for i, t in enumerate(ths)
+            ]
+        )
     )
     curve = F.array(
         *[

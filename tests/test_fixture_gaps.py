@@ -186,3 +186,64 @@ def test_zero_norm_vectors_survive(spark, synth_zero_vec_dir, key):
         key=f"{key}@zerovec",
     )
     con.close()
+
+
+@pytest.fixture(scope="module")
+def synth_constant_events_dir(spark, tmp_path_factory):
+    """The r4 falsifying example, frozen: one event per day for four
+    days — a CONSTANT daily-count series whose variance is exactly 0.
+    Any time-series statistic that divides by a data-derived spread
+    (ACF's sum-of-squares, z-scores, trend slopes) must return NULL /
+    empty here, not abort the job with ANSI DIVIDE_BY_ZERO
+    (wl_autocorrelation did, analytics.py — fixed r5)."""
+    import datetime as dt
+
+    d = tmp_path_factory.mktemp("synth_const_events")
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (i, (base + dt.timedelta(days=i)).isoformat(sep=" "), 1, "click", 1.0)
+        for i in range(4)
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ev (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type VARCHAR, value DOUBLE)"
+    )
+    con.executemany("INSERT INTO ev VALUES (?, ?, ?, ?, ?)", rows)
+    con.execute(f"COPY ev TO '{d}/events.parquet' (FORMAT PARQUET)")
+    con.close()
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        "wl_autocorrelation",
+        "wl_periodogram",
+        "wl_linear_forecast",
+        "wl_theil_sen",
+        "wl_holt_smoothing",
+        "wl_seasonal_index",
+        "wl_anova_seasonality",
+        "wl_causal_impact_lite",
+        "wl_forecast_backtest",
+        "wl_anomaly_zscore",
+        "wl_anomaly_deseasonalized",
+        "wl_control_chart",
+        "wl_cusum",
+        "wl_daily_quantile_bands",
+        "wl_mad_outliers",
+    ],
+)
+def test_constant_daily_series_survives(spark, synth_constant_events_dir, key):
+    """Zero-variance daily series: every spread-dividing time-series
+    statistic must match its oracle (typically NULL columns or zero
+    rows) instead of raising DIVIDE_BY_ZERO."""
+    con = _con_for(synth_constant_events_dir, "events")
+    compare(
+        QUERIES[key](spark, synth_constant_events_dir),
+        con,
+        ORACLES[key],
+        key=f"{key}@constseries",
+    )
+    con.close()

@@ -54,6 +54,10 @@ _KEYS = [
     "txt_distinctive_terms", "txt_logodds_shift", "wl_wilson_ci",
     "wl_capture_recapture", "txt_repetition", "wl_dataset_card",
     "txt_ocr_artifact_filter", "txt_bpe_pair_counts",
+    # r5: empty-pair-set divergence class (a 1-doc or all-distinct-source
+    # corpus produces ZERO candidate pairs; a global agg would emit one
+    # NULL row where the oracle emits none)
+    "dedup_threshold_sweep", "dedup_near_jaccard", "dedup_scurve_empirical",
 ]
 
 
@@ -135,6 +139,12 @@ _EVENT_KEYS = [
     "wl_error_budget", "wl_causal_impact_lite", "wl_forecast_backtest",
     "wl_linear_forecast", "wl_resample_ffill", "wl_attribution",
     "wl_dp_counts",
+    # r5: remaining events-only wl_* stat keys (verdict r4 asked for the
+    # FULL stat list under constant-series/single-day generators —
+    # wl_autocorrelation's zero-variance abort hid in exactly this gap)
+    "wl_anova_seasonality", "wl_daily_quantile_bands", "wl_diff_in_diff",
+    "wl_seasonality", "wl_forget_users", "agg_time_rollup",
+    "batch_session_window",
 ]
 
 
@@ -198,7 +208,13 @@ _ORDER_KEYS = ["wl_benford", "agg_weighted_median", "wl_merge_upsert",
                "wl_lorenz_points", "wl_simpson_check",
                "wl_effective_sample_size", "wl_winsorized_mean",
                "wl_iqr_outliers", "agg_higher_moments", "agg_linreg",
-               "wl_abc_analysis", "win_nth_value", "win_top_percent"]
+               "wl_abc_analysis", "win_nth_value", "win_top_percent",
+               # r5: remaining orders-only wl_* stat keys (verdict r4:
+               # sweep the FULL stat family under degenerate generators)
+               "wl_poisson_bootstrap", "wl_rfm", "wl_snapshot_diff",
+               "wl_ivm_retraction", "wl_rendezvous_hashing",
+               "wl_data_vault_keys", "agg_mode_tiebreak",
+               "agg_percentile_disc", "agg_bitmap_distinct"]
 
 
 @settings(
