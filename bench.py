@@ -46,27 +46,48 @@ def main() -> None:
     queries = all_queries()
     keys = [k for k in HEADLINE if k in queries]
 
+    # Quiet the benign "Asked to cache already cached data" warning:
+    # operators that persist() an intermediate (wl_pagerank3's edges)
+    # build an identical canonical plan on every invocation, so repeat
+    # runs re-persist the same cache entry. That re-use is intentional
+    # here — every MEASURED run (r3 onward) executes warm-cache, which
+    # keeps the medians comparable round-over-round.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.CacheManager",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # log4j internals unavailable — warning stays, behavior unchanged
+
     # warm-up: JVM JIT, codegen cache, parquet footer cache
     for k in keys:
         queries[k](spark, sf_dir).count()
 
-    # best-of-2 per query: a warm single shot still carries GC /
-    # scheduler jitter at the ~0.3-0.6 s floor; the min of two runs is
-    # the standard way to report the repeatable cost.
-    times: dict[str, float] = {}
-    for k in keys:
-        best = float("inf")
-        for _ in range(2):
+    # median-of-3 per query (r4 verdict): a warm single shot carries
+    # GC / scheduler jitter at the ~0.3-0.6 s floor; the median is the
+    # headline number, the min rides along so real plan regressions
+    # are distinguishable from session drift.
+    runs = 3
+    samples: dict[str, list[float]] = {k: [] for k in keys}
+    for _ in range(runs):
+        for k in keys:
             t0 = time.perf_counter()
             queries[k](spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        times[k] = round(best, 4)
+            samples[k].append(time.perf_counter() - t0)
+
+    times = {k: round(sorted(v)[runs // 2], 4) for k, v in samples.items()}
+    mins = {k: round(min(v), 4) for k, v in samples.items()}
 
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(times.values()), 4),
         "unit": "sec",
         "queries": times,
+        "queries_min": mins,
+        "runs": runs,
+        "value_basis": "sum of per-query medians (r1-r4: best-of-2 mins)",
         "sf": float(sf),
     }
     print(json.dumps(out))

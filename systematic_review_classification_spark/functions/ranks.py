@@ -22,6 +22,19 @@ way:
 
 Deterministic whenever the order key is a total order (callers append a
 unique tie-break column).
+
+CORRECTNESS DEPENDENCY — exchange determinism: the range-partitioned
+relation ``d`` is evaluated in TWO plan branches (the per-partition
+stats aggregate and the offset join back onto the data). Catalyst
+normally compiles both branches onto one ``Exchange rangepartitioning``
+node (``ReusedExchange``), so both observe identical sampled range
+bounds. If the branches ever compiled to SEPARATE exchanges, the two
+samplings could disagree and offsets would silently misalign. This is
+safe even with ``spark.sql.exchange.reuse=false`` because
+``RangePartitioner`` seeds its reservoir sampling deterministically per
+partition (byte-identical input ⇒ identical bounds), but we pin BOTH
+properties in ``tests/test_ranks_exchange.py``: plan-level reuse under
+default config, and value-level agreement with reuse disabled.
 """
 
 from __future__ import annotations

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from systematic_review_classification_spark.functions.ranks import global_prefix_sum
+from systematic_review_classification_spark.functions.ranks import global_prefix_sum, global_rank
 from systematic_review_classification_spark.registry import query
 from systematic_review_classification_spark.sources.tables import load
 
@@ -1090,10 +1090,12 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s")
         )
     )
-    bmr = bm.select(
-        "doc_id",
-        F.row_number().over(W.orderBy(F.round("s", 6).desc(), "doc_id")).alias("r"),
-    )
+    # two-pass range rank: the lexical candidate set is bounded only by
+    # query-term selectivity — at corpus scale an unpartitioned
+    # row_number is a single-task sort.
+    bmr = global_rank(
+        bm, F.round("s", 6).desc(), F.col("doc_id"), rank_col="r"
+    ).select("doc_id", "r")
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
@@ -1115,10 +1117,9 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dot / (F.col("nn") * F.col("qn")), 6).alias("cos"),
         )
     )
-    esr = es.select(
-        "doc_id",
-        F.row_number().over(W.orderBy(F.col("cos").desc(), "doc_id")).alias("r"),
-    )
+    esr = global_rank(
+        es, F.col("cos").desc(), F.col("doc_id"), rank_col="r"
+    ).select("doc_id", "r")
     fused = (
         bmr.withColumnRenamed("doc_id", "b_id")
         .withColumnRenamed("r", "br")
@@ -1214,16 +1215,16 @@ def wl_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("idf") * F.col("tf")).alias("tfidf"),
         )
     )
-    ranked = scores.select(
-        F.row_number()
-        .over(W.orderBy(F.round("bm25", 6).desc(), "doc_id"))
-        .cast("double")
-        .alias("r1"),
-        F.row_number()
-        .over(W.orderBy(F.round("tfidf", 6).desc(), "doc_id"))
-        .cast("double")
-        .alias("r2"),
-    )
+    # two-pass range ranks, one per ordering (docs scale with data — an
+    # unpartitioned row_number would collapse the corpus into one task);
+    # the doc_id equi-join re-pairs the two rank columns.
+    r1 = global_rank(
+        scores, F.round("bm25", 6).desc(), F.col("doc_id"), rank_col="r1"
+    ).select("doc_id", F.col("r1").cast("double").alias("r1"))
+    r2 = global_rank(
+        scores, F.round("tfidf", 6).desc(), F.col("doc_id"), rank_col="r2"
+    ).select("doc_id", F.col("r2").cast("double").alias("r2"))
+    ranked = r1.join(r2, "doc_id")
     n = F.count(F.lit(1))
     return ranked.agg(
         n.cast("bigint").alias("n"),

@@ -1278,6 +1278,20 @@ def ml_screen_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale that is 4 corpus scans vs one cached columnar block (a
     real deployment checkpoints instead when lineage depth
     matters)."""
+    feat, out = _screen_e2e_lazy(spark, sf_dir)
+    # eagerly materialize the 1-row result (localCheckpoint runs the
+    # job now) so the per-document feature matrix can be unpersisted
+    # here instead of pinning executor memory for the session lifetime
+    # — unlike runtime.py's cache_reuse (a small reduced rollup), feat
+    # scales with the corpus.
+    out = out.localCheckpoint(eager=True)
+    feat.unpersist()
+    return out
+
+
+def _screen_e2e_lazy(spark: SparkSession, sf_dir: str):
+    """The lazy (feat, result) pair behind ml_screen_e2e — split out so
+    plan tests can assert the two-pass rank shape pre-checkpoint."""
     d = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     feat = d.select(
@@ -1315,7 +1329,7 @@ def ml_screen_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_col="rnk",
         totals={"n": F.count(F.lit(1)), "n_pos": F.sum("y")},
     )
-    return ranked.agg(
+    out = ranked.agg(
         F.max("n").cast("bigint").alias("n"),
         F.max("n_pos").cast("bigint").alias("n_pos"),
         F.sum(F.when(F.col("rnk") <= F.ceil(0.1 * F.col("n")), F.col("y")).otherwise(0.0))
@@ -1329,6 +1343,7 @@ def ml_screen_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recall_at_10pct"),
     )
+    return feat, out
 
 
 @query(

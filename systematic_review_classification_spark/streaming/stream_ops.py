@@ -34,6 +34,28 @@ from systematic_review_classification_spark.streaming.helpers import (
 )
 
 
+def _chrono_buckets(ev: DataFrame, n: int) -> DataFrame:
+    """Chronological n-way replay split WITHOUT a global ntile window:
+    approx-percentile cutpoints of event time (one tiny aggregate,
+    1-row broadcast back) assign each row its bucket, so the split is
+    a parallel map at any scale. Buckets are approximately equal-count
+    — only chronological order between batches matters to the replay —
+    and cutpoint ties land in the earlier bucket, so same-timestamp
+    events never straddle a batch boundary. Degenerate streams (all
+    one timestamp) collapse to fewer buckets; callers iterate the
+    bucket dirs that exist."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cuts = ev.agg(
+        F.percentile_approx(us, [i / n for i in range(1, n)], 10_000).alias("_cuts")
+    )
+    bucket = F.aggregate(
+        F.col("_cuts"),
+        F.lit(1),
+        lambda acc, c: acc + F.when(us > c, 1).otherwise(0),
+    )
+    return ev.join(F.broadcast(cuts)).withColumn("bucket", bucket).drop("_cuts")
+
+
 @query(
     "stream_tumbling",
     oracle="""
@@ -124,25 +146,32 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = work_dir(sf_dir, "late_src")
     parts = work_dir(sf_dir, "late_parts")
     # three chronological thirds, then the oldest 5% replayed late
-    ev.withColumn("bucket", F.ntile(3).over(W.orderBy("ts", "event_id"))).write.mode(
-        "overwrite"
-    ).partitionBy("bucket").parquet(parts)
+    _chrono_buckets(ev, 3).write.mode("overwrite").partitionBy("bucket").parquet(parts)
     # row count from the parquet footer — free metadata read, no Spark job
     import pyarrow.parquet as pq
 
     n_events = pq.ParquetFile(os.path.join(sf_dir, "events.parquet")).metadata.num_rows
     late = ev.limit(max(n_events // 20, 1))
-    for i in (1, 2, 3):
-        os.makedirs(f"{src}/f{i}", exist_ok=True)
+    # degenerate streams can collapse to fewer buckets — stage whatever
+    # bucket dirs the split produced, in chronological order
+    buckets = sorted(
+        int(b.split("=")[1]) for b in os.listdir(parts) if b.startswith("bucket=")
+    )
+    staged = []
+    for j, i in enumerate(buckets, start=1):
+        os.makedirs(f"{src}/f{j}", exist_ok=True)
         spark.read.parquet(f"{parts}/bucket={i}").write.mode("overwrite").parquet(
-            f"{src}/f{i}"
+            f"{src}/f{j}"
         )
-    late.write.mode("overwrite").parquet(f"{src}/f4")
+        staged.append(j)
+    late_idx = len(staged) + 1
+    late.write.mode("overwrite").parquet(f"{src}/f{late_idx}")
+    staged.append(late_idx)
     # flatten staged files with increasing mtimes for deterministic order
     flat = work_dir(sf_dir, "late_flat")
     t0 = 1_700_000_000
     n = 0
-    for i in (1, 2, 3, 4):
+    for i in staged:
         for f in sorted(os.listdir(f"{src}/f{i}")):
             if f.endswith(".parquet"):
                 dst = f"{flat}/{i:02d}_{f}"
@@ -588,13 +617,14 @@ def stream_stateful_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events").orderBy("ts")
     parts = work_dir(sf_dir, "ttl_parts")
-    ev.withColumn(
-        "bucket", F.ntile(4).over(W.orderBy("ts", "event_id"))
-    ).write.mode("overwrite").partitionBy("bucket").parquet(parts)
+    _chrono_buckets(ev, 4).write.mode("overwrite").partitionBy("bucket").parquet(parts)
     flat = work_dir(sf_dir, "ttl_flat")
     t0 = 1_700_000_000
     n = 0
-    for i in (1, 2, 3, 4):
+    buckets = sorted(
+        int(b.split("=")[1]) for b in os.listdir(parts) if b.startswith("bucket=")
+    )
+    for i in buckets:
         bdir = f"{parts}/bucket={i}"
         for f in sorted(os.listdir(bdir)):
             if f.endswith(".parquet"):

@@ -743,6 +743,8 @@ def test_sql_hint_broadcast_is_honored(spark, sf_dir):
         "wl_stratified_ate", "txt_oov_curve", "wl_vocab_growth",
         "wl_concurrency", "wl_lorenz_points", "ml_screen_e2e",
         "ml_gains_table",
+        # r5: the last two data-scaled unpartitioned ranks, converted
+        "wl_rank_correlation", "sim_hybrid_rrf",
     ],
 )
 def test_unbounded_rank_uses_two_pass(spark, sf_dir, key):
@@ -751,7 +753,16 @@ def test_unbounded_rank_uses_two_pass(spark, sf_dir, key):
     a RangePartitioning exchange plus _pid-partitioned windows —
     never a single-task `WindowExec: No Partition Defined` over the
     raw relation."""
-    plan = plan_of(QUERIES[key](spark, sf_dir))
+    if key == "ml_screen_e2e":
+        # the registered query localCheckpoints its 1-row result (so it
+        # can unpersist the per-doc feature cache), which collapses the
+        # visible plan — assert on the pre-checkpoint lazy frame
+        from systematic_review_classification_spark.operators.ml import _screen_e2e_lazy
+
+        df = _screen_e2e_lazy(spark, sf_dir)[1]
+    else:
+        df = QUERIES[key](spark, sf_dir)
+    plan = plan_of(df)
     assert "rangepartitioning" in plan.lower(), plan
     assert "windowspecdefinition(_pid" in plan, plan
 

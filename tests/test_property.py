@@ -635,3 +635,65 @@ def test_streaming_oracles_hold_on_generated_streams(spark, corpus_dir, events):
             assert sp == du, f"[{key}] diverged on generated stream {rows!r}"
     finally:
         con.close()
+
+
+# r5 (verdict r4 item 2): the spread-dividing statistics, fuzzed HARD on
+# degenerate series — tiny streams where constant values / constant
+# timestamps make every variance, MAD, slope denominator, and
+# sum-of-squares exactly 0. Separated from the broad event sweep so the
+# example budget can be 25+ without multiplying the full 57-key loop.
+_STAT_KEYS = [
+    "wl_autocorrelation", "wl_periodogram", "wl_anova_seasonality",
+    "wl_anomaly_zscore", "wl_anomaly_deseasonalized", "win_rolling_zscore",
+    "wl_mad_outliers", "wl_ab_ttest", "wl_paired_ttest", "wl_cuped",
+    "wl_ks_test", "wl_psi_drift", "wl_srm_check", "wl_power_analysis",
+    "wl_cusum", "wl_control_chart", "wl_theil_sen", "wl_linear_forecast",
+    "wl_holt_smoothing", "wl_seasonal_index", "wl_causal_impact_lite",
+    "wl_forecast_backtest", "wl_daily_quantile_bands", "win_ewma",
+]
+
+_DEGENERATE_EVENT = st.tuples(
+    # day offsets only — forces constant or near-constant DAILY series
+    st.one_of(st.just(0), st.sampled_from([86_400, 172_800, 259_200])),
+    st.integers(min_value=1, max_value=2),
+    st.sampled_from(["click", "view"]),
+    st.one_of(st.just(100_000), st.just(1)),  # two-point value space
+)
+_DEGENERATE_EVENTS = st.lists(_DEGENERATE_EVENT, min_size=1, max_size=6)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(events=_DEGENERATE_EVENTS)
+def test_stat_oracles_survive_degenerate_series(spark, corpus_dir, events):
+    """Constant daily counts, single active days, two-point value
+    distributions: every data-derived denominator in the stat family
+    must null out identically on both engines — never DIVIDE_BY_ZERO
+    (wl_autocorrelation's r4 bug class)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=off), uid, typ, cents / 100.0)
+        for i, (off, uid, typ, cents) in enumerate(events)
+    ]
+    path = str(corpus_dir / "statcase")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+    queries, oracles = all_queries(), all_oracles()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{path}/events.parquet/*.parquet')"
+    )
+    try:
+        for key in _STAT_KEYS:
+            sp = canonical_rows(queries[key](spark, path).toPandas())
+            du = canonical_rows(con.execute(oracles[key]).df())
+            assert sp == du, f"[{key}] diverged on degenerate series {rows!r}"
+    finally:
+        con.close()
