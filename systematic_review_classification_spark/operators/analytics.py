@@ -3203,7 +3203,8 @@ def wl_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "wl_capture_recapture",
     oracle="""
-WITH fp AS (SELECT DISTINCT source, md5(text) AS fp FROM documents),
+WITH fp AS (SELECT DISTINCT source, md5(text) AS fp FROM documents
+            WHERE text IS NOT NULL),
 s1 AS (SELECT DISTINCT fp FROM fp WHERE source IN ('src0', 'src1', 'src2')),
 s2 AS (SELECT DISTINCT fp FROM fp WHERE source IN ('src2', 'src3', 'src4')),
 m AS (
@@ -3229,7 +3230,14 @@ def wl_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     number for 'is another crawl worth it'). Fingerprint sets are
     linear scans; the overlap is one semi-join on md5 keys."""
     d = load(spark, sf_dir, "documents")
-    fp = d.select("source", F.md5("text").alias("fp")).distinct()
+    # a NULL text has no fingerprint: drop it on both engines (the
+    # oracle's count(DISTINCT fp) ignores NULL where Spark's
+    # distinct().count() would keep the NULL row — off-by-one totals)
+    fp = (
+        d.filter(F.col("text").isNotNull())
+        .select("source", F.md5("text").alias("fp"))
+        .distinct()
+    )
     s1 = fp.filter(F.col("source").isin("src0", "src1", "src2")).select("fp").distinct()
     s2 = fp.filter(F.col("source").isin("src2", "src3", "src4")).select("fp").distinct()
     n1 = s1.agg(F.count(F.lit(1)).alias("n1"))

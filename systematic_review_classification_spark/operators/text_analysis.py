@@ -103,8 +103,11 @@ def txt_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
 SELECT doc_id,
        CAST(len(toks) AS BIGINT) AS n_words,
-       CAST(list_reduce(list_prepend(0, list_transform(toks, w -> CAST(ceil(length(w) / 4.0) AS INTEGER))),
-                        (a, b) -> a + b) AS BIGINT) AS n_bpe_est,
+       -- NULL text => NULL counts (DuckDB's list_prepend(0, NULL) would
+       -- otherwise smuggle a 0 where every other column is NULL)
+       CAST(CASE WHEN toks IS NULL THEN NULL ELSE
+            list_reduce(list_prepend(0, list_transform(toks, w -> CAST(ceil(length(w) / 4.0) AS INTEGER))),
+                        (a, b) -> a + b) END AS BIGINT) AS n_bpe_est,
        CAST(len(toks) - 1 AS BIGINT) AS n_spaces
 FROM t
 """,
@@ -661,9 +664,9 @@ WITH f AS (
          CASE WHEN regexp_matches(text, '[bcdfghjklmnpqrstvwxz]{5,}')
               THEN 1 ELSE 0 END AS consonant_run,
          round(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
-               / length(text), 6) AS digit_ratio,
+               / nullif(length(text), 0), 6) AS digit_ratio,
          round(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
-               / length(text), 6) AS symbol_ratio
+               / nullif(length(text), 0), 6) AS symbol_ratio
   FROM documents)
 SELECT doc_id, consonant_run, digit_ratio, symbol_ratio,
        CASE WHEN consonant_run = 1 OR digit_ratio > 0.3 OR symbol_ratio > 0.2
@@ -684,12 +687,14 @@ def txt_ocr_artifact_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     consonant_run = F.when(
         F.regexp_count(F.col("text"), F.lit("[bcdfghjklmnpqrstvwxz]{5,}")) > 0, 1
     ).otherwise(0)
+    # empty text: ratios are undefined — NULL on both engines (nullif in
+    # the oracle), not an ANSI DIVIDE_BY_ZERO abort
+    n_chars = F.nullif(F.length("text"), F.lit(0))
     digit_ratio = F.round(
-        F.regexp_count(F.col("text"), F.lit("[0-9]")).cast("double") / F.length("text"), 6
+        F.regexp_count(F.col("text"), F.lit("[0-9]")).cast("double") / n_chars, 6
     )
     symbol_ratio = F.round(
-        F.regexp_count(F.col("text"), F.lit("[^a-zA-Z0-9 ]")).cast("double")
-        / F.length("text"),
+        F.regexp_count(F.col("text"), F.lit("[^a-zA-Z0-9 ]")).cast("double") / n_chars,
         6,
     )
     f = d.select(
@@ -1168,7 +1173,7 @@ SELECT doc_id, lang, cjk_chars, latin_chars,
        CASE WHEN cjk_chars > latin_chars THEN 'cjk'
             WHEN latin_chars > 0 THEN 'latin'
             ELSE 'other' END AS dominant_script,
-       round(CAST(cjk_chars AS DOUBLE) / n_chars, 6) AS cjk_ratio
+       round(CAST(cjk_chars AS DOUBLE) / nullif(n_chars, 0), 6) AS cjk_ratio
 FROM f
 """,
 )
@@ -1193,7 +1198,11 @@ def txt_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(latin > 0, "latin")
         .otherwise("other")
         .alias("dominant_script"),
-        F.round(cjk.cast("double") / F.length("text"), 6).alias("cjk_ratio"),
+        # empty text: ratio undefined — NULL both engines, never
+        # DIVIDE_BY_ZERO
+        F.round(
+            cjk.cast("double") / F.nullif(F.length("text"), F.lit(0)), 6
+        ).alias("cjk_ratio"),
     )
 
 

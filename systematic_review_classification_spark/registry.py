@@ -51,120 +51,92 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # key is a no-op; keys absent from this list follow in registration
 # order.
 _PRIORITY: list[str] = [
-    # (a) keys whose code or oracle changed in round 4 — re-verify first:
-    # ADVICE r3 fixes (2-touch U-credit, floor-before-cast, data-derived
-    # oracle spines), the two-pass-rank de-globalizations, the one-pass
-    # threshold sweep, and the two new keys (agg_partial_final,
-    # stream_rate_smoke).
-    "wl_multitouch_attribution", "wl_causal_impact_lite",
-    "wl_forecast_backtest", "dedup_exact_substring",
-    "txt_conditional_entropy", "txt_bigram_lm_score",
-    "txt_boilerplate_strip", "wl_embedding_drift", "wl_stratified_ate",
-    "txt_oov_curve", "wl_vocab_growth", "dedup_threshold_sweep",
-    "agg_partial_final", "stream_rate_smoke", "wl_concurrency",
-    "wl_lorenz_points", "ml_screen_e2e", "ml_gains_table",
-    "wl_temperature_mix", "sim_semdedup_centroid", "wl_mix_entropy",
-    "sim_cosine_topk", "mm_vector_norm", "dedup_embed_cos", "dedup_degree_hist", "ml_knn_classify", "sim_hybrid_rrf", "sim_bruteforce_topk",
-    "wl_mad_outliers", "wl_paired_ttest", "wl_cuped", "wl_ks_test", "wl_anomaly_zscore", "wl_psi_drift", "agg_higher_moments",
-    "wl_power_analysis", "wl_ab_ttest", "wl_eb_shrinkage",
-    "wl_anomaly_deseasonalized", "wl_poisson_bootstrap", "stat_crosstab", "pivot_multi_agg", "txt_logodds_shift", "wl_wilson_ci", "wl_funnel_steps",
-    # (b) never-driver-verified keys, prior order preserved (the ~50-key
-    # r4 window ends somewhere inside this block; r5 continues from
-    # wherever CORRECTNESS_r04.json stops).
-    "dedup_minhash_portable", "dedup_minhash_canonical", "txt_repetition",
-    "wl_dataset_card", "mm_embed_quantize", "scan_partition_prune",
-    "sql_recursive_cte", "wl_funnel", "agg_time_rollup", "fn_bitwise",
-    "txt_bm25_topk", "wl_inverted_index", "txt_containment",
-    "dedup_biblio", "agg_cms_portable", "wl_data_quality",
+    # (a) keys whose code or oracle changed in round 5 — re-verify first
+    # (rotation rule: any changed key re-enters the head even if
+    # previously verified): the zero-variance division guards
+    # (wl_autocorrelation, wl_anova_seasonality), the empty-pair-set
+    # fix (dedup_threshold_sweep), the two-pass-rank conversions
+    # (wl_rank_correlation, sim_hybrid_rrf), the cache-lifetime fix
+    # (ml_screen_e2e), and the de-windowed replay splitters
+    # (stream_watermark_late, stream_stateful_ttl — rows-only).
+    "wl_autocorrelation", "wl_anova_seasonality", "dedup_threshold_sweep",
+    "wl_rank_correlation", "sim_hybrid_rrf", "ml_screen_e2e",
+    "stream_watermark_late", "stream_stateful_ttl",
+    # (b) never-driver-verified keys, prior order preserved — the ~50
+    # budget lands on (a) + this block's head; r6 continues from
+    # wherever CORRECTNESS_r05.json stops.
+    "scan_partition_prune", "sql_recursive_cte", "wl_funnel",
+    "agg_time_rollup", "fn_bitwise", "txt_bm25_topk", "wl_inverted_index",
+    "txt_containment", "dedup_biblio", "agg_cms_portable", "wl_data_quality",
     "wl_merge_upsert", "agg_weighted_median", "wl_hour_heatmap",
     "txt_sentiment_lexicon", "win_running_distinct", "win_ewma",
-    "wl_benford", "wl_path_trigrams", "sql_group_by_all",
-    "agg_sketch_merge", "dedup_minhash_eval",
-    "sim_sparse_cosine", "join_bloom_prefilter", "wl_forget_users", "sql_cluster_by", 
-    "txt_bpe_pair_counts", "fn_xml", "wl_pretrain_pipeline",
-    "sql_window_clause", "sim_rp_lsh", "src_fixed_width", "fn_phonetic",
-    "txt_ocr_artifact_filter", "ml_logreg_gd", "ml_nb_portable",
-    "agg_variance_merge", "ml_kmeans_portable", "graph_bfs_levels",
-    "mm_modality_router", "src_weblog", "wl_prisma_flow",
-    "wl_cohens_kappa", "ml_feature_mi", 
+    "wl_benford", "wl_path_trigrams", "sql_group_by_all", "agg_sketch_merge",
+    "dedup_minhash_eval", "sim_sparse_cosine", "join_bloom_prefilter",
+    "wl_forget_users", "sql_cluster_by", "txt_bpe_pair_counts", "fn_xml",
+    "wl_pretrain_pipeline", "sql_window_clause", "sim_rp_lsh",
+    "src_fixed_width", "fn_phonetic", "txt_ocr_artifact_filter",
+    "ml_logreg_gd", "ml_nb_portable", "agg_variance_merge",
+    "ml_kmeans_portable", "graph_bfs_levels", "mm_modality_router",
+    "src_weblog", "wl_prisma_flow", "wl_cohens_kappa", "ml_feature_mi",
     "ml_split_leakage", "join_asof_forward", "scan_manifest_table",
-    "wl_decayed_popularity", "win_rolling_zscore",
-    "sample_reservoir_merge", "wl_soft_dedup_sampling",
-    "wl_retrieval_eval", "wl_change_attribution", "dedup_scurve_empirical",
-    "wl_markov2_conditional", "wl_linear_forecast", "sql_identifier",
-    "wl_iqr_outliers", "wl_interarrival_hist", "agg_bucketed_no_shuffle",
-    "wl_pit_features", "sink_compressed", "ml_item_cf", "wl_dp_counts",
-    "wl_postings_delta", "wl_partition_balance", "ml_confusion_multiclass",
-    "wl_ivm_retraction", "wl_lateness_profile", "txt_bpe_apply",
-    "wl_hll_daily_rollup", "sql_lateral_view", "sql_hint_broadcast",
-    "graph_link_prediction", "sample_weighted_es",
-    "wl_rendezvous_hashing", "dedup_fellegi_sunter", "rt_analyze_stats", "wl_date_dim", "wl_hygiene_attribution",
-    "wl_rank_correlation", "graph_clustering_coeff", "graph_powerlaw_fit",
-    "wl_kl_source_mix", "win_top_percent",
-    "wl_kaplan_meier", "wl_percent_of_parent", "wl_cusum", "wl_control_chart", "wl_theil_sen",
-    "wl_anova_seasonality", "wl_simpson_check", "wl_winsorized_mean", "txt_burstiness", "txt_chao1_richness",
+    "wl_decayed_popularity", "win_rolling_zscore", "sample_reservoir_merge",
+    "wl_soft_dedup_sampling", "wl_retrieval_eval", "wl_change_attribution",
+    "dedup_scurve_empirical", "wl_markov2_conditional", "wl_linear_forecast",
+    "sql_identifier", "wl_iqr_outliers", "wl_interarrival_hist",
+    "agg_bucketed_no_shuffle", "wl_pit_features", "sink_compressed",
+    "ml_item_cf", "wl_dp_counts", "wl_postings_delta",
+    "wl_partition_balance", "ml_confusion_multiclass", "wl_ivm_retraction",
+    "wl_lateness_profile", "txt_bpe_apply", "wl_hll_daily_rollup",
+    "sql_lateral_view", "sql_hint_broadcast", "graph_link_prediction",
+    "sample_weighted_es", "wl_rendezvous_hashing", "dedup_fellegi_sunter",
+    "rt_analyze_stats", "wl_date_dim", "wl_hygiene_attribution",
+    "graph_clustering_coeff", "graph_powerlaw_fit", "wl_kl_source_mix",
+    "win_top_percent", "wl_kaplan_meier", "wl_percent_of_parent", "wl_cusum",
+    "wl_control_chart", "wl_theil_sen", "wl_simpson_check",
+    "wl_winsorized_mean", "txt_burstiness", "txt_chao1_richness",
     "wl_effective_sample_size", "txt_distinctive_terms", "wl_theil_index",
     "txt_heaps_fit", "ml_cascade_cost", "txt_script_mix",
     "wl_holt_smoothing", "wl_abc_analysis", "wl_data_vault_keys",
     "wl_accumulating_snapshot", "wl_interval_union", "txt_novelty_rate",
-    "wl_autocorrelation", "wl_periodogram", "wl_hhi",
-    "wl_retention_half_life", "wl_capture_recapture",
-    "fn_bround", "wl_seasonal_index", "wl_srm_check",
+    "wl_periodogram", "wl_hhi", "wl_retention_half_life",
+    "wl_capture_recapture", "fn_bround", "wl_seasonal_index", "wl_srm_check",
     "wl_growth_accounting", "wl_diff_in_diff", "wl_daily_quantile_bands",
-    "wl_error_budget", "wl_engagement_hist", "wl_rate_volume_mix", "wl_stickiness", "wl_arc_elasticity",
-    "wl_pareto_frontier",
+    "wl_error_budget", "wl_engagement_hist", "wl_rate_volume_mix",
+    "wl_stickiness", "wl_arc_elasticity", "wl_pareto_frontier",
     "wl_markov_absorbing", "wl_q11_partvalue", "wl_q20_excess",
     "wl_seasonality", "wl_skew_report", "wl_resample_ffill",
-    "sample_reservoir", "agg_grouping_id", "agg_corr_matrix",
-    "sql_qualify", "wl_profile", "wl_attribution", "wl_triangles",
-    "fn_width_bucket", "wl_gini", "wl_equidepth_bins",
-    "dedup_cluster_hist", "fn_epoch", "sink_partitioned", "cache_reuse",
-    "scan_observe", "sql_params", "agg_string_agg",
-    "src_csv_corrupt", "sql_pipe", "fn_variant", "fn_collate",
-    "dedup_incremental", "agg_approx_topk",
-    "join_dpp", "ml_fpgrowth", "ml_als", "wl_chi2_assoc", "src_json_array",
-    "sink_csv_options", "sink_zorder", "sim_pq_adc", "stream_stateful_ttl",
-    "ml_active_screen", "sink_compaction", "fn_string_more",
-    "stream_progress", "fn_mask", "sql_natural_join", "win_nth_value",
-    "win_lag_ignore_nulls", "wl_source_overlap",
-    "agg_percentile_disc", "agg_bitmap_distinct", "wl_retention",
-    "wl_dau_wau", "wl_copurchase", "wl_q9_profit",
+    "sample_reservoir", "agg_grouping_id", "agg_corr_matrix", "sql_qualify",
+    "wl_profile", "wl_attribution", "wl_triangles", "fn_width_bucket",
+    "wl_gini", "wl_equidepth_bins", "dedup_cluster_hist", "fn_epoch",
+    "sink_partitioned", "cache_reuse", "scan_observe", "sql_params",
+    "agg_string_agg", "src_csv_corrupt", "sql_pipe", "fn_variant",
+    "fn_collate", "dedup_incremental", "agg_approx_topk", "join_dpp",
+    "ml_fpgrowth", "ml_als", "wl_chi2_assoc", "src_json_array",
+    "sink_csv_options", "sink_zorder", "sim_pq_adc", "ml_active_screen",
+    "sink_compaction", "fn_string_more", "stream_progress", "fn_mask",
+    "sql_natural_join", "win_nth_value", "win_lag_ignore_nulls",
+    "wl_source_overlap", "agg_percentile_disc", "agg_bitmap_distinct",
+    "wl_retention", "wl_dau_wau", "wl_copurchase", "wl_q9_profit",
     "agg_linreg", "txt_collocation", "txt_zipf", "fn_struct",
     "sim_topk_int8", "wl_q16_suppcnt", "wl_q2_mincost", "wl_pagerank3",
     "ml_pca", "join_null_safe", "agg_mode_tiebreak", "fn_format",
-    "scan_metadata_cols", "txt_stem", "join_asof_tolerance", "dedup_keep_best", "win_gaps_islands", "wl_rfm",
-    "set_ops_all", "fn_base64", "txt_readability", "wl_snapshot_diff",
-    "wl_markov_transitions", "wl_pareto", "ml_feature_cross",
-    "sql_lateral", "src_parquet_merge_schema", "win_time_range", "agg_geomean", "join_scd2",
+    "scan_metadata_cols", "txt_stem", "join_asof_tolerance",
+    "dedup_keep_best", "win_gaps_islands", "wl_rfm", "set_ops_all",
+    "fn_base64", "txt_readability", "wl_snapshot_diff",
+    "wl_markov_transitions", "wl_pareto", "ml_feature_cross", "sql_lateral",
+    "src_parquet_merge_schema", "win_time_range", "agg_geomean", "join_scd2",
     "txt_compression_ratio", "wl_qtr_growth", "wl_basket_rules",
     "sql_subqueries", "fn_explode_outer", "fn_try", "wl_clean_corpus",
     "dedup_components", "txt_pii_scrub", "agg_histogram", "pivot_wide",
     "unpivot_long", "src_range", "set_union_missing", "sample_seeded",
-    "src_binaryfile", "src_text", "txt_chunk", "wl_q4_late",
-    "wl_q14_promo", "wl_q18_large", "agg_hll_sketch",
-    "join_skew_salted", "fn_url",
+    "src_binaryfile", "src_text", "txt_chunk", "wl_q4_late", "wl_q14_promo",
+    "wl_q18_large", "agg_hll_sketch", "join_skew_salted", "fn_url",
     "txt_sentence_split", "join_range_bucket", "agg_decimal_exact",
     "dedup_paragraph", "txt_chunk_tokens", "wl_shard_shuffle",
     "wl_q7_volume", "wl_q8_share", "wl_q12_late", "wl_q13_custdist",
-    "wl_q15_topsupp", "wl_q17_smallqty", "wl_q19_disjunct",
-    "wl_q21_waiting", "wl_q22_inactive", "dedup_decontaminate",
-    "wl_domain_mix", "wl_pack_sequences",
-    # (c) externally verified in r1-r3 (hash or rows-only pass) — trail.
-    "win_lag_lead", "scan_events_ns", "src_stream_file", "stream_tumbling",
-    "stream_sliding", "stream_session", "stream_stream_join",
-    "stream_rollup_merge", "stream_cdc_upsert", "stream_dedup",
-    "stream_watermark_late", "stream_stateful", "stream_foreachbatch",
-    "stream_static_join", "batch_session_window", "agg_incremental_rollup",
-    "ml_label_index", "ml_split", "ml_eval_confusion", "ml_eval_prf",
-    "ml_lr", "ml_nb", "ml_svm", "ml_rf", "ml_cv", "ml_kmeans", "ml_gbt",
-    "ml_calibration", "ml_threshold_at_recall", "udf_python",
-    "udf_pandas_scalar", "udf_pandas_iter", "udaf_pandas_agg",
-    "udf_grouped_map", "udf_map_pandas", "udtf_python",
-    "udf_arrow_convert", "sim_ivf_topk", "fn_hash_engine",
-    "txt_hashing_tf", "src_csv_quoted", "src_jsonl_nested",
-    "dedup_simhash64", "dedup_simhash_band", "win_ntile_dist",
-    "agg_bitwise_bool", "src_orc", "agg_approx_pct", "sample_stratified",
-    "sink_sorted_parquet",
+    "wl_q15_topsupp", "wl_q17_smallqty", "wl_q19_disjunct", "wl_q21_waiting",
+    "wl_q22_inactive", "dedup_decontaminate", "wl_domain_mix",
+    "wl_pack_sequences",
 ]
 
 
