@@ -733,7 +733,7 @@ ranked AS (
 SELECT c_nationkey, CAST(max(n_cust) AS BIGINT) AS n_cust,
        round(max(nation_rev), 2) AS nation_rev,
        round(sum(CASE WHEN rn * 10 <= n_cust THEN revenue ELSE 0 END)
-             / max(nation_rev), 6) AS top_decile_share
+             / nullif(max(nation_rev), 0), 6) AS top_decile_share
 FROM ranked GROUP BY c_nationkey
 """,
 )
@@ -772,7 +772,7 @@ def wl_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("nation_rev"), 2).alias("nation_rev"),
         F.round(
             F.sum(F.when(F.col("rn") * 10 <= F.col("n_cust"), F.col("revenue")).otherwise(0.0))
-            / F.max("nation_rev"),
+            / F.nullif(F.max("nation_rev"), F.lit(0.0)),
             6,
         ).alias("top_decile_share"),
     )
@@ -2363,7 +2363,8 @@ tot AS (
 SELECT CAST(nt AS BIGINT) AS n_obs,
        CAST((SELECT count(*) FROM cells) AS BIGINT) AS n_cells,
        round((sum_group_sq - st * st / nt)
-             / nullif(s2t - st * st / nt, 0), 6) + 0.0 AS eta_sq
+             / (CASE WHEN abs(s2t - st * st / nt) <= 1e-9 * abs(s2t)
+                     THEN NULL ELSE s2t - st * st / nt END), 6) + 0.0 AS eta_sq
 FROM tot
 """,
 )
@@ -2394,12 +2395,18 @@ def wl_anova_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ssb = F.col("sum_group_sq") - F.col("st") * F.col("st") / F.col("nt")
     sst = F.col("s2t") - F.col("st") * F.col("st") / F.col("nt")
-    # constant values make SS_total exactly 0: eta_sq is undefined —
-    # NULL on both engines (nullif in the oracle), not DIVIDE_BY_ZERO.
+    # near-constant values make SS_total ~0: eta_sq is undefined. The
+    # cancellation form s2t - st²/nt can land at exactly 0.0 on one
+    # engine and a ~1e-12 residual on the other (summation order), so
+    # the undefined test is a RELATIVE tolerance against s2t applied
+    # identically on both sides — not an exact nullif.
+    sst_safe = F.when(F.abs(sst) <= 1e-9 * F.abs(F.col("s2t")), None).otherwise(
+        sst
+    )
     return tot.select(
         F.col("nt").cast("bigint").alias("n_obs"),
         "n_cells",
-        (F.round(ssb / F.nullif(sst, F.lit(0.0)), 6) + 0.0).alias("eta_sq"),
+        (F.round(ssb / sst_safe, 6) + 0.0).alias("eta_sq"),
     )
 
 
@@ -2473,12 +2480,14 @@ w AS (
         FROM orders CROSS JOIN (SELECT unnest(range(0, 10)) AS r) r2) o
   JOIN reps r ON r.r = o.r),
 means AS (
-  SELECT r, sum(wt * y) / sum(wt) AS m FROM w GROUP BY r),
+  SELECT r, CASE WHEN sum(wt) > 0 THEN sum(wt * y) / sum(wt) END AS m
+  FROM w GROUP BY r),
 agg AS (
-  SELECT CAST(count(*) AS DOUBLE) AS k, sum(m) AS s1, sum(m * m) AS s2 FROM means)
+  SELECT CAST(count(m) AS DOUBLE) AS k, sum(m) AS s1, sum(m * m) AS s2 FROM means)
 SELECT CAST(k AS BIGINT) AS n_replicates,
-       round(s1 / k, 4) AS boot_mean,
-       round(sqrt(greatest((s2 - s1 * s1 / k) / (k - 1), 0)), 4) AS boot_se
+       round(s1 / nullif(k, 0), 4) AS boot_mean,
+       round(sqrt(greatest((s2 - s1 * s1 / nullif(k, 0)) / nullif(k - 1, 0), 0)),
+             4) AS boot_se
 FROM agg
 """,
 )
@@ -2531,22 +2540,30 @@ def wl_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("wt"),
         )
     )
+    # A replicate whose Poisson weights all drew 0 has no resampled rows:
+    # its mean is undefined (NULL on both engines), and k counts only the
+    # defined replicates — guarding the ANSI DIVIDE_BY_ZERO the degenerate
+    # -corpus fuzz caught (all-zero-weight replicates are near-certain for
+    # tiny corpora and possible for a pathological partition at scale).
     means = w.groupBy("r").agg(
-        (F.sum(F.col("wt") * F.col("y")) / F.sum("wt")).alias("m")
+        F.when(
+            F.sum("wt") > 0, F.sum(F.col("wt") * F.col("y")) / F.sum("wt")
+        ).alias("m")
     )
     agg = means.agg(
-        F.count(F.lit(1)).cast("double").alias("k"),
+        F.count("m").cast("double").alias("k"),
         F.sum("m").alias("s1"),
         F.sum(F.col("m") * F.col("m")).alias("s2"),
     )
+    kn = F.nullif(F.col("k"), F.lit(0.0))
     return agg.select(
         F.col("k").cast("bigint").alias("n_replicates"),
-        F.round(F.col("s1") / F.col("k"), 4).alias("boot_mean"),
+        F.round(F.col("s1") / kn, 4).alias("boot_mean"),
         F.round(
             F.sqrt(
                 F.greatest(
-                    (F.col("s2") - F.col("s1") * F.col("s1") / F.col("k"))
-                    / (F.col("k") - 1),
+                    (F.col("s2") - F.col("s1") * F.col("s1") / kn)
+                    / F.nullif(F.col("k") - 1, F.lit(0.0)),
                     F.lit(0.0),
                 )
             ),
@@ -2607,8 +2624,8 @@ def wl_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH w AS (SELECT o_orderpriority AS grp, o_totalprice AS wt FROM orders)
 SELECT grp, CAST(count(*) AS BIGINT) AS n,
-       round(sum(wt) * sum(wt) / sum(wt * wt) / count(*), 6) AS ess_ratio,
-       round(sum(wt) * sum(wt) / sum(wt * wt), 6) AS ess
+       round(sum(wt) * sum(wt) / nullif(sum(wt * wt), 0) / count(*), 6) AS ess_ratio,
+       round(sum(wt) * sum(wt) / nullif(sum(wt * wt), 0), 6) AS ess
 FROM w GROUP BY grp
 """,
 )
@@ -2625,12 +2642,16 @@ def wl_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.groupBy("grp").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.round(
-            F.sum("wt") * F.sum("wt") / F.sum(F.col("wt") * F.col("wt")) / F.count(F.lit(1)),
+            F.sum("wt") * F.sum("wt")
+            / F.nullif(F.sum(F.col("wt") * F.col("wt")), F.lit(0.0))
+            / F.count(F.lit(1)),
             6,
         ).alias("ess_ratio"),
-        F.round(F.sum("wt") * F.sum("wt") / F.sum(F.col("wt") * F.col("wt")), 6).alias(
-            "ess"
-        ),
+        F.round(
+            F.sum("wt") * F.sum("wt")
+            / F.nullif(F.sum(F.col("wt") * F.col("wt")), F.lit(0.0)),
+            6,
+        ).alias("ess"),
     )
 
 

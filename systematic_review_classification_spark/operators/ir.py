@@ -118,7 +118,7 @@ WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM docume
 SELECT token,
        count(DISTINCT doc_id) AS df,
        count(*) AS tf_total,
-       list_sort(list(DISTINCT doc_id)) AS postings
+       array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings
 FROM tok GROUP BY token
 """,
 )
@@ -132,10 +132,15 @@ def wl_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     which changes the sink format, not this plan."""
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    # Postings emitted as a comma-joined string (the agg_string_agg
+    # convention): the external harness canonicalizes results through
+    # pandas sort/hash, which cannot handle bare array cells.
     return tok.groupBy("token").agg(
         F.countDistinct("doc_id").alias("df"),
         F.count("*").alias("tf_total"),
-        F.sort_array(F.collect_set("doc_id")).alias("postings"),
+        F.array_join(F.sort_array(F.collect_set("doc_id")), ",").alias(
+            "postings"
+        ),
     )
 
 
@@ -899,8 +904,9 @@ pl AS (SELECT token, list_sort(list(DISTINCT doc_id)) AS p FROM tok GROUP BY tok
 SELECT token,
        CAST(len(p) AS BIGINT) AS df,
        p[1] AS first_doc,
-       list_transform(list_zip(list_slice(p, 2, len(p)), list_slice(p, 1, len(p) - 1)),
-                      q -> q[1] - q[2]) AS deltas,
+       array_to_string(
+         list_transform(list_zip(list_slice(p, 2, len(p)), list_slice(p, 1, len(p) - 1)),
+                        q -> q[1] - q[2]), ',') AS deltas,
        CAST(coalesce(list_max(list_transform(
               list_zip(list_slice(p, 2, len(p)), list_slice(p, 1, len(p) - 1)),
               q -> q[1] - q[2])), 0) AS BIGINT) AS max_gap
@@ -926,11 +932,15 @@ def wl_postings_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(F.col("p"), 1, F.greatest(F.size("p") - 1, F.lit(1))),
         lambda a, b: a - b,
     )
+    # Deltas emitted comma-joined (the agg_string_agg convention): the
+    # external harness canonicalizes via pandas sort/hash, which cannot
+    # handle bare array cells — the varint-packable ints live on either
+    # side of the string in a real sink.
     return pl.select(
         "token",
         F.size("p").cast("bigint").alias("df"),
         F.element_at("p", 1).alias("first_doc"),
-        deltas.alias("deltas"),
+        F.array_join(deltas, ",").alias("deltas"),
         F.coalesce(F.array_max(deltas), F.lit(0)).cast("bigint").alias("max_gap"),
     )
 

@@ -1258,7 +1258,8 @@ SELECT CAST(max(n) AS BIGINT) AS n,
        CAST(max(n_pos) AS BIGINT) AS n_pos,
        CAST(sum(CASE WHEN rnk <= ceil(0.1 * n) THEN y ELSE 0 END) AS BIGINT)
          AS found_at_10pct,
-       round(sum(CASE WHEN rnk <= ceil(0.1 * n) THEN y ELSE 0 END) / max(n_pos), 6)
+       round(sum(CASE WHEN rnk <= ceil(0.1 * n) THEN y ELSE 0 END)
+             / nullif(max(n_pos), 0), 6)
          AS recall_at_10pct
 FROM ranked
 """,
@@ -1283,9 +1284,12 @@ def ml_screen_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # job now) so the per-document feature matrix can be unpersisted
     # here instead of pinning executor memory for the session lifetime
     # — unlike runtime.py's cache_reuse (a small reduced rollup), feat
-    # scales with the corpus.
-    out = out.localCheckpoint(eager=True)
-    feat.unpersist()
+    # scales with the corpus. try/finally: the cache must not outlive
+    # this call even when the checkpoint job fails.
+    try:
+        out = out.localCheckpoint(eager=True)
+    finally:
+        feat.unpersist()
     return out
 
 
@@ -1339,7 +1343,7 @@ def _screen_e2e_lazy(spark: SparkSession, sf_dir: str):
             F.sum(
                 F.when(F.col("rnk") <= F.ceil(0.1 * F.col("n")), F.col("y")).otherwise(0.0)
             )
-            / F.max("n_pos"),
+            / F.nullif(F.max("n_pos"), F.lit(0.0)),
             6,
         ).alias("recall_at_10pct"),
     )
@@ -1531,10 +1535,11 @@ g AS (
          max(n) AS n, max(n_pos) AS n_pos
   FROM dec GROUP BY decile)
 SELECT decile, n_rows, positives,
-       round(sum(positives) OVER (ORDER BY decile) / max(n_pos) OVER (), 6)
-         AS cum_capture,
+       round(sum(positives) OVER (ORDER BY decile)
+             / nullif(max(n_pos) OVER (), 0), 6) AS cum_capture,
        round((CAST(positives AS DOUBLE) / n_rows)
-             / (CAST(max(n_pos) OVER () AS DOUBLE) / max(n) OVER ()), 6) AS lift
+             / nullif(CAST(max(n_pos) OVER () AS DOUBLE) / max(n) OVER (), 0),
+             6) AS lift
 FROM g
 """,
 )
@@ -1587,11 +1592,16 @@ def ml_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         "positives",
         F.round(
-            F.sum("positives").over(W.orderBy("decile")) / F.max("n_pos").over(wall), 6
+            F.sum("positives").over(W.orderBy("decile"))
+            / F.nullif(F.max("n_pos").over(wall), F.lit(0.0)),
+            6,
         ).alias("cum_capture"),
         F.round(
             (F.col("positives").cast("double") / F.col("n_rows"))
-            / (F.max("n_pos").over(wall).cast("double") / F.max("n").over(wall)),
+            / F.nullif(
+                F.max("n_pos").over(wall).cast("double") / F.max("n").over(wall),
+                F.lit(0.0),
+            ),
             6,
         ).alias("lift"),
     )
@@ -1616,7 +1626,7 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
        CAST(count(*) + 100 * sum(passes_cheap) AS BIGINT) AS cascade_cost,
        CAST(101 * count(*) AS BIGINT) AS flat_cost,
        round(CAST(sum(CASE WHEN flagged = 1 THEN y ELSE 0 END) AS DOUBLE)
-             / sum(y), 6) AS cascade_recall
+             / nullif(sum(y), 0), 6) AS cascade_recall
 FROM staged
 """,
 )
@@ -1655,7 +1665,7 @@ def ml_cascade_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
         (101 * F.count(F.lit(1))).cast("bigint").alias("flat_cost"),
         F.round(
             F.sum(F.when(F.col("flagged") == 1, F.col("y")).otherwise(0)).cast("double")
-            / F.sum("y"),
+            / F.nullif(F.sum("y"), F.lit(0)),
             6,
         ).alias("cascade_recall"),
     )

@@ -345,7 +345,8 @@ def wl_q4_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
                               THEN l_extendedprice * (1 - l_discount)
                               ELSE 0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+             / nullif(sum(l_extendedprice * (1 - l_discount)), 0), 4)
+         AS promo_revenue_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= timestamp '1997-09-01'
   AND l_shipdate <  timestamp '1997-10-01'
@@ -371,7 +372,9 @@ def wl_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.round(100.0 * F.sum(promo) / F.sum(disc), 4).alias("promo_revenue_pct")
+            F.round(
+                100.0 * F.sum(promo) / F.nullif(F.sum(disc), F.lit(0.0)), 4
+            ).alias("promo_revenue_pct")
         )
     )
 

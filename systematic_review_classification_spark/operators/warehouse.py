@@ -553,8 +553,8 @@ def fn_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH r AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS rev FROM orders GROUP BY 1),
 rk AS (SELECT rev, row_number() OVER (ORDER BY rev, o_custkey) AS i FROM r)
-SELECT round(2.0 * sum(i * rev) / (count(*) * sum(rev))
-             - (count(*) + 1.0) / count(*), 6) AS gini
+SELECT round(2.0 * sum(i * rev) / nullif(count(*) * sum(rev), 0)
+             - (count(*) + 1.0) / nullif(count(*), 0), 6) AS gini
 FROM rk
 """,
 )
@@ -589,8 +589,10 @@ def wl_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.agg(
         F.round(
-            2.0 * F.sum(F.col("i") * F.col("rev")) / (F.count(F.lit(1)) * F.sum("rev"))
-            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            2.0 * F.sum(F.col("i") * F.col("rev"))
+            / F.nullif(F.count(F.lit(1)) * F.sum("rev"), F.lit(0.0))
+            - (F.count(F.lit(1)) + 1.0)
+            / F.nullif(F.count(F.lit(1)), F.lit(0)),
             6,
         ).alias("gini")
     )

@@ -175,7 +175,9 @@ def wl_q8_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum(nation_vol), 4).alias("nation_volume"),
             F.round(F.sum(vol), 4).alias("total_volume"),
-            F.round(F.sum(nation_vol) / F.sum(vol), 6).alias("mkt_share"),
+            F.round(
+                F.sum(nation_vol) / F.nullif(F.sum(vol), F.lit(0.0)), 6
+            ).alias("mkt_share"),
         )
     )
 

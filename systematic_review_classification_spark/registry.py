@@ -51,51 +51,38 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # key is a no-op; keys absent from this list follow in registration
 # order.
 _PRIORITY: list[str] = [
-    # (a) keys whose code or oracle changed in round 5 — re-verify first
+    # (a) keys whose code or oracle changed in round 6 — re-verify first
     # (rotation rule: any changed key re-enters the head even if
-    # previously verified): the zero-variance division guards
-    # (wl_autocorrelation, wl_anova_seasonality), the empty-pair-set
-    # fix (dedup_threshold_sweep), the two-pass-rank conversions
-    # (wl_rank_correlation, sim_hybrid_rrf), the cache-lifetime fix
-    # (ml_screen_e2e), and the de-windowed replay splitters
-    # (stream_watermark_late, stream_stateful_ttl — rows-only).
-    "wl_autocorrelation", "wl_anova_seasonality", "dedup_threshold_sweep",
-    "wl_rank_correlation", "sim_hybrid_rrf", "ml_screen_e2e",
-    "stream_watermark_late", "stream_stateful_ttl",
+    # previously verified): the zero-weight-replicate guard
+    # (wl_poisson_bootstrap), the stringified postings columns
+    # (wl_inverted_index — round 5's only external failure — and
+    # wl_postings_delta, caught by the same sweep), and the
+    # zero-positives division guards from the static divisor sweep
+    # (ml_screen_e2e, ml_gains_table; the other guarded keys were
+    # never-verified and keep their (b) positions).
+    "wl_poisson_bootstrap", "wl_inverted_index", "ml_screen_e2e",
+    "ml_gains_table", "wl_anova_seasonality",
     # (b) never-driver-verified keys, prior order preserved — the ~50
-    # budget lands on (a) + this block's head; r6 continues from
-    # wherever CORRECTNESS_r05.json stops.
-    "scan_partition_prune", "sql_recursive_cte", "wl_funnel",
-    "agg_time_rollup", "fn_bitwise", "txt_bm25_topk", "wl_inverted_index",
-    "txt_containment", "dedup_biblio", "agg_cms_portable", "wl_data_quality",
-    "wl_merge_upsert", "agg_weighted_median", "wl_hour_heatmap",
-    "txt_sentiment_lexicon", "win_running_distinct", "win_ewma",
-    "wl_benford", "wl_path_trigrams", "sql_group_by_all", "agg_sketch_merge",
-    "dedup_minhash_eval", "sim_sparse_cosine", "join_bloom_prefilter",
-    "wl_forget_users", "sql_cluster_by", "txt_bpe_pair_counts", "fn_xml",
-    "wl_pretrain_pipeline", "sql_window_clause", "sim_rp_lsh",
-    "src_fixed_width", "fn_phonetic", "txt_ocr_artifact_filter",
-    "ml_logreg_gd", "ml_nb_portable", "agg_variance_merge",
-    "ml_kmeans_portable", "graph_bfs_levels", "mm_modality_router",
-    "src_weblog", "wl_prisma_flow", "wl_cohens_kappa", "ml_feature_mi",
-    "ml_split_leakage", "join_asof_forward", "scan_manifest_table",
-    "wl_decayed_popularity", "win_rolling_zscore", "sample_reservoir_merge",
-    "wl_soft_dedup_sampling", "wl_retrieval_eval", "wl_change_attribution",
-    "dedup_scurve_empirical", "wl_markov2_conditional", "wl_linear_forecast",
-    "sql_identifier", "wl_iqr_outliers", "wl_interarrival_hist",
-    "agg_bucketed_no_shuffle", "wl_pit_features", "sink_compressed",
-    "ml_item_cf", "wl_dp_counts", "wl_postings_delta",
-    "wl_partition_balance", "ml_confusion_multiclass", "wl_ivm_retraction",
-    "wl_lateness_profile", "txt_bpe_apply", "wl_hll_daily_rollup",
-    "sql_lateral_view", "sql_hint_broadcast", "graph_link_prediction",
-    "sample_weighted_es", "wl_rendezvous_hashing", "dedup_fellegi_sunter",
-    "rt_analyze_stats", "wl_date_dim", "wl_hygiene_attribution",
-    "graph_clustering_coeff", "graph_powerlaw_fit", "wl_kl_source_mix",
-    "win_top_percent", "wl_kaplan_meier", "wl_percent_of_parent", "wl_cusum",
-    "wl_control_chart", "wl_theil_sen", "wl_simpson_check",
-    "wl_winsorized_mean", "txt_burstiness", "txt_chao1_richness",
-    "wl_effective_sample_size", "txt_distinctive_terms", "wl_theil_index",
-    "txt_heaps_fit", "ml_cascade_cost", "txt_script_mix",
+    # budget lands on (a) + this block's head; r7 continues from
+    # wherever CORRECTNESS_r06.json stops. 203 keys as of round 6.
+    "wl_cohens_kappa", "ml_feature_mi", "ml_split_leakage",
+    "join_asof_forward", "scan_manifest_table", "wl_decayed_popularity",
+    "win_rolling_zscore", "sample_reservoir_merge", "wl_soft_dedup_sampling",
+    "wl_retrieval_eval", "wl_change_attribution", "dedup_scurve_empirical",
+    "wl_markov2_conditional", "wl_linear_forecast", "sql_identifier",
+    "wl_iqr_outliers", "wl_interarrival_hist", "agg_bucketed_no_shuffle",
+    "wl_pit_features", "sink_compressed", "ml_item_cf", "wl_dp_counts",
+    "wl_postings_delta", "wl_partition_balance", "ml_confusion_multiclass",
+    "wl_ivm_retraction", "wl_lateness_profile", "txt_bpe_apply",
+    "wl_hll_daily_rollup", "sql_lateral_view", "sql_hint_broadcast",
+    "graph_link_prediction", "sample_weighted_es", "wl_rendezvous_hashing",
+    "dedup_fellegi_sunter", "rt_analyze_stats", "wl_date_dim",
+    "wl_hygiene_attribution", "graph_clustering_coeff", "graph_powerlaw_fit",
+    "wl_kl_source_mix", "win_top_percent", "wl_kaplan_meier",
+    "wl_percent_of_parent", "wl_cusum", "wl_control_chart", "wl_theil_sen",
+    "wl_simpson_check", "wl_winsorized_mean", "txt_burstiness",
+    "txt_chao1_richness", "wl_effective_sample_size", "txt_distinctive_terms",
+    "wl_theil_index", "txt_heaps_fit", "ml_cascade_cost", "txt_script_mix",
     "wl_holt_smoothing", "wl_abc_analysis", "wl_data_vault_keys",
     "wl_accumulating_snapshot", "wl_interval_union", "txt_novelty_rate",
     "wl_periodogram", "wl_hhi", "wl_retention_half_life",
@@ -117,26 +104,25 @@ _PRIORITY: list[str] = [
     "sql_natural_join", "win_nth_value", "win_lag_ignore_nulls",
     "wl_source_overlap", "agg_percentile_disc", "agg_bitmap_distinct",
     "wl_retention", "wl_dau_wau", "wl_copurchase", "wl_q9_profit",
-    "agg_linreg", "txt_collocation", "txt_zipf", "fn_struct",
-    "sim_topk_int8", "wl_q16_suppcnt", "wl_q2_mincost", "wl_pagerank3",
-    "ml_pca", "join_null_safe", "agg_mode_tiebreak", "fn_format",
-    "scan_metadata_cols", "txt_stem", "join_asof_tolerance",
-    "dedup_keep_best", "win_gaps_islands", "wl_rfm", "set_ops_all",
-    "fn_base64", "txt_readability", "wl_snapshot_diff",
-    "wl_markov_transitions", "wl_pareto", "ml_feature_cross", "sql_lateral",
-    "src_parquet_merge_schema", "win_time_range", "agg_geomean", "join_scd2",
-    "txt_compression_ratio", "wl_qtr_growth", "wl_basket_rules",
-    "sql_subqueries", "fn_explode_outer", "fn_try", "wl_clean_corpus",
-    "dedup_components", "txt_pii_scrub", "agg_histogram", "pivot_wide",
-    "unpivot_long", "src_range", "set_union_missing", "sample_seeded",
-    "src_binaryfile", "src_text", "txt_chunk", "wl_q4_late", "wl_q14_promo",
-    "wl_q18_large", "agg_hll_sketch", "join_skew_salted", "fn_url",
-    "txt_sentence_split", "join_range_bucket", "agg_decimal_exact",
-    "dedup_paragraph", "txt_chunk_tokens", "wl_shard_shuffle",
-    "wl_q7_volume", "wl_q8_share", "wl_q12_late", "wl_q13_custdist",
-    "wl_q15_topsupp", "wl_q17_smallqty", "wl_q19_disjunct", "wl_q21_waiting",
-    "wl_q22_inactive", "dedup_decontaminate", "wl_domain_mix",
-    "wl_pack_sequences",
+    "agg_linreg", "txt_collocation", "txt_zipf", "fn_struct", "sim_topk_int8",
+    "wl_q16_suppcnt", "wl_q2_mincost", "wl_pagerank3", "ml_pca",
+    "join_null_safe", "agg_mode_tiebreak", "fn_format", "scan_metadata_cols",
+    "txt_stem", "join_asof_tolerance", "dedup_keep_best", "win_gaps_islands",
+    "wl_rfm", "set_ops_all", "fn_base64", "txt_readability",
+    "wl_snapshot_diff", "wl_markov_transitions", "wl_pareto",
+    "ml_feature_cross", "sql_lateral", "src_parquet_merge_schema",
+    "win_time_range", "agg_geomean", "join_scd2", "txt_compression_ratio",
+    "wl_qtr_growth", "wl_basket_rules", "sql_subqueries", "fn_explode_outer",
+    "fn_try", "wl_clean_corpus", "dedup_components", "txt_pii_scrub",
+    "agg_histogram", "pivot_wide", "unpivot_long", "src_range",
+    "set_union_missing", "sample_seeded", "src_binaryfile", "src_text",
+    "txt_chunk", "wl_q4_late", "wl_q14_promo", "wl_q18_large",
+    "agg_hll_sketch", "join_skew_salted", "fn_url", "txt_sentence_split",
+    "join_range_bucket", "agg_decimal_exact", "dedup_paragraph",
+    "txt_chunk_tokens", "wl_shard_shuffle", "wl_q7_volume", "wl_q8_share",
+    "wl_q12_late", "wl_q13_custdist", "wl_q15_topsupp", "wl_q17_smallqty",
+    "wl_q19_disjunct", "wl_q21_waiting", "wl_q22_inactive",
+    "dedup_decontaminate", "wl_domain_mix", "wl_pack_sequences",
 ]
 
 

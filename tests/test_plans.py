@@ -756,13 +756,18 @@ def test_unbounded_rank_uses_two_pass(spark, sf_dir, key):
     if key == "ml_screen_e2e":
         # the registered query localCheckpoints its 1-row result (so it
         # can unpersist the per-doc feature cache), which collapses the
-        # visible plan — assert on the pre-checkpoint lazy frame
+        # visible plan — assert on the pre-checkpoint lazy frame, and
+        # unpersist feat so the lazy path doesn't leak cached storage
+        # into the shared session for the rest of the test run
         from systematic_review_classification_spark.operators.ml import _screen_e2e_lazy
 
-        df = _screen_e2e_lazy(spark, sf_dir)[1]
+        feat, df = _screen_e2e_lazy(spark, sf_dir)
+        try:
+            plan = plan_of(df)
+        finally:
+            feat.unpersist()
     else:
-        df = QUERIES[key](spark, sf_dir)
-    plan = plan_of(df)
+        plan = plan_of(QUERIES[key](spark, sf_dir))
     assert "rangepartitioning" in plan.lower(), plan
     assert "windowspecdefinition(_pid" in plan, plan
 
