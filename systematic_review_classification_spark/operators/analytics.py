@@ -1316,7 +1316,7 @@ WITH r AS (
 t AS (SELECT sum(rev_h2 - rev_h1) AS total_delta FROM r)
 SELECT segment, round(rev_h1, 2) AS rev_h1, round(rev_h2, 2) AS rev_h2,
        round(rev_h2 - rev_h1, 2) AS delta,
-       round((rev_h2 - rev_h1) / t.total_delta, 6) AS delta_share
+       round((rev_h2 - rev_h1) / nullif(t.total_delta, 0), 6) AS delta_share
 FROM r, t
 """,
 )
@@ -1353,9 +1353,14 @@ def wl_change_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rev_h1", 2).alias("rev_h1"),
         F.round("rev_h2", 2).alias("rev_h2"),
         F.round(F.col("rev_h2") - F.col("rev_h1"), 2).alias("delta"),
-        F.round((F.col("rev_h2") - F.col("rev_h1")) / F.col("total_delta"), 6).alias(
-            "delta_share"
-        ),
+        # a perfectly flat period pair (total_delta = 0, common on
+        # degenerate or all-zero-price tables) has no shares to
+        # attribute: NULL via nullif on both engines
+        F.round(
+            (F.col("rev_h2") - F.col("rev_h1"))
+            / F.nullif(F.col("total_delta"), F.lit(0.0)),
+            6,
+        ).alias("delta_share"),
     )
 
 
@@ -2661,7 +2666,9 @@ def wl_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH x AS (SELECT o_orderpriority AS grp, o_totalprice AS y FROM orders),
 m AS (SELECT grp, CAST(count(*) AS DOUBLE) AS n, avg(y) AS mu FROM x GROUP BY grp)
 SELECT x.grp, CAST(m.n AS BIGINT) AS n,
-       round(sum((x.y / (m.n * m.mu)) * ln(x.y / m.mu)), 6) AS theil_t
+       round(sum(CASE WHEN x.y > 0
+                      THEN (x.y / (m.n * m.mu)) * ln(x.y / m.mu)
+                      ELSE 0 END), 6) AS theil_t
 FROM x JOIN m ON x.grp = m.grp
 GROUP BY x.grp, m.n
 """,
@@ -2679,18 +2686,21 @@ def wl_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = x.groupBy("grp").agg(
         F.count(F.lit(1)).cast("double").alias("n"), F.avg("y").alias("mu")
     )
+    # 0·ln(0) = 0 by the limit convention, applied as an explicit CASE
+    # on both engines: a bare y/mu would abort on an all-zero group
+    # (mu = 0 ⇒ DIVIDE_BY_ZERO) and DIVERGE on a single zero row
+    # (Spark ln(0) = NULL is skipped by sum; DuckDB ln(0) = -inf
+    # poisons it). Zero-value rows contribute 0 inequality; an
+    # all-zero group reports theil_t = 0.
+    term = F.when(
+        F.col("y") > 0,
+        (F.col("y") / (F.col("n") * F.col("mu")))
+        * F.log(F.col("y") / F.col("mu")),
+    ).otherwise(0.0)
     return (
         x.join(F.broadcast(m), "grp")
         .groupBy("grp", "n")
-        .agg(
-            F.round(
-                F.sum(
-                    (F.col("y") / (F.col("n") * F.col("mu")))
-                    * F.log(F.col("y") / F.col("mu"))
-                ),
-                6,
-            ).alias("theil_t")
-        )
+        .agg(F.round(F.sum(term), 6).alias("theil_t"))
         .select("grp", F.col("n").cast("bigint").alias("n"), "theil_t")
     )
 
@@ -3057,7 +3067,8 @@ WITH s AS (
   FROM orders GROUP BY 1, 2),
 t AS (SELECT market, sum(spend) AS tot, count(*) AS n_firms FROM s GROUP BY market)
 SELECT s.market, CAST(max(t.n_firms) AS BIGINT) AS n_participants,
-       round(sum((s.spend / t.tot) * (s.spend / t.tot)) * 10000, 4) AS hhi
+       round(sum((s.spend / nullif(t.tot, 0)) * (s.spend / nullif(t.tot, 0)))
+             * 10000, 4) AS hhi
 FROM s JOIN t ON s.market = t.market
 GROUP BY s.market
 """,
@@ -3081,8 +3092,13 @@ def wl_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("market")
         .agg(
             F.max("n_firms").cast("bigint").alias("n_participants"),
+            # an all-zero-spend market has no shares: hhi is NULL via
+            # nullif on both engines, never DIVIDE_BY_ZERO
             F.round(
-                F.sum((F.col("spend") / F.col("tot")) * (F.col("spend") / F.col("tot")))
+                F.sum(
+                    (F.col("spend") / F.nullif(F.col("tot"), F.lit(0.0)))
+                    * (F.col("spend") / F.nullif(F.col("tot"), F.lit(0.0)))
+                )
                 * 10000,
                 4,
             ).alias("hhi"),
@@ -4098,7 +4114,8 @@ d AS (
   SELECT CAST(ceil(10.0 * rnk / n) AS INTEGER) AS decile, spend, n, tot FROM r)
 SELECT decile,
        round(CAST(max(n) / 10.0 * decile AS DOUBLE) / max(n), 6) AS pop_share,
-       round(sum(sum(spend)) OVER (ORDER BY decile) / max(tot), 6) AS cum_value_share
+       round(sum(sum(spend)) OVER (ORDER BY decile) / nullif(max(tot), 0), 6)
+         AS cum_value_share
 FROM d GROUP BY decile
 """,
 )
@@ -4136,7 +4153,9 @@ def wl_lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n") / 10.0 * F.col("decile")).cast("double") / F.col("n"), 6
         ).alias("pop_share"),
         F.round(
-            F.sum("dsp").over(W.orderBy("decile")) / F.col("tot"), 6
+            F.sum("dsp").over(W.orderBy("decile"))
+            / F.nullif(F.col("tot"), F.lit(0.0)),
+            6,
         ).alias("cum_value_share"),
     )
 

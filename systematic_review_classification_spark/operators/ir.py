@@ -1178,7 +1178,8 @@ ranked AS (
   FROM scores)
 SELECT CAST(count(*) AS BIGINT) AS n,
        round(1.0 - 6.0 * sum((r1 - r2) * (r1 - r2))
-                   / (count(*) * (count(*) * count(*) - 1.0)), 6) AS spearman_rho
+                   / nullif(count(*) * (count(*) * count(*) - 1.0), 0), 6)
+         AS spearman_rho
 FROM ranked
 """,
 )
@@ -1236,13 +1237,15 @@ def wl_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("r2").cast("double").alias("r2"))
     ranked = r1.join(r2, "doc_id")
     n = F.count(F.lit(1))
+    # a 0- or 1-doc ranking has no rank variance: n(n²-1) = 0 and ρ is
+    # undefined — NULL via nullif on both engines, never DIVIDE_BY_ZERO
     return ranked.agg(
         n.cast("bigint").alias("n"),
         F.round(
             1.0
             - 6.0
             * F.sum((F.col("r1") - F.col("r2")) * (F.col("r1") - F.col("r2")))
-            / (n * (n * n - 1.0)),
+            / F.nullif(n * (n * n - 1.0), F.lit(0.0)),
             6,
         ).alias("spearman_rho"),
     )

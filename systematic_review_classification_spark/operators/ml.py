@@ -377,7 +377,7 @@ curve AS (
   FROM scored),
 tot AS (SELECT count(*) AS n_total, CAST(sum(y) AS BIGINT) AS n_pos FROM scored),
 hit AS (SELECT min(k) AS k_star FROM curve, tot
-        WHERE CAST(cum_pos AS DOUBLE) / n_pos >= 0.95)
+        WHERE CAST(cum_pos AS DOUBLE) >= 0.95 * n_pos)
 SELECT k_star,
        round(CAST(n_total - k_star AS DOUBLE) / n_total - 0.05, 6) AS wss95
 FROM hit, tot
@@ -393,9 +393,12 @@ def ml_eval_wss95(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of a global single-partition window, so the metric stays a
     fully parallel 2-shuffle plan at any corpus size."""
     curve, tot = _screen_curve(_scored(spark, sf_dir))
+    # recall test in MULTIPLY form (cum_pos >= 0.95*n_pos): identical
+    # cut for n_pos > 0, and zero-positive corpora degrade to k*=1
+    # instead of aborting with ANSI DIVIDE_BY_ZERO
     hit = (
         curve.crossJoin(F.broadcast(tot))
-        .filter(F.col("cum_pos").cast("double") / F.col("n_pos") >= 0.95)
+        .filter(F.col("cum_pos").cast("double") >= 0.95 * F.col("n_pos"))
         .agg(F.min("k").alias("k_star"))
     )
     return hit.crossJoin(F.broadcast(tot)).select(
@@ -418,7 +421,7 @@ curve AS (
          sum(y) OVER (ORDER BY score DESC, vec_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
   FROM scored)
-SELECT vec_id, rank, score, round(CAST(cum_pos AS DOUBLE) / n_pos, 6) AS cum_recall
+SELECT vec_id, rank, score, round(CAST(cum_pos AS DOUBLE) / nullif(n_pos, 0), 6) AS cum_recall
 FROM curve, tot WHERE rank <= 100
 """,
 )
@@ -447,7 +450,9 @@ def ml_rank_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "rank",
         "score",
-        F.round(F.col("cum_pos").cast("double") / F.col("n_pos"), 6).alias("cum_recall"),
+        F.round(
+            F.col("cum_pos").cast("double") / F.nullif(F.col("n_pos"), F.lit(0)), 6
+        ).alias("cum_recall"),
     )
 
 
@@ -523,9 +528,9 @@ curve AS (
   FROM scored),
 tot AS (SELECT count(*) AS n_total, CAST(sum(y) AS BIGINT) AS n_pos FROM scored),
 hit AS (SELECT min(k) AS k_star FROM curve, tot
-        WHERE CAST(cum_pos AS DOUBLE) / n_pos >= 0.95)
+        WHERE CAST(cum_pos AS DOUBLE) >= 0.95 * n_pos)
 SELECT c.score AS threshold, h.k_star,
-       round(CAST(c.cum_pos AS DOUBLE) / t.n_pos, 6) AS recall,
+       round(CAST(c.cum_pos AS DOUBLE) / nullif(t.n_pos, 0), 6) AS recall,
        round(CAST(c.cum_pos AS DOUBLE) / h.k_star, 6) AS precision_at_k
 FROM curve c, hit h, tot t
 WHERE c.k = h.k_star
@@ -545,7 +550,7 @@ def ml_threshold_at_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     curve, tot = _screen_curve(_scored(spark, sf_dir))
     hit = (
         curve.crossJoin(F.broadcast(tot))
-        .filter(F.col("cum_pos").cast("double") / F.col("n_pos") >= 0.95)
+        .filter(F.col("cum_pos").cast("double") >= 0.95 * F.col("n_pos"))
         .agg(F.min("k").alias("k_star"))
     )
     return (
@@ -555,9 +560,10 @@ def ml_threshold_at_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("score").alias("threshold"),
             "k_star",
-            F.round(F.col("cum_pos").cast("double") / F.col("n_pos"), 6).alias(
-                "recall"
-            ),
+            F.round(
+                F.col("cum_pos").cast("double") / F.nullif(F.col("n_pos"), F.lit(0)),
+                6,
+            ).alias("recall"),
             F.round(F.col("cum_pos").cast("double") / F.col("k_star"), 6).alias(
                 "precision_at_k"
             ),
@@ -1120,7 +1126,8 @@ SELECT CAST(n AS BIGINT) AS n,
          AS expected_agreement,
        round(((n11 + n00) / n
               - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) / (n * n))
-             / (1 - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) / (n * n)),
+             / nullif(1 - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+                          / (n * n), 0),
              6) AS kappa
 FROM cm
 """,
@@ -1157,7 +1164,10 @@ def wl_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n00").cast("bigint").alias("both_exclude"),
         F.round(po, 6).alias("observed_agreement"),
         F.round(pe, 6).alias("expected_agreement"),
-        F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+        # constant raters (a 1-doc or single-band corpus) make pe
+        # exactly 1 from the same integer-exact cells on both engines:
+        # kappa is undefined — NULL via nullif, never DIVIDE_BY_ZERO
+        F.round((po - pe) / F.nullif(1 - pe, F.lit(0.0)), 6).alias("kappa"),
     )
 
 

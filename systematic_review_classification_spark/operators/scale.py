@@ -667,7 +667,7 @@ WITH u AS (
 keyed AS (
   SELECT o_orderkey, o_totalprice,
          round(-ln(u01) / o_totalprice, 12) AS es_key
-  FROM u)
+  FROM u WHERE o_totalprice > 0)
 SELECT o_orderkey, round(o_totalprice, 2) AS weight
 FROM keyed ORDER BY es_key, o_orderkey LIMIT 10
 """,
@@ -696,7 +696,10 @@ def sample_weighted_es(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + 0.5
     ) / 1000001.0
-    keyed = o.select(
+    # weight-0 rows have sampling probability 0 (their ES key is +inf):
+    # filtered BEFORE the division on both engines — also the
+    # DIVIDE_BY_ZERO guard for degenerate all-zero-price tables
+    keyed = o.filter(F.col("o_totalprice") > 0).select(
         "o_orderkey",
         "o_totalprice",
         F.round(-F.log(u01) / F.col("o_totalprice"), 12).alias("es_key"),

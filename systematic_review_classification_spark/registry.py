@@ -61,7 +61,9 @@ _PRIORITY: list[str] = [
     # (ml_screen_e2e, ml_gains_table; the other guarded keys were
     # never-verified and keep their (b) positions).
     "wl_poisson_bootstrap", "wl_inverted_index", "ml_screen_e2e",
-    "ml_gains_table", "wl_anova_seasonality",
+    "ml_gains_table", "wl_anova_seasonality", "ml_eval_wss95",
+    "ml_rank_screen", "ml_threshold_at_recall", "wl_rank_correlation",
+    "wl_lorenz_points",
     # (b) never-driver-verified keys, prior order preserved — the ~50
     # budget lands on (a) + this block's head; r7 continues from
     # wherever CORRECTNESS_r06.json stops. 203 keys as of round 6.

@@ -758,11 +758,24 @@ def test_doc_ratio_oracles_survive_degenerate_corpora(spark, corpus_dir, corpus)
     spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    # the ml_eval_* scorers read scores from embeddings keyed by doc_id:
+    # deterministic small-integer vectors (exact in float64), including
+    # the all-same-label case the mono-language corpus drives
+    emb_rows = [
+        (i, [float((i + j) % 5 - 2) for j in range(64)], i % 2)
+        for i, _ in enumerate(corpus)
+    ]
+    spark.createDataFrame(
+        emb_rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
 
     queries, oracles = all_queries(), all_oracles()
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/documents.parquet/*.parquet')"
+    )
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{path}/embeddings.parquet/*.parquet')"
     )
     try:
         for key in _DOC_RATIO_KEYS:
