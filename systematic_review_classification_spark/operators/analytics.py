@@ -1316,7 +1316,7 @@ WITH r AS (
 t AS (SELECT sum(rev_h2 - rev_h1) AS total_delta FROM r)
 SELECT segment, round(rev_h1, 2) AS rev_h1, round(rev_h2, 2) AS rev_h2,
        round(rev_h2 - rev_h1, 2) AS delta,
-       round((rev_h2 - rev_h1) / nullif(t.total_delta, 0), 6) AS delta_share
+       round((rev_h2 - rev_h1) / nullif(t.total_delta, 0), 6) + 0.0 AS delta_share
 FROM r, t
 """,
 )
@@ -1355,11 +1355,16 @@ def wl_change_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("rev_h2") - F.col("rev_h1"), 2).alias("delta"),
         # a perfectly flat period pair (total_delta = 0, common on
         # degenerate or all-zero-price tables) has no shares to
-        # attribute: NULL via nullif on both engines
-        F.round(
-            (F.col("rev_h2") - F.col("rev_h1"))
-            / F.nullif(F.col("total_delta"), F.lit(0.0)),
-            6,
+        # attribute: NULL via nullif on both engines. + 0.0 normalizes
+        # the IEEE -0.0 a zero-delta segment gets from a negative
+        # total (DuckDB round keeps the sign, Spark's drops it).
+        (
+            F.round(
+                (F.col("rev_h2") - F.col("rev_h1"))
+                / F.nullif(F.col("total_delta"), F.lit(0.0)),
+                6,
+            )
+            + 0.0
         ).alias("delta_share"),
     )
 

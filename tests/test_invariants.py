@@ -563,9 +563,12 @@ def test_inverted_index_postings_consistent(spark, sf_dir):
     from systematic_review_classification_spark import all_queries
 
     for r in all_queries()["wl_inverted_index"](spark, sf_dir).collect():
-        assert r.df == len(r.postings)
+        # postings is a comma-joined string (driver-canonicalizer
+        # contract — see tests/test_driver_contract.py)
+        postings = [int(x) for x in r.postings.split(",")] if r.postings else []
+        assert r.df == len(postings)
         assert r.tf_total >= r.df
-        assert list(r.postings) == sorted(set(r.postings))
+        assert postings == sorted(set(postings))
 
 
 def test_hll_merge_estimate_bounded(spark, sf_dir):
