@@ -191,8 +191,10 @@ SELECT o_orderkey,
        ((o_orderkey % 7) + 7) % 7             AS key_mod,
        (((0 - o_orderkey) % 7) + 7) % 7       AS negkey_mod,
        round(sqrt(o_totalprice), 6)           AS root,
-       round(ln(o_totalprice), 6)             AS log_e,
-       round(log10(o_totalprice), 6)          AS log_10,
+       round(CASE WHEN o_totalprice > 0 THEN ln(o_totalprice) END, 6)
+                                              AS log_e,
+       round(CASE WHEN o_totalprice > 0 THEN log10(o_totalprice) END, 6)
+                                              AS log_10,
        round(pow(o_totalprice / 100000, 3), 6) AS cubed,
        greatest(o_orderkey % 5, o_orderkey % 3) AS g,
        least(o_orderkey % 5, o_orderkey % 3)    AS l
@@ -218,8 +220,10 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(k, F.lit(7)).alias("key_mod"),
         F.pmod(-k, F.lit(7)).alias("negkey_mod"),
         F.round(F.sqrt(p), 6).alias("root"),
-        F.round(F.ln(p), 6).alias("log_e"),
-        F.round(F.log10(p), 6).alias("log_10"),
+        # logs gated to positive input on BOTH engines: ln(0) aborts
+        # DuckDB and silently NULLs only on Spark
+        F.round(F.when(p > 0, F.ln(p)), 6).alias("log_e"),
+        F.round(F.when(p > 0, F.log10(p)), 6).alias("log_10"),
         F.round(F.pow(p / 100000, 3), 6).alias("cubed"),
         F.greatest(k % 5, k % 3).alias("g"),
         F.least(k % 5, k % 3).alias("l"),
@@ -467,7 +471,7 @@ def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_try",
     oracle="""
 SELECT l_orderkey, l_linenumber,
-       round(l_extendedprice / (l_linenumber - 3), 4) AS safe_div,
+       round(l_extendedprice / (l_linenumber - 3), 4) + 0.0 AS safe_div,
        TRY_CAST(l_returnflag AS INTEGER)              AS flag_int,
        TRY_CAST(l_quantity AS INTEGER)                AS qty_int
 FROM lineitem WHERE l_orderkey < 200
@@ -482,8 +486,16 @@ def fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(
-            F.try_divide(F.col("l_extendedprice"), F.col("l_linenumber") - 3), 4
+        # + 0.0 normalizes the IEEE -0.0 a zero numerator gets over a
+        # negative divisor (DuckDB round keeps the sign, Spark drops it)
+        (
+            F.round(
+                F.try_divide(
+                    F.col("l_extendedprice"), F.col("l_linenumber") - 3
+                ),
+                4,
+            )
+            + 0.0
         ).alias("safe_div"),
         F.col("l_returnflag").try_cast("int").alias("flag_int"),
         F.col("l_quantity").try_cast("int").alias("qty_int"),

@@ -249,6 +249,16 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _safe_corr(x: str, y: str):
+    """Pearson r as guarded population moments: covar_pop/(sd·sd) is
+    algebraically F.corr, but F.corr ABORTS with ANSI DIVIDE_BY_ZERO
+    on a zero-variance column (n>=2 constant input) where DuckDB's
+    corr returns NULL — the moments form nulls out identically."""
+    return F.covar_pop(x, y) / F.nullif(
+        F.stddev_pop(x) * F.stddev_pop(y), F.lit(0.0)
+    )
+
+
 @query(
     "agg_stats",
     oracle="""
@@ -270,7 +280,7 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
         F.round(F.stddev_pop("l_quantity"), 4).alias("sdp_qty"),
         F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(_safe_corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_qty_price"),
         F.round(F.covar_pop("l_quantity", "l_discount"), 6).alias("covp_qty_disc"),
     )
@@ -542,8 +552,10 @@ def agg_mode_tiebreak(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_geomean",
     oracle="""
 SELECT l_returnflag,
-       round(exp(avg(ln(l_extendedprice))), 4) AS geomean_price,
-       round(exp(avg(ln(l_quantity))), 6)      AS geomean_qty,
+       round(exp(avg(CASE WHEN l_extendedprice > 0
+                          THEN ln(l_extendedprice) END)), 4) AS geomean_price,
+       round(exp(avg(CASE WHEN l_quantity > 0
+                          THEN ln(l_quantity) END)), 6)      AS geomean_qty,
        count(*) AS n
 FROM lineitem
 GROUP BY l_returnflag
@@ -555,15 +567,21 @@ def agg_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratios) where the arithmetic mean over-weights spikes. No engine
     ships geometric_mean; the identity turns it into a single-pass
     moment aggregate with the same partial/final decomposition as
-    avg — one hash-agg shuffle. Inputs here are strictly positive so
-    ln never NULLs a row (at 100 TB, filter or nullif zeros first —
-    one ln(0)=-inf poisons a whole group)."""
+    avg — one hash-agg shuffle. The ln is gated to POSITIVE support
+    with an explicit CASE on both engines (avg skips the NULLs
+    identically): a bare ln(0) aborts DuckDB and silently drops the
+    row only on Spark, so zero/negative values would abort one
+    engine and diverge the other."""
     li = load(spark, sf_dir, "lineitem")
+
+    def pos_log(c):
+        return F.when(F.col(c) > 0, F.log(F.col(c)))
+
     return li.groupBy("l_returnflag").agg(
-        F.round(F.exp(F.avg(F.log(F.col("l_extendedprice")))), 4).alias(
+        F.round(F.exp(F.avg(pos_log("l_extendedprice"))), 4).alias(
             "geomean_price"
         ),
-        F.round(F.exp(F.avg(F.log(F.col("l_quantity")))), 6).alias("geomean_qty"),
+        F.round(F.exp(F.avg(pos_log("l_quantity"))), 6).alias("geomean_qty"),
         F.count(F.lit(1)).alias("n"),
     )
 

@@ -870,7 +870,8 @@ WITH q AS (
   JOIN nation   ON c_nationkey = n_nationkey
   GROUP BY n_name, date_trunc('quarter', o_orderdate))
 SELECT n_name, CAST(qtr AS VARCHAR) AS qtr, revenue,
-       round(revenue / lag(revenue) OVER (PARTITION BY n_name ORDER BY qtr)
+       round(revenue / nullif(lag(revenue) OVER (PARTITION BY n_name
+                                                 ORDER BY qtr), 0)
              - 1, 6) AS qoq_growth
 FROM q
 """,
@@ -907,9 +908,13 @@ def wl_qtr_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         F.col("qtr").cast("string").alias("qtr"),
         "revenue",
-        F.round(F.col("revenue") / F.lag("revenue").over(w) - 1, 6).alias(
-            "qoq_growth"
-        ),
+        # a zero-revenue prior quarter (possible on degenerate or
+        # all-zero-price data) has no growth base: NULL via nullif on
+        # both engines, never DIVIDE_BY_ZERO
+        F.round(
+            F.col("revenue") / F.nullif(F.lag("revenue").over(w), F.lit(0.0)) - 1,
+            6,
+        ).alias("qoq_growth"),
     )
 
 
@@ -4063,10 +4068,11 @@ w AS (
   FROM h GROUP BY segment)
 SELECT segment,
        round((q1 - q0) / ((q1 + q0) / 2), 6) + 0.0 AS pct_dq,
-       round((p1 - p0) / ((p1 + p0) / 2), 6) + 0.0 AS pct_dp,
-       round(CASE WHEN abs((p1 - p0) / ((p1 + p0) / 2)) > 1e-9
+       round((p1 - p0) / nullif((p1 + p0) / 2, 0), 6) + 0.0 AS pct_dp,
+       round(CASE WHEN abs((p1 - p0) / nullif((p1 + p0) / 2, 0)) > 1e-9
                   THEN ((q1 - q0) / ((q1 + q0) / 2))
-                       / ((p1 - p0) / ((p1 + p0) / 2)) END, 6) + 0.0 AS arc_elasticity
+                       / ((p1 - p0) / nullif((p1 + p0) / 2, 0)) END, 6) + 0.0
+         AS arc_elasticity
 FROM w WHERE q0 IS NOT NULL AND q1 IS NOT NULL
 """,
 )
@@ -4097,7 +4103,12 @@ def wl_arc_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("half") == 1, F.col("p"))).alias("p1"),
     )
     dq = (F.col("q1") - F.col("q0")) / ((F.col("q1") + F.col("q0")) / 2)
-    dp = (F.col("p1") - F.col("p0")) / ((F.col("p1") + F.col("p0")) / 2)
+    # q0,q1 are counts >= 1 in every surviving row, so the dq midpoint
+    # is always positive; the PRICE midpoint can be exactly 0 on
+    # all-zero-price data -> NULL via nullif on both engines
+    dp = (F.col("p1") - F.col("p0")) / F.nullif(
+        (F.col("p1") + F.col("p0")) / 2, F.lit(0.0)
+    )
     return w.filter(F.col("q0").isNotNull() & F.col("q1").isNotNull()).select(
         "segment",
         (F.round(dq, 6) + 0.0).alias("pct_dq"),

@@ -904,9 +904,9 @@ pl AS (SELECT token, list_sort(list(DISTINCT doc_id)) AS p FROM tok GROUP BY tok
 SELECT token,
        CAST(len(p) AS BIGINT) AS df,
        p[1] AS first_doc,
-       array_to_string(
+       coalesce(array_to_string(
          list_transform(list_zip(list_slice(p, 2, len(p)), list_slice(p, 1, len(p) - 1)),
-                        q -> q[1] - q[2]), ',') AS deltas,
+                        q -> q[1] - q[2]), ','), '') AS deltas,
        CAST(coalesce(list_max(list_transform(
               list_zip(list_slice(p, 2, len(p)), list_slice(p, 1, len(p) - 1)),
               q -> q[1] - q[2])), 0) AS BIGINT) AS max_gap

@@ -277,10 +277,10 @@ conf AS (
          sum(CASE WHEN y = 1 AND score <= 0 THEN 1 ELSE 0 END) AS fn,
          sum(CASE WHEN y = 0 AND score <= 0 THEN 1 ELSE 0 END) AS tn
   FROM scored)
-SELECT round(CAST(tp AS DOUBLE) / (tp + fp), 6)            AS precision_,
-       round(CAST(tp AS DOUBLE) / (tp + fn), 6)            AS recall_,
-       round(CAST(tn AS DOUBLE) / (tn + fp), 6)            AS specificity,
-       round(2.0 * tp / (2.0 * tp + fp + fn), 6)           AS f1
+SELECT round(CAST(tp AS DOUBLE) / nullif(tp + fp, 0), 6)  AS precision_,
+       round(CAST(tp AS DOUBLE) / nullif(tp + fn, 0), 6)  AS recall_,
+       round(CAST(tn AS DOUBLE) / nullif(tn + fp, 0), 6)  AS specificity,
+       round(2.0 * tp / nullif(2.0 * tp + fp + fn, 0), 6) AS f1
 FROM conf
 """,
 )
@@ -296,11 +296,22 @@ def ml_eval_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(((F.col("y") == 0) & (pred == 0)).cast("int")).alias("tn"),
     )
     tp, fp, fn, tn = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
+    # empty confusion margins (no predicted positives / no actual
+    # positives / no negatives — routine on degenerate corpora) make
+    # the ratio undefined: NULL via nullif on both engines
     return conf.select(
-        F.round(tp.cast("double") / (tp + fp), 6).alias("precision_"),
-        F.round(tp.cast("double") / (tp + fn), 6).alias("recall_"),
-        F.round(tn.cast("double") / (tn + fp), 6).alias("specificity"),
-        F.round(2.0 * tp / (2.0 * tp + fp + fn), 6).alias("f1"),
+        F.round(tp.cast("double") / F.nullif(tp + fp, F.lit(0)), 6).alias(
+            "precision_"
+        ),
+        F.round(tp.cast("double") / F.nullif(tp + fn, F.lit(0)), 6).alias(
+            "recall_"
+        ),
+        F.round(tn.cast("double") / F.nullif(tn + fp, F.lit(0)), 6).alias(
+            "specificity"
+        ),
+        F.round(2.0 * tp / F.nullif(2.0 * tp + fp + fn, F.lit(0.0)), 6).alias(
+            "f1"
+        ),
     )
 
 
@@ -317,7 +328,7 @@ agg AS (
   SELECT sum(CASE WHEN y = 1 THEN r_avg ELSE 0 END) AS rank_sum,
          sum(y) AS p, count(*) - sum(y) AS n
   FROM ranked)
-SELECT round((rank_sum - p * (p + 1) / 2.0) / (p * n), 6) AS auc
+SELECT round((rank_sum - p * (p + 1) / 2.0) / nullif(p * n, 0), 6) AS auc
 FROM agg
 """,
 )
@@ -359,8 +370,10 @@ def ml_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select(
         F.round(
+            # a single-class corpus (p = 0 or n = 0) has no ROC: NULL
+            # via nullif on both engines, never DIVIDE_BY_ZERO
             (F.col("rank_sum") - F.col("p") * (F.col("p") + 1) / 2.0)
-            / (F.col("p") * F.col("n")),
+            / F.nullif(F.col("p") * F.col("n"), F.lit(0.0)),
             6,
         ).alias("auc")
     )

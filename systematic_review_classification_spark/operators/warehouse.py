@@ -318,10 +318,12 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair); the unpivot is a stack() over the single result row. The
     oracle's three scans are the semantic spec, not the plan."""
     li = load(spark, sf_dir, "lineitem")
+    from systematic_review_classification_spark.operators.aggregates import _safe_corr
+
     row = li.agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price"),
-        F.round(F.corr("l_quantity", "l_discount"), 6).alias("qty_disc"),
-        F.round(F.corr("l_extendedprice", "l_discount"), 6).alias("price_disc"),
+        F.round(_safe_corr("l_quantity", "l_extendedprice"), 6).alias("qty_price"),
+        F.round(_safe_corr("l_quantity", "l_discount"), 6).alias("qty_disc"),
+        F.round(_safe_corr("l_extendedprice", "l_discount"), 6).alias("price_disc"),
     )
     return row.select(
         F.expr(

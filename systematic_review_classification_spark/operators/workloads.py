@@ -694,9 +694,14 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     it degrades to a shuffle join on the gram hash."""
     d = load(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
+    # upper bound clamped to 1: sequence(1, n) goes DESCENDING when
+    # n < 1 (emitting 0, an invalid slice start) and the expression can
+    # be evaluated for sub-4-token rows before the size filter applies;
+    # clamped rows produce one junk gram and are filtered out anyway
+    # (the mm_frame_sample short-document convention)
     grams = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 3),
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 3, F.lit(1))),
             lambda i: F.concat_ws("_", F.slice(toks, i, F.lit(4))),
         )
     )

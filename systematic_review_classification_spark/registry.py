@@ -51,19 +51,24 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # key is a no-op; keys absent from this list follow in registration
 # order.
 _PRIORITY: list[str] = [
-    # (a) keys whose code or oracle changed in round 6 — re-verify first
-    # (rotation rule: any changed key re-enters the head even if
-    # previously verified): the zero-weight-replicate guard
+    # (a) PREVIOUSLY-VERIFIED keys whose code or oracle changed in
+    # round 6 — re-verify first (rotation rule: any changed key
+    # re-enters the head): the zero-weight-replicate guard
     # (wl_poisson_bootstrap), the stringified postings columns
     # (wl_inverted_index — round 5's only external failure — and
-    # wl_postings_delta, caught by the same sweep), and the
-    # zero-positives division guards from the static divisor sweep
-    # (ml_screen_e2e, ml_gains_table; the other guarded keys were
-    # never-verified and keep their (b) positions).
+    # wl_postings_delta), the divisor/−0.0/ln(0) guards from the
+    # round-6 static sweep + degenerate-world sweep (ml_*, agg_stats,
+    # fn_math, wl_anova relative tolerance, rank-correlation /
+    # lorenz nullifs), and the dedup_decontaminate sequence clamp.
+    # Round-6-changed keys that were NEVER verified (wl_cohens_kappa,
+    # sample_weighted_es, wl_theil_index, wl_hhi,
+    # wl_change_attribution, wl_qtr_growth, wl_arc_elasticity,
+    # agg_corr_matrix, agg_geomean, fn_try ...) keep their (b) slots.
     "wl_poisson_bootstrap", "wl_inverted_index", "ml_screen_e2e",
     "ml_gains_table", "wl_anova_seasonality", "ml_eval_wss95",
     "ml_rank_screen", "ml_threshold_at_recall", "wl_rank_correlation",
-    "wl_lorenz_points",
+    "wl_lorenz_points", "agg_stats", "ml_eval_prf", "ml_eval_auc",
+    "fn_math", "dedup_decontaminate", "wl_postings_delta",
     # (b) never-driver-verified keys, prior order preserved — the ~50
     # budget lands on (a) + this block's head; r7 continues from
     # wherever CORRECTNESS_r06.json stops. 203 keys as of round 6.
@@ -74,7 +79,7 @@ _PRIORITY: list[str] = [
     "wl_markov2_conditional", "wl_linear_forecast", "sql_identifier",
     "wl_iqr_outliers", "wl_interarrival_hist", "agg_bucketed_no_shuffle",
     "wl_pit_features", "sink_compressed", "ml_item_cf", "wl_dp_counts",
-    "wl_postings_delta", "wl_partition_balance", "ml_confusion_multiclass",
+    "wl_partition_balance", "ml_confusion_multiclass",
     "wl_ivm_retraction", "wl_lateness_profile", "txt_bpe_apply",
     "wl_hll_daily_rollup", "sql_lateral_view", "sql_hint_broadcast",
     "graph_link_prediction", "sample_weighted_es", "wl_rendezvous_hashing",
@@ -124,7 +129,7 @@ _PRIORITY: list[str] = [
     "txt_chunk_tokens", "wl_shard_shuffle", "wl_q7_volume", "wl_q8_share",
     "wl_q12_late", "wl_q13_custdist", "wl_q15_topsupp", "wl_q17_smallqty",
     "wl_q19_disjunct", "wl_q21_waiting", "wl_q22_inactive",
-    "dedup_decontaminate", "wl_domain_mix", "wl_pack_sequences",
+    "wl_domain_mix", "wl_pack_sequences",
 ]
 
 
