@@ -219,4 +219,6 @@ def udf_arrow_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified lossless against the source table."""
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     pdf = load(spark, sf_dir, "region").select("r_regionkey", "r_name").toPandas()
-    return spark.createDataFrame(pdf)
+    # explicit schema: an empty pandas frame (empty upstream filter)
+    # has no rows for type inference
+    return spark.createDataFrame(pdf, schema="r_regionkey int, r_name string")

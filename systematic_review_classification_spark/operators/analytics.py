@@ -2161,8 +2161,10 @@ m AS (
          sum((b - a) * (b - a)) AS s2
   FROM u)
 SELECT CAST(n AS BIGINT) AS n_users,
-       round(s1 / n, 6) AS mean_diff,
-       round((s1 / n) / nullif(sqrt(greatest((s2 - s1 * s1 / n) / nullif(n - 1, 0), 0) / n), 0),
+       round(s1 / nullif(n, 0), 6) AS mean_diff,
+       round((s1 / nullif(n, 0))
+             / nullif(sqrt(greatest((s2 - s1 * s1 / nullif(n, 0))
+                                    / nullif(n - 1, 0), 0) / nullif(n, 0)), 0),
              6) AS t_stat
 FROM m
 """,
@@ -2198,12 +2200,17 @@ def wl_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(diff).alias("s1"),
         F.sum(diff * diff).alias("s2"),
     )
-    mean_d = F.col("s1") / F.col("n")
+    # nullif(n, 0) everywhere n divides: an empty cohort has n = 0 with
+    # a NULL numerator, and under whole-stage codegen ANSI division
+    # checks the zero divisor BEFORE the null numerator -> job abort
+    # (the interpreted path returns NULL - do not trust constant-folded
+    # NULL/0 experiments)
+    mean_d = F.col("s1") / F.nullif(F.col("n"), F.lit(0.0))
     # greatest(...,0): fp cancellation can push the raw moment
     # difference a few ulps NEGATIVE — Spark's sqrt would yield NaN,
     # DuckDB's sqrt raises Out of Range
     var_d = F.greatest(
-        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.nullif(F.col("n"), F.lit(0.0)))
         / F.nullif(F.col("n") - 1, F.lit(0.0)),
         F.lit(0.0),
     )
@@ -2211,7 +2218,11 @@ def wl_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_users"),
         F.round(mean_d, 6).alias("mean_diff"),
         F.round(
-            mean_d / F.nullif(F.sqrt(var_d / F.col("n")), F.lit(0.0)), 6
+            mean_d
+            / F.nullif(
+                F.sqrt(var_d / F.nullif(F.col("n"), F.lit(0.0))), F.lit(0.0)
+            ),
+            6,
         ).alias("t_stat"),
     )
 
@@ -2764,10 +2775,17 @@ def wl_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     st = F.aggregate(
         F.slice(F.col("ys"), 2, F.greatest(F.size("ys") - 1, F.lit(0))),
-        F.struct(F.element_at(F.col("ys"), 1).alias("l"), F.lit(0.0).alias("b")),
+        F.struct(
+            F.try_element_at(F.col("ys"), F.lit(1)).alias("l"),
+            F.lit(0.0).alias("b"),
+        ),
         step,
     )
-    fitted = series.select("n", st.alias("st"))
+    # n > 0 first: an empty series has no level to anchor (ANSI
+    # element_at would abort on ys = []), and the oracle's recursive
+    # anchor row is filtered out by its max(i) = NULL comparison, so
+    # BOTH engines return zero rows on empty input
+    fitted = series.filter(F.col("n") > 0).select("n", st.alias("st"))
     return fitted.select(
         F.col("n").alias("n_days"),
         F.round(F.col("st.l"), 6).alias("level"),

@@ -425,7 +425,10 @@ def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
             .partitionBy("day")
             .parquet(out)
         )
-    part_fact = spark.read.parquet(out)
+    # explicit schema (partition column included): an empty staged
+    # fact has no directories to infer from; DPP still injects the
+    # runtime PartitionFilters subquery on the declared day column
+    part_fact = spark.read.schema(fact.schema).parquet(out)
     # the dim carries a real filter: DPP's planner rule only injects
     # the runtime subquery when the build side has a selective
     # predicate (otherwise pruning is assumed not worthwhile)

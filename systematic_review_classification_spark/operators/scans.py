@@ -111,7 +111,14 @@ def src_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines source with schema inference, round-tripped."""
     out = _io_dir(sf_dir, "region_jsonl")
     load(spark, sf_dir, "region").write.mode("overwrite").json(out)
-    return spark.read.json(out).select("r_regionkey", "r_name")
+    # explicit read schema: at 100 TB inference is a wasted extra
+    # full scan, and an empty export (nothing matched upstream) has
+    # no rows to infer from at all
+    return (
+        spark.read.schema("r_regionkey INT, r_name STRING")
+        .json(out)
+        .select("r_regionkey", "r_name")
+    )
 
 
 # Pre-materialized fixtures the engine did NOT produce — they exercise
@@ -419,7 +426,17 @@ def scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_linestatus", "l_extendedprice", "l_returnflag"
     ).write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
-    pruned = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+    back_schema = (
+        "l_orderkey BIGINT, l_linenumber INT, l_linestatus STRING,"
+        " l_extendedprice DOUBLE, l_returnflag STRING"
+    )
+    # explicit schema keeps the readback total on an EMPTY export
+    # (no files -> nothing to infer) and skips the inference listing
+    pruned = (
+        spark.read.schema(back_schema)
+        .parquet(out)
+        .filter(F.col("l_returnflag") == "R")
+    )
     return pruned.groupBy("l_linestatus").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("l_extendedprice"), 2).alias("revenue"),

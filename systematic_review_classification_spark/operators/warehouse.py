@@ -752,7 +752,9 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("event_type")
         .parquet(out)
     )
-    back = spark.read.parquet(out)
+    # explicit schema keeps the readback total on an EMPTY export
+    # (a partitioned write of zero rows creates no directories)
+    back = spark.read.schema(ev.schema).parquet(out)
     return (
         back.where((F.col("event_type") == "purchase") & (F.col("value") > 50))
         .select("event_id", "user_id", F.round("value", 2).alias("value"))

@@ -69,6 +69,8 @@ _PRIORITY: list[str] = [
     "ml_rank_screen", "ml_threshold_at_recall", "wl_rank_correlation",
     "wl_lorenz_points", "agg_stats", "ml_eval_prf", "ml_eval_auc",
     "fn_math", "dedup_decontaminate", "wl_postings_delta",
+    "wl_paired_ttest", "src_jsonl", "udf_arrow_convert",
+    "scan_partition_prune",
     # (b) never-driver-verified keys, prior order preserved — the ~50
     # budget lands on (a) + this block's head; r7 continues from
     # wherever CORRECTNESS_r06.json stops. 203 keys as of round 6.
