@@ -50,7 +50,7 @@ from systematic_review_classification_spark.sources.tables import load
 SELECT doc_id,
        lower(source)                      AS src_lower,
        upper(lang)                        AS lang_upper,
-       trim(concat('  ', lang, '  '))     AS lang_trim,
+       trim('  ' || lang || '  ')         AS lang_trim,
        lpad(lang, 5, '*')                 AS lang_pad,
        substring(text, 1, 10)             AS text_head,
        length(text)                       AS text_len,
@@ -66,7 +66,13 @@ FROM documents
 """,
 )
 def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Core string functions over documents.text."""
+    """Core string functions over documents.text.
+
+    Dialect caveat (null-world sweep): Spark ``concat`` propagates a
+    NULL argument; DuckDB ``concat`` silently SKIPS NULL arguments.
+    Oracles must therefore spell concatenation as ``||`` (which does
+    propagate NULL in DuckDB) wherever the Spark side uses
+    ``F.concat``."""
     d = load(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
@@ -274,11 +280,14 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
 SELECT vec_id,
-       round(sqrt(list_reduce(list_transform(emb, x -> x * x), (a, b) -> a + b)), 6) AS l2_norm,
+       CASE WHEN emb IS NULL THEN NULL WHEN len(emb) = 0 THEN 0.0
+            ELSE round(sqrt(list_reduce(list_transform(emb, x -> x * x),
+                                        (a, b) -> a + b)), 6) END AS l2_norm,
        len(list_filter(emb, x -> x > 0))                                             AS n_pos,
        len(list_filter(emb, x -> abs(x) > 2.0)) > 0                                  AS has_big,
-       round(list_reduce(list_transform(list_zip(emb, emb), p -> p[1] * p[2]),
-                         (a, b) -> a + b), 6)                                        AS self_dot
+       CASE WHEN emb IS NULL THEN NULL WHEN len(emb) = 0 THEN 0.0
+            ELSE round(list_reduce(list_transform(list_zip(emb, emb), p -> p[1] * p[2]),
+                                   (a, b) -> a + b), 6) END AS self_dot
 FROM e
 """,
 )
@@ -287,7 +296,9 @@ def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector-math backbone (all JVM-side, no UDF). Floats are widened to
     double first so both engines square/accumulate identically;
     Spark's aggregate(0D, +) == DuckDB list_reduce because 0.0 + x
-    is exact."""
+    is exact. DuckDB list_reduce RAISES on NULL/empty lists where
+    Spark's aggregate returns NULL / the init value — the oracle's
+    CASE arms mirror Spark's totals explicitly."""
     e = load(spark, sf_dir, "embeddings")
     emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     sq_sum = F.aggregate(
@@ -380,13 +391,15 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id,
        md5(text)                                AS text_md5,
        sha256(concat_ws('|', lang, source))     AS meta_sha,
-       left(md5(concat(source, text)), 8)       AS bucket_hex
+       left(md5(source || text), 8)             AS bucket_hex
 FROM documents WHERE doc_id < 500
 """,
 )
 def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable hashes (md5 / sha256 agree across engines) — stable
-    dedup keys and ids."""
+    dedup keys and ids. The oracle concatenates with ``||`` (not
+    DuckDB concat, which skips NULL args) so a NULL field nulls the
+    hash on both engines instead of silently hashing the remainder."""
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     return d.select(
         "doc_id",
@@ -449,7 +462,8 @@ WITH t AS (
          list_filter(string_split(text, ' '), x -> x LIKE 's%') AS stoks
   FROM documents WHERE doc_id < 300)
 SELECT doc_id,
-       unnest(CASE WHEN len(stoks) = 0 THEN [CAST(NULL AS VARCHAR)]
+       unnest(CASE WHEN stoks IS NULL OR len(stoks) = 0
+                   THEN [CAST(NULL AS VARCHAR)]
                    ELSE stoks END) AS stok
 FROM t
 """,
@@ -459,7 +473,9 @@ def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching tokens still emit one row with a NULL token — the shape
     for 'keep every parent row' joins against token-level derivations.
     DuckDB has no outer unnest; the oracle emulates it with a CASE that
-    substitutes [NULL] for the empty list."""
+    substitutes [NULL] for the empty list AND for a NULL list (a NULL
+    text row): Spark's explode_outer keeps the parent row in both
+    cases, while raw unnest(NULL) would drop it."""
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     stoks = F.filter(
         F.split(F.col("text"), " "), lambda x: x.startswith("s")
@@ -506,11 +522,15 @@ def fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_url",
     oracle="""
 SELECT c_custkey,
-       'https' AS proto,
-       'archive.example.org' AS host,
+       CASE WHEN c_mktsegment IS NULL THEN NULL
+            ELSE 'https' END AS proto,
+       CASE WHEN c_mktsegment IS NULL THEN NULL
+            ELSE 'archive.example.org' END AS host,
        '/' || lower(c_mktsegment) || '/doc' AS path,
-       'id=' || c_custkey || '&page=' || (c_custkey % 7) AS query,
-       CAST(c_custkey % 7 AS VARCHAR) AS page,
+       CASE WHEN c_mktsegment IS NULL THEN NULL
+            ELSE 'id=' || c_custkey || '&page=' || (c_custkey % 7) END AS query,
+       CASE WHEN c_mktsegment IS NULL THEN NULL
+            ELSE CAST(c_custkey % 7 AS VARCHAR) END AS page,
        replace(lower(c_mktsegment), 'a', '%61') AS seg_encoded
 FROM customer WHERE c_custkey <= 200
 """,
@@ -526,7 +546,11 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (url_encode output is pinned via a single-character 'a'→%61 case:
     portable across engines, unlike full-string encoding where space
-    → '+' vs '%20' conventions differ.)"""
+    → '+' vs '%20' conventions differ. A NULL segment nulls the whole
+    constructed URL — Spark concat propagates — so every extracted
+    component is NULL; the oracle's CASE arms mirror that for the
+    components whose ground-truth expression would otherwise be a
+    non-null literal.)"""
     c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
     seg = F.lower(F.col("c_mktsegment"))
     url = F.concat(
@@ -556,8 +580,12 @@ SELECT o_orderkey,
                                   price := o_totalprice), 'price') AS price_back,
        struct_extract(struct_pack(prio := o_orderpriority,
                                   price := o_totalprice), 'prio')  AS prio_back,
-       ((o_orderstatus, o_orderpriority) < ('O', '3-MEDIUM'))  AS lt_probe,
-       ((o_orderstatus, o_orderpriority) = ('F', '1-URGENT'))  AS eq_probe
+       CASE WHEN o_orderstatus IS NULL OR o_orderpriority IS NULL THEN NULL
+            ELSE ((o_orderstatus, o_orderpriority) < ('O', '3-MEDIUM')) END
+         AS lt_probe,
+       CASE WHEN o_orderstatus IS NULL OR o_orderpriority IS NULL THEN NULL
+            ELSE ((o_orderstatus, o_orderpriority) = ('F', '1-URGENT')) END
+         AS eq_probe
 FROM orders WHERE o_orderkey <= 2000
 """,
 )
@@ -579,12 +607,22 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("prio"), F.col("o_totalprice").alias("price")
     )
     probe = F.struct(F.col("o_orderstatus"), F.col("o_orderpriority"))
+    # Spark struct comparison is an ORDERING (NULL fields sort first,
+    # the result is never NULL) while SQL row-value comparison is
+    # three-valued — the engines genuinely diverge on NULL fields.
+    # Policy, applied identically on both sides: any NULL field in
+    # the probe makes the comparison NULL.
+    any_null = F.col("o_orderstatus").isNull() | F.col("o_orderpriority").isNull()
     return o.select(
         "o_orderkey",
         s.getField("price").alias("price_back"),
         s.getField("prio").alias("prio_back"),
-        (probe < F.struct(F.lit("O"), F.lit("3-MEDIUM"))).alias("lt_probe"),
-        (probe == F.struct(F.lit("F"), F.lit("1-URGENT"))).alias("eq_probe"),
+        F.when(~any_null, probe < F.struct(F.lit("O"), F.lit("3-MEDIUM"))).alias(
+            "lt_probe"
+        ),
+        F.when(~any_null, probe == F.struct(F.lit("F"), F.lit("1-URGENT"))).alias(
+            "eq_probe"
+        ),
     )
 
 
@@ -615,9 +653,13 @@ def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         F.format_number(F.col("o_totalprice"), 2).alias("price_fmt"),
-        F.format_string("%05d|%s", F.col("o_orderkey"), F.col("o_orderstatus")).alias(
-            "key_tag"
-        ),
+        # Java's Formatter renders a NULL %s as the string "null";
+        # DuckDB printf returns NULL — emit NULL explicitly for NULL
+        # args so a dirty row doesn't mint a literal "null" tag
+        F.when(
+            F.col("o_orderstatus").isNotNull(),
+            F.format_string("%05d|%s", F.col("o_orderkey"), F.col("o_orderstatus")),
+        ).alias("key_tag"),
         F.format_string(
             "%.1f%%", F.lit(100.0) * F.col("o_orderkey") / F.lit(3000)
         ).alias("pct_tag"),

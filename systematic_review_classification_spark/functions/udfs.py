@@ -39,8 +39,11 @@ def udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-at-a-time Python UDF, checked against its built-in twin
     (length/upper). Correct, and ~10-100x slower than the twin — which
     is the documented reason it is not used anywhere else."""
-    slen = F.udf(lambda s: len(s), T.IntegerType())
-    up = F.udf(lambda s: s.upper(), T.StringType())
+    # a row UDF must be NULL-total like the SQL twin: length(NULL) and
+    # upper(NULL) are NULL, and a NULL text cell (dirty data at scale)
+    # must not crash the Python worker
+    slen = F.udf(lambda s: len(s) if s is not None else None, T.IntegerType())
+    up = F.udf(lambda s: s.upper() if s is not None else None, T.StringType())
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return d.select("doc_id", slen("text").alias("slen"), up("lang").alias("lang_up"))
 
@@ -99,11 +102,15 @@ FROM lineitem GROUP BY l_returnflag
 def udaf_pandas_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-aggregate pandas UDF (Series→scalar). Quantities are
     integer-valued doubles, so the pandas sum is exact and the mean is
-    bit-identical to SQL avg — no rounding required."""
+    bit-identical to SQL avg — no rounding required. The UDAF must
+    mirror SQL avg's NULL policy: skip NULLs, and return NULL (not
+    0/NaN) for a group with no non-NULL values — ``Series.mean``
+    does exactly that once the NaN result is mapped to None."""
 
     @pandas_udf(T.DoubleType())
     def mean_qty(q: pd.Series) -> float:
-        return float(q.sum() / len(q))
+        m = q.mean()  # skips NaN like SQL avg skips NULL
+        return float(m) if pd.notna(m) else None
 
     # pandas grouped aggs can't mix with JVM aggs in one agg() —
     # the row count is a pandas UDAF too
@@ -197,6 +204,10 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="doc_id: bigint, token: string, pos: bigint")
     class Tokenize:
         def eval(self, doc_id: int, text: str):
+            # NULL text yields no rows — matching the twin, where
+            # unnest(string_split(NULL, ' ')) unnests to zero rows
+            if text is None:
+                return
             for i, tok in enumerate(text.split(" ")):
                 yield doc_id, tok, i
 

@@ -85,13 +85,20 @@ def agg_partial_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_returnflag,
        count(DISTINCT l_partkey)               AS nd_part,
-       count(DISTINCT (l_partkey, l_suppkey))  AS nd_part_supp,
+       count(DISTINCT CASE WHEN l_partkey IS NULL OR l_suppkey IS NULL
+                           THEN NULL ELSE (l_partkey, l_suppkey) END)
+                                               AS nd_part_supp,
        count(DISTINCT l_orderkey)              AS nd_order
 FROM lineitem GROUP BY l_returnflag
 """,
 )
 def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact distinct aggregation (Catalyst expands to two-phase agg)."""
+    """Exact distinct aggregation (Catalyst expands to two-phase agg).
+
+    NULL policy: Spark's multi-column count(DISTINCT a, b) skips a row
+    when ANY column is NULL; DuckDB's count(DISTINCT (a, b)) counts
+    the row-value, and (NULL, NULL) is a non-NULL row value — the
+    oracle CASEs such rows to NULL so both engines skip them."""
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("nd_part"),

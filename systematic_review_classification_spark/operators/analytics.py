@@ -2232,7 +2232,7 @@ def wl_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH daily AS (
   SELECT CAST(date_trunc('day', ts) AS DATE) AS d, CAST(count(*) AS DOUBLE) AS y
-  FROM events GROUP BY 1),
+  FROM events WHERE ts IS NOT NULL GROUP BY 1),
 m AS (SELECT avg(y) AS mu FROM daily),
 dev AS (SELECT d, y, y - m.mu AS dev FROM daily, m),
 c AS (
@@ -2259,6 +2259,11 @@ def wl_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("d")).agg(
         F.count(F.lit(1)).cast("double").alias("y")
     )
+    # NULL timestamps have no place on the time axis, and their sort
+    # position diverges across engines (Spark NULLS FIRST, DuckDB
+    # LAST) — which would shift the whole cumulative prefix. Drop
+    # them explicitly on both sides (oracle: WHERE ts IS NOT NULL).
+    daily = daily.filter(F.col("d").isNotNull())
     m = daily.agg(F.avg("y").alias("mu"))
     c = daily.join(F.broadcast(m)).select(
         "d",
@@ -2731,7 +2736,7 @@ def wl_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH RECURSIVE daily AS (
   SELECT CAST(date_trunc('day', ts) AS DATE) AS d, CAST(count(*) AS DOUBLE) AS y
-  FROM events GROUP BY 1),
+  FROM events WHERE ts IS NOT NULL GROUP BY 1),
 days AS (SELECT row_number() OVER (ORDER BY d) AS i, y FROM daily),
 holt AS (
   SELECT 1 AS i, (SELECT y FROM days WHERE i = 1) AS l, CAST(0.0 AS DOUBLE) AS b
@@ -2757,8 +2762,13 @@ def wl_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     richer); both engines execute the identical left-to-right float
     sequence, so level, trend, and forecasts agree bit-for-bit."""
     ev = load(spark, sf_dir, "events")
-    daily = ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("d")).agg(
-        F.count(F.lit(1)).cast("double").alias("y")
+    # NULL timestamps are dropped on both sides: a NULL day sorts
+    # FIRST in Spark's sort_array but LAST under DuckDB's ORDER BY,
+    # which would anchor the recurrence on a different observation
+    daily = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
     )
     series = daily.agg(
         F.transform(
@@ -4139,7 +4149,9 @@ def wl_arc_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "wl_lorenz_points",
     oracle="""
 WITH s AS (
-  SELECT o_custkey, sum(o_totalprice) AS spend FROM orders GROUP BY o_custkey),
+  SELECT o_custkey, sum(o_totalprice) AS spend FROM orders
+  WHERE o_custkey IS NOT NULL GROUP BY o_custkey
+  HAVING sum(o_totalprice) IS NOT NULL),
 r AS (
   SELECT spend, row_number() OVER (ORDER BY spend, o_custkey) AS rnk,
          count(*) OVER () AS n, sum(spend) OVER () AS tot
@@ -4164,7 +4176,15 @@ def wl_lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     10-row window. The far-right gap to the diagonal IS the
     concentration wl_pareto reads top-down."""
     o = load(spark, sf_dir, "orders")
-    s = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("spend"))
+    # anonymous customers / all-NULL spends cannot sit on the curve:
+    # their rank position diverges across engines (NULL sort order)
+    # and their spend adds nothing to the total — drop on both sides
+    s = (
+        o.filter(F.col("o_custkey").isNotNull())
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("spend"))
+        .filter(F.col("spend").isNotNull())
+    )
     r = global_rank(
         s,
         F.col("spend"),

@@ -735,11 +735,9 @@ coin AS (
   SELECT doc_id, source, csize,
          (CAST(('0x' || substring(md5('soft:' || CAST(doc_id AS VARCHAR)), 1, 8))
                AS BIGINT) % 1000000) / 1000000.0 AS u
-  FROM cl),
-kept AS (SELECT * FROM coin WHERE u < 1.0 / csize)
+  FROM cl)
 SELECT source,
-       CAST((SELECT count(*) FROM cl c2 WHERE c2.source = coin.source) AS BIGINT)
-         AS docs_in,
+       CAST(count(*) AS BIGINT) AS docs_in,
        CAST(sum(CASE WHEN u < 1.0 / csize THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept
 FROM coin GROUP BY source
 """,

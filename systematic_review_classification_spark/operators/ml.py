@@ -73,7 +73,8 @@ def _featurized(spark: SparkSession, sf_dir: str):
 @query(
     "ml_label_index",
     oracle="""
-WITH freq AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang)
+WITH freq AS (SELECT lang, count(*) AS n FROM documents
+              WHERE lang IS NOT NULL GROUP BY lang)
 SELECT d.doc_id, d.lang,
        dense_rank() OVER (ORDER BY f.n DESC, f.lang) - 1 AS lang_idx
 FROM documents d JOIN freq f ON d.lang = f.lang
@@ -89,7 +90,15 @@ def ml_label_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny indexed result broadcasts back onto the fact. The corpus
     itself only pays one map-side-combined groupBy."""
     d = load(spark, sf_dir, "documents")
-    freq = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    # NULL labels are excluded from the index (StringIndexer's skip
+    # policy) BEFORE ranking: otherwise the NULL group's rank position
+    # diverges across engines (Spark orders NULLS FIRST, DuckDB LAST)
+    # and shifts every real label's index by one
+    freq = (
+        d.filter(F.col("lang").isNotNull())
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     w = W.orderBy(F.col("n").desc(), "lang")
     idx = freq.select("lang", (F.dense_rank().over(w) - 1).alias("lang_idx"))
     return d.select("doc_id", "lang").join(F.broadcast(idx), "lang").select(
@@ -649,8 +658,12 @@ def ml_feature_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     at training scale the bucket column feeds a fixed-width
     embedding table."""
     c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 1000)
-    cross_key = F.concat_ws(
-        "x", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")
+    # F.concat, NOT concat_ws: a missing feature must null the cross
+    # (and its bucket), never silently collapse to ''/'x' and land in
+    # a real embedding bucket — concat propagates NULL on both engines
+    # (oracle uses ||)
+    cross_key = F.concat(
+        F.col("c_mktsegment"), F.lit("x"), F.col("c_nationkey").cast("string")
     )
     bucket = (
         F.conv(F.substring(F.md5(cross_key), 1, 8), 16, 10).cast("bigint") % 64
@@ -663,7 +676,8 @@ def ml_feature_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ml_fpgrowth",
     oracle="""
-WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
 nb AS (SELECT count(DISTINCT l_orderkey) AS n FROM li),
 mincnt AS (SELECT CAST(ceil(0.0002 * n) AS BIGINT) AS c FROM nb),
 singles AS (
@@ -696,7 +710,17 @@ def ml_fpgrowth(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic."""
     from pyspark.ml.fpm import FPGrowth
 
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    # NULL basket ids / NULL items are excluded EXPLICITLY on both
+    # sides: collect_set would silently drop NULL items anyway, but
+    # the oracle's count(DISTINCT l_orderkey) skips NULL while a
+    # groupBy would form a NULL basket — the filter makes the two
+    # engines count the same basket universe
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .filter(F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull())
+        .distinct()
+    )
     baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("items")
     )

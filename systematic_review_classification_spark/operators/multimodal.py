@@ -108,6 +108,12 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
                 raise NotImplementedError("real image decode not wired in this env")
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                # a NULL asset (dirty row, failed fetch) decodes to NULL
+                # stats — never a worker crash; the oracle's NULL text
+                # propagates to NULL codes/len the same way
+                if blob is None:
+                    rows.append((doc_id, None, None))
+                    continue
                 px = np.frombuffer(blob, dtype=np.uint8)
                 # half-away rounding to match SQL round(): Python's
                 # round() is banker's, and power-of-two pixel counts

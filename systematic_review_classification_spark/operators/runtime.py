@@ -180,7 +180,17 @@ def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in ("F", "O"):
         if c not in ct.columns:
             ct = ct.withColumn(c, F.lit(0).cast("bigint"))
-    return ct.select("l_returnflag_l_linestatus", "F", "O")
+    # crosstab STRINGIFIES the row key, rendering a NULL flag as the
+    # literal "null" — map it back to a real NULL to match the SQL
+    # group key (safe here: the returnflag domain {N,R,A} is the
+    # operator's documented precondition, so "null" is unambiguous)
+    return ct.select(
+        F.nullif(F.col("l_returnflag_l_linestatus"), F.lit("null")).alias(
+            "l_returnflag_l_linestatus"
+        ),
+        "F",
+        "O",
+    )
 
 
 @query(
@@ -633,7 +643,8 @@ SELECT doc_id,
        right(text, 5)                           AS tail5,
        repeat('=', CAST(doc_id % 4 AS INTEGER)) AS bar,
        translate(left(text, 20), 'aeiou', '_____') AS devoweled,
-       split_part(text, ' ', 2)                 AS second_word
+       CASE WHEN text IS NULL THEN NULL
+            ELSE split_part(text, ' ', 2) END   AS second_word
 FROM documents
 """,
 )
@@ -641,7 +652,9 @@ def fn_string_more(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second string-function tranche (ascii/chr/left/right/repeat/
     translate/split_part) — byte-code, slicing, and field-extraction
     parity both engines agree on exactly. Pure codegen projections;
-    complements fn_string's core set."""
+    complements fn_string's core set. One NULL-policy divergence:
+    DuckDB split_part(NULL, ...) returns '' where Spark returns NULL —
+    the oracle CASEs it back to NULL."""
     d = load(spark, sf_dir, "documents")
     return d.select(
         "doc_id",

@@ -139,8 +139,9 @@ WITH c AS (
          list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT)) AS codes
   FROM documents)
 SELECT doc_id,
-       list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
-                   (h, x) -> (h * 31 + x) % 1000000007) AS fp
+       CASE WHEN codes IS NULL THEN NULL
+            ELSE list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+                             (h, x) -> (h * 31 + x) % 1000000007) END AS fp
 FROM c
 """,
 )
@@ -148,7 +149,10 @@ def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: classic polynomial rolling hash
     (h = h·31 + byte mod 1e9+7) as a sequential higher-order fold —
     exact integer arithmetic, identical in both engines. The content-
-    defined-chunking fingerprint for incremental dedup at scale."""
+    defined-chunking fingerprint for incremental dedup at scale.
+    A NULL text fingerprints to NULL on both sides (the oracle CASEs
+    it: DuckDB's list_prepend(0, NULL) would otherwise fold to 0,
+    colliding missing text with the empty string's neighbor)."""
     d = load(spark, sf_dir, "documents")
     codes = F.transform(F.split(F.col("text"), ""), lambda ch: F.ascii(ch).cast("bigint"))
     fp = F.aggregate(

@@ -553,7 +553,9 @@ def fn_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "wl_gini",
     oracle="""
-WITH r AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS rev FROM orders GROUP BY 1),
+WITH r AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS rev FROM orders
+           WHERE o_custkey IS NOT NULL GROUP BY 1
+           HAVING sum(o_totalprice) IS NOT NULL),
 rk AS (SELECT rev, row_number() OVER (ORDER BY rev, o_custkey) AS i FROM r)
 SELECT round(2.0 * sum(i * rev) / nullif(count(*) * sum(rev), 0)
              - (count(*) + 1.0) / nullif(count(*), 0), 6) AS gini
@@ -576,7 +578,15 @@ def wl_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     result is deterministic. Input to the rank is the per-customer
     aggregate, already reduced by one hash agg."""
     orders = load(spark, sf_dir, "orders")
-    r = orders.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    # NULL-customer rows and all-NULL revenues are excluded on both
+    # sides: a NULL rev ranks FIRST in Spark and LAST in DuckDB,
+    # shifting every real rank i and with it the whole statistic
+    r = (
+        orders.filter(F.col("o_custkey").isNotNull())
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+        .filter(F.col("rev").isNotNull())
+    )
     d = r.repartitionByRange(F.col("rev"), F.col("o_custkey")).withColumn(
         "_pid", F.spark_partition_id()
     )
@@ -606,7 +616,7 @@ def wl_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH rk AS (
   SELECT o_totalprice,
          ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
-  FROM orders)
+  FROM orders WHERE o_totalprice IS NOT NULL)
 SELECT decile, count(*) AS n,
        round(min(o_totalprice), 2) AS lo,
        round(max(o_totalprice), 2) AS hi,
@@ -626,8 +636,12 @@ def wl_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     is applied arithmetically from the broadcast total count. No
     single-reducer window anywhere."""
     orders = load(spark, sf_dir, "orders")
+    # a NULL value has no quantile: it would land in bin 1 under
+    # Spark's NULLS FIRST and bin 10 under DuckDB's NULLS LAST —
+    # excluded identically on both sides
     d = (
         orders.select("o_totalprice", "o_orderkey")
+        .filter(F.col("o_totalprice").isNotNull())
         .repartitionByRange(F.col("o_totalprice"), F.col("o_orderkey"))
         .withColumn("_pid", F.spark_partition_id())
     )
@@ -1537,8 +1551,9 @@ SELECT o_orderkey,
        md5('order|' || CAST(o_orderkey AS VARCHAR)) AS hub_order_hk,
        md5('cust|' || CAST(o_custkey AS VARCHAR) || '#order|'
            || CAST(o_orderkey AS VARCHAR)) AS link_order_customer_hk,
-       md5(CAST(o_orderstatus AS VARCHAR) || '|' || CAST(o_totalprice AS VARCHAR)
-           || '|' || CAST(o_orderpriority AS VARCHAR)) AS order_hashdiff
+       md5(coalesce(CAST(o_orderstatus AS VARCHAR), '') || '|'
+           || coalesce(CAST(o_totalprice AS VARCHAR), '') || '|'
+           || coalesce(CAST(o_orderpriority AS VARCHAR), '')) AS order_hashdiff
 FROM orders WHERE o_orderkey <= 1000
 """,
 )
@@ -1563,12 +1578,17 @@ def wl_data_vault_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(
             F.concat(F.lit("cust|"), ck, F.lit("#order|"), ok)
         ).alias("link_order_customer_hk"),
+        # hashdiff per the Data Vault standard: each attribute
+        # coalesced to '' with its delimiter KEPT, so a NULL attribute
+        # hashes deterministically and 'a|NULL|b' cannot collide with
+        # 'a|b' (concat_ws would silently drop the slot + delimiter)
         F.md5(
-            F.concat_ws(
-                "|",
-                F.col("o_orderstatus"),
-                F.col("o_totalprice").cast("string"),
-                F.col("o_orderpriority"),
+            F.concat(
+                F.coalesce(F.col("o_orderstatus"), F.lit("")),
+                F.lit("|"),
+                F.coalesce(F.col("o_totalprice").cast("string"), F.lit("")),
+                F.lit("|"),
+                F.coalesce(F.col("o_orderpriority"), F.lit("")),
             )
         ).alias("order_hashdiff"),
     )

@@ -71,6 +71,12 @@ _PRIORITY: list[str] = [
     "fn_math", "dedup_decontaminate", "wl_postings_delta",
     "wl_paired_ttest", "src_jsonl", "udf_arrow_convert",
     "scan_partition_prune",
+    # null-world sweep fixes (previously-verified keys whose code or
+    # oracle changed; never-verified null-world fixes keep (b) slots)
+    "udf_python", "udaf_pandas_agg", "udtf_python", "mm_decode_stub",
+    "fn_string", "fn_array_hof", "fn_hash", "stat_crosstab",
+    "agg_count_distinct", "ml_label_index", "wl_lorenz_points",
+    "txt_fingerprint", "batch_session_window", "stream_session",
     # (b) never-driver-verified keys, prior order preserved — the ~50
     # budget lands on (a) + this block's head; r7 continues from
     # wherever CORRECTNESS_r06.json stops. 203 keys as of round 6.

@@ -23,7 +23,7 @@ WITH seq AS (
                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS is_new,
          event_id
-  FROM events),
+  FROM events WHERE ts IS NOT NULL),
 sess AS (
   SELECT user_id, ts,
          sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -69,7 +69,7 @@ WITH seq AS (
                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS is_new,
          event_id
-  FROM events),
+  FROM events WHERE ts IS NOT NULL),
 sess AS (
   SELECT user_id, ts,
          sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -82,8 +82,12 @@ FROM sess GROUP BY user_id, session_id
 def batch_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """session_window in BATCH mode — the same merging-session operator
     the stream uses, over the batch relation (the batch/stream unified
-    semantics Spark guarantees)."""
-    ev = load(spark, sf_dir, "events")
+    semantics Spark guarantees). NULL timestamps are filtered
+    explicitly on both sides: session_window silently drops them (no
+    window can be assigned — same as the streaming engine), and the
+    oracle's lag/cumsum rewrite would otherwise emit them as a
+    phantom NaT session."""
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
