@@ -349,13 +349,18 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     and operate on it (element_at / map_keys / size). Oracle reads the
     same values through DuckDB's JSON path functions."""
     ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 500)
-    m = F.from_json(F.col("props"), "map<string,int>")
+    # map<string,STRING>, value cast after lookup: typing the whole
+    # map as int makes from_json return NULL for the ENTIRE map the
+    # moment props carries one non-int value (heterogeneous props are
+    # the norm in event streams) — the oracle's ->> path extracts the
+    # one key it needs and is unaffected by sibling value types
+    m = F.from_json(F.col("props"), "map<string,string>")
     return ev.select(
         "event_id",
         # try_element_at: ANSI element_at throws on a missing map key,
         # but the oracle's ->> returns NULL — and general corpora have
         # heterogeneous props
-        F.try_element_at(m, F.lit("k")).alias("k_val"),
+        F.try_element_at(m, F.lit("k")).cast("int").alias("k_val"),
         F.size(F.map_keys(m)).cast("bigint").alias("n_keys"),
         F.array_join(F.sort_array(F.map_keys(m)), ",").alias("key_list"),
     )
@@ -671,10 +676,10 @@ def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_base64",
     oracle="""
 SELECT c_custkey,
-       to_base64(CAST(c_name AS BLOB))                       AS name_b64,
-       CAST(from_base64(to_base64(CAST(c_name AS BLOB))) AS VARCHAR) AS roundtrip,
-       hex(CAST(c_mktsegment AS BLOB))                       AS seg_hex,
-       CAST(unhex(hex(CAST(c_mktsegment AS BLOB))) AS VARCHAR) AS seg_back
+       to_base64(encode(c_name))                     AS name_b64,
+       decode(from_base64(to_base64(encode(c_name)))) AS roundtrip,
+       hex(encode(c_mktsegment))                     AS seg_hex,
+       decode(unhex(hex(encode(c_mktsegment))))      AS seg_back
 FROM customer WHERE c_custkey <= 300
 """,
 )
@@ -683,7 +688,9 @@ def fn_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
     over string payloads — the serialization glue for shipping binary
     features (embeddings, thumbnails) through text-typed transports.
     Pure codegen'd projections; both engines implement RFC 4648 /
-    straight hex so the encodings are bit-equal."""
+    straight hex so the encodings are bit-equal. The oracle converts
+    VARCHAR↔BLOB via encode()/decode() — DuckDB's ::BLOB cast REJECTS
+    non-ASCII payloads outright."""
     c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 300)
     name_bin = F.col("c_name").cast("binary")
     seg_bin = F.col("c_mktsegment").cast("binary")

@@ -47,7 +47,7 @@ def _with_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_binary_meta",
     oracle="""
 SELECT doc_id,
-       octet_length(text::BLOB)        AS n_bytes,
+       octet_length(encode(text))     AS n_bytes,
        md5(text)                       AS content_md5,
        CAST(n_chars % 64 + 1 AS INTEGER) AS width,
        CAST(n_chars % 48 + 1 AS INTEGER) AS height
@@ -91,14 +91,15 @@ FROM chars
 )
 def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'Decode' an asset via Arrow-batched mapInPandas: bytes →
-    numpy buffer → per-asset pixel stats. The deterministic fake
-    decode (raw bytes AS pixels) keeps it oracle-able; the real codec
-    branch is the clearly-marked stub behind :data:`REAL_DECODE`.
+    numpy array → per-asset pixel stats. The deterministic fake
+    decode (payload codepoints AS pixels) keeps it oracle-able; the
+    real codec branch is the clearly-marked stub behind
+    :data:`REAL_DECODE`.
 
-    Oracle note: the blob is utf8 bytes of `text` while the oracle
-    iterates characters — equivalent only because the fixture corpus is
-    ASCII (1 byte = 1 codepoint); a non-ASCII corpus needs the oracle
-    switched to octet-level stats."""
+    Pixel units are CODEPOINTS of the decoded payload (not raw utf8
+    bytes): the deterministic fake must agree with the per-character
+    oracle on any corpus, unicode included — byte-level stats would
+    diverge the moment a document holds a multi-byte character."""
     import numpy as np
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -114,7 +115,8 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if blob is None:
                     rows.append((doc_id, None, None))
                     continue
-                px = np.frombuffer(blob, dtype=np.uint8)
+                chars = bytes(blob).decode("utf-8")
+                px = np.array([ord(c) for c in chars], dtype=np.int64)
                 # half-away rounding to match SQL round(): Python's
                 # round() is banker's, and power-of-two pixel counts
                 # put the true mean exactly on 1e-6 midpoints

@@ -673,8 +673,8 @@ def fn_string_more(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT doc_id,
        regexp_replace(regexp_replace(regexp_replace(left(text, 40),
-         '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') AS masked,
-       regexp_replace(left(text, 40), '[0-9]', '*', 'g') AS digits_starred
+         '\\p{Lu}', 'X', 'g'), '\\p{Ll}', 'x', 'g'), '\\p{Nd}', 'n', 'g') AS masked,
+       regexp_replace(left(text, 40), '\\p{Nd}', '*', 'g') AS digits_starred
 FROM documents
 """,
 )
@@ -683,7 +683,10 @@ def fn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     digit→n, other kept), plus a digits-only variant — the
     de-identification primitive for sharing derived tables. DuckDB has
     no mask(), so the oracle spells out the same character-class
-    substitution. Pure codegen projection; complements the regex-based
+    substitution with UNICODE classes (\\p{Lu}/\\p{Ll}/\\p{Nd}):
+    Spark's mask() tests Character.isUpperCase etc., so é masks to x
+    and 汉 (category Lo) passes through — ASCII [a-z] classes would
+    silently leak accented letters. Pure codegen projection; complements the regex-based
     txt_pii_scrub with the engine-native masking path."""
     d = load(spark, sf_dir, "documents")
     head = F.left("text", F.lit(40))

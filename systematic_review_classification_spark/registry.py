@@ -77,6 +77,8 @@ _PRIORITY: list[str] = [
     "fn_string", "fn_array_hof", "fn_hash", "stat_crosstab",
     "agg_count_distinct", "ml_label_index", "wl_lorenz_points",
     "txt_fingerprint", "batch_session_window", "stream_session",
+    # unicode-world sweep fixes (previously-verified changed keys)
+    "mm_binary_meta", "fn_map",
     # (b) never-driver-verified keys, prior order preserved — the ~50
     # budget lands on (a) + this block's head; r7 continues from
     # wherever CORRECTNESS_r06.json stops. 203 keys as of round 6.
