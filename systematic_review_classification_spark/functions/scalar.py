@@ -40,6 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from systematic_review_classification_spark.functions.predicates import finite
 from systematic_review_classification_spark.registry import query
 from systematic_review_classification_spark.sources.tables import load
 
@@ -204,15 +205,18 @@ SELECT o_orderkey,
        round(pow(o_totalprice / 100000, 3), 6) AS cubed,
        greatest(o_orderkey % 5, o_orderkey % 3) AS g,
        least(o_orderkey % 5, o_orderkey % 3)    AS l
-FROM orders WHERE o_orderkey < 2000
+FROM orders WHERE o_orderkey < 2000 AND isfinite(o_totalprice)
 """,
 )
 def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math functions. Transcendentals (ln/log10/pow) are rounded to 6
     decimals — JVM Math and C libm may differ in the last ulp; sqrt is
     IEEE-correctly-rounded so exact. Divisions by 7 keep round inputs
-    off decimal half-boundaries."""
-    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    off decimal half-boundaries. Finite prices only on both engines:
+    floor(NaN)'s ANSI bigint cast aborts the job outright."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderkey") < 2000) & finite("o_totalprice")
+    )
     p = F.col("o_totalprice")
     k = F.col("o_orderkey")
     return o.select(
@@ -635,9 +639,10 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_format",
     oracle="""
 SELECT o_orderkey,
-       format('{:,}', CAST(floor(o_totalprice) AS BIGINT)) || '.' ||
-         lpad(CAST(CAST(round((o_totalprice - floor(o_totalprice)) * 100)
-                   AS BIGINT) AS VARCHAR), 2, '0')              AS price_fmt,
+       CASE WHEN isfinite(o_totalprice) THEN
+         format('{:,}', CAST(floor(o_totalprice) AS BIGINT)) || '.' ||
+           lpad(CAST(CAST(round((o_totalprice - floor(o_totalprice)) * 100)
+                     AS BIGINT) AS VARCHAR), 2, '0') END        AS price_fmt,
        printf('%05d|%s', o_orderkey, o_orderstatus)             AS key_tag,
        printf('%.1f%%', 100.0 * o_orderkey / 3000)              AS pct_tag,
        printf('%x', o_orderkey)                                 AS key_hex
@@ -657,7 +662,12 @@ def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
     return o.select(
         "o_orderkey",
-        F.format_number(F.col("o_totalprice"), 2).alias("price_fmt"),
+        # a non-finite price has no money rendering: Spark would
+        # print the '\ufffdNaN\ufffd'-style token while the oracle's
+        # BIGINT path errors — NULL on both engines instead
+        F.when(
+            finite("o_totalprice"), F.format_number(F.col("o_totalprice"), 2)
+        ).alias("price_fmt"),
         # Java's Formatter renders a NULL %s as the string "null";
         # DuckDB printf returns NULL — emit NULL explicitly for NULL
         # args so a dirty row doesn't mint a literal "null" tag

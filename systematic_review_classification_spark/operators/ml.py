@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from systematic_review_classification_spark.functions.ranks import global_rank
+from systematic_review_classification_spark.functions.predicates import finite
 from systematic_review_classification_spark.registry import query
 from systematic_review_classification_spark.sources.tables import load
 
@@ -514,7 +515,7 @@ SELECT CAST(floor(score * 2) AS BIGINT) AS bin,
        count(*) AS n,
        round(avg(score), 6) AS mean_score,
        round(avg(CAST(y AS DOUBLE)), 6) AS pos_rate
-FROM scored
+FROM scored WHERE isfinite(score)
 GROUP BY CAST(floor(score * 2) AS BIGINT)
 """,
 )
@@ -528,8 +529,11 @@ def ml_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort or single-reducer window - one hash aggregation with map-side
     partials, the same plan at sf0.01 and at 100 TB. Quantile bins,
     when wanted, come from approx_percentile cutpoints broadcast as a
-    literal array (see agg_median_pct), still sort-free."""
-    s = _scored(spark, sf_dir)
+    literal array (see agg_median_pct), still sort-free. A corrupt
+    (non-finite) score has no calibration bin — floor(NaN)'s ANSI
+    bigint cast aborts the job — so scores are finite-filtered
+    identically on both engines."""
+    s = _scored(spark, sf_dir).filter(finite("score"))
     bin_col = F.floor(F.col("score") * 2).cast("bigint")
     return s.groupBy(bin_col.alias("bin")).agg(
         F.count(F.lit(1)).alias("n"),

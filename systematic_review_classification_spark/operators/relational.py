@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from systematic_review_classification_spark.functions.predicates import finite
 from systematic_review_classification_spark.registry import query
 from systematic_review_classification_spark.sources.tables import load
 
@@ -149,7 +150,7 @@ SELECT o_orderkey,
        CAST(floor(o_totalprice) AS BIGINT)                  AS price_floor,
        CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS DOUBLE)  AS price_dec,
        CAST(CAST(o_orderdate AS DATE) AS VARCHAR)           AS order_day
-FROM orders WHERE o_orderkey < 500
+FROM orders WHERE o_orderkey < 500 AND isfinite(o_totalprice)
 """,
 )
 def proj_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -157,9 +158,11 @@ def proj_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncates toward zero, DuckDB rounds half-even — floor removes the
     dialect divergence. DATE is surfaced as string: DuckDB's pandas
     bridge renders DATE as midnight datetime, Spark as date — the
-    string form is representation-stable across engines."""
+    string form is representation-stable across engines. Finite
+    prices only on both engines: floor(NaN)'s ANSI bigint cast (and
+    DuckDB's NaN→DECIMAL) abort outright."""
     o = load(spark, sf_dir, "orders")
-    return o.filter(F.col("o_orderkey") < 500).select(
+    return o.filter((F.col("o_orderkey") < 500) & finite("o_totalprice")).select(
         "o_orderkey",
         F.col("o_orderkey").cast("string").alias("key_str"),
         F.floor("o_totalprice").cast("bigint").alias("price_floor"),

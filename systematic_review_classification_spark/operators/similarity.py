@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from systematic_review_classification_spark.functions.predicates import finite
 from systematic_review_classification_spark.registry import query
 from systematic_review_classification_spark.sources.tables import load
 
@@ -163,21 +164,24 @@ def mm_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT c_custkey,
        round((c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_mktsegment))
              / stddev_samp(c_acctbal) OVER (PARTITION BY c_mktsegment), 6) AS z
-FROM customer
+FROM customer WHERE isfinite(c_acctbal)
 """,
 )
 def grp_pandas_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map transform: z-score per market segment via
     applyInPandas — the Arrow-batched escape hatch for semantics the
     built-ins can't express (here they can, which is exactly why it is
-    oracle-checkable against the window formulation)."""
+    oracle-checkable against the window formulation). Finite
+    balances only on both engines: pandas mean/std silently SKIP NaN
+    while DuckDB's window stddev errors out of range on inf — a
+    corrupt balance is excluded from the normalization, explicitly."""
     import pandas as pd
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
         z = (pdf["c_acctbal"] - pdf["c_acctbal"].mean()) / pdf["c_acctbal"].std(ddof=1)
         return pd.DataFrame({"c_custkey": pdf["c_custkey"], "z": z.round(6)})
 
-    c = load(spark, sf_dir, "customer")
+    c = load(spark, sf_dir, "customer").filter(finite("c_acctbal"))
     return c.groupBy("c_mktsegment").applyInPandas(zscore, "c_custkey long, z double")
 
 
@@ -229,7 +233,7 @@ WITH e AS (SELECT * FROM (
        SELECT vec_id, embedding::DOUBLE[] AS v,
               sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
                                (a, b) -> a + b)) AS nn
-       FROM embeddings) WHERE nn > 0),
+       FROM embeddings) WHERE nn > 0 AND isfinite(nn)),
 probes AS (SELECT * FROM e WHERE vec_id < 100),
 pairs AS (
   SELECT p.vec_id AS id1, c.vec_id AS id2,
@@ -266,9 +270,13 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", _dbl(F.col("embedding")).alias("v")
     )
-    # zero-norm vectors out before the GEMM: numpy would emit NaN rows
-    # (0/0) that rank nondeterministically vs the oracle
-    e = e.filter(_norm(F.col("v")) > 0)
+    # zero-norm AND non-finite vectors out before the GEMM: numpy
+    # would emit NaN rows (0/0, inf-inf) that rank nondeterministically
+    # vs the oracle — note NaN > 0 is TRUE under both engines'
+    # NaN-is-greatest comparison rule, so `> 0` alone keeps NaN norms
+    e = e.withColumn("_nn", _norm(F.col("v"))).filter(
+        (F.col("_nn") > 0) & finite("_nn")
+    ).drop("_nn")
     probes = (
         e.filter(F.col("vec_id") < 100)
         .crossJoin(spark.range(B).select(F.col("id").cast("int").alias("blk")))
@@ -380,7 +388,9 @@ q AS (
                      x * 127.0 / greatest(abs(list_aggregate(v, 'min')),
                                           abs(list_aggregate(v, 'max'))))
                    AS BIGINT)) END AS c
-  FROM e),
+  FROM e
+  WHERE isfinite(greatest(abs(list_aggregate(v, 'min')),
+                          abs(list_aggregate(v, 'max'))))),
 pairs AS (
   SELECT p.vec_id AS id1, c.vec_id AS id2,
          CAST(list_reduce(list_transform(list_zip(p.c, c.c),
@@ -417,7 +427,9 @@ def sim_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(
         F.transform(F.col("v"), lambda x: F.floor(x * 127.0 / mxabs).cast("bigint"))
     )
-    q = e.select("vec_id", "label", codes.alias("c"))
+    # a vector with a NaN/inf component has no quantization scale —
+    # floor(NaN)'s ANSI bigint cast aborts — filtered on both engines
+    q = e.filter(finite(mxabs)).select("vec_id", "label", codes.alias("c"))
     probes = q.filter(F.col("vec_id") < 100).select(
         F.col("vec_id").alias("id1"), F.col("label").alias("l1"),
         F.col("c").alias("c1"),

@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from systematic_review_classification_spark.functions.predicates import finite
 from systematic_review_classification_spark.registry import query
 from systematic_review_classification_spark.sources.tables import load
 
@@ -302,11 +303,14 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_corr_matrix",
     oracle="""
-SELECT 'qty_price' AS pair, round(corr(l_quantity, l_extendedprice), 6) AS r FROM lineitem
+WITH f AS (SELECT l_quantity, l_extendedprice, l_discount FROM lineitem
+           WHERE isfinite(l_quantity) AND isfinite(l_extendedprice)
+             AND isfinite(l_discount))
+SELECT 'qty_price' AS pair, round(corr(l_quantity, l_extendedprice), 6) AS r FROM f
 UNION ALL
-SELECT 'qty_disc' AS pair, round(corr(l_quantity, l_discount), 6) AS r FROM lineitem
+SELECT 'qty_disc' AS pair, round(corr(l_quantity, l_discount), 6) AS r FROM f
 UNION ALL
-SELECT 'price_disc' AS pair, round(corr(l_extendedprice, l_discount), 6) AS r FROM lineitem
+SELECT 'price_disc' AS pair, round(corr(l_extendedprice, l_discount), 6) AS r FROM f
 """,
 )
 def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -316,8 +320,12 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE aggregate pass computes all three correlations (Spark's corr
     is a mergeable moment sketch — map-side partials, O(1) state per
     pair); the unpivot is a stack() over the single result row. The
-    oracle's three scans are the semantic spec, not the plan."""
-    li = load(spark, sf_dir, "lineitem")
+    oracle's three scans are the semantic spec, not the plan.
+    Non-finite measures are filtered on both engines (DuckDB's
+    STDDEV_POP errors out of range on inf)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        finite("l_quantity") & finite("l_extendedprice") & finite("l_discount")
+    )
     from systematic_review_classification_spark.operators.aggregates import _safe_corr
 
     row = li.agg(
@@ -520,7 +528,7 @@ SELECT CAST(CASE WHEN l_quantity >= 50 THEN 11
        count(*) AS n,
        round(min(l_quantity), 2) AS lo,
        round(max(l_quantity), 2) AS hi
-FROM lineitem
+FROM lineitem WHERE isfinite(l_quantity)
 GROUP BY 1
 """,
 )
@@ -532,8 +540,11 @@ def fn_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges are exact in both engines.
 
     Binning is a pure projection (stays in whole-stage codegen); the
-    group-by is over <=12 keys — fully map-side combined."""
-    li = load(spark, sf_dir, "lineitem")
+    group-by is over <=12 keys — fully map-side combined. A NaN has
+    no bucket (Spark width_bucket returns NULL where DuckDB's NaN >
+    everything rule lands it in the overflow bucket) — non-finite
+    values are filtered identically on both engines."""
+    li = load(spark, sf_dir, "lineitem").filter(finite("l_quantity"))
     return (
         li.select(
             F.expr("width_bucket(l_quantity, 0.0D, 50.0D, 10)")
@@ -1071,7 +1082,7 @@ def wl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH d AS (
   SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
               AS INTEGER) AS digit
-  FROM orders WHERE o_totalprice >= 1),
+  FROM orders WHERE o_totalprice >= 1 AND isfinite(o_totalprice)),
 c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
 t AS (SELECT sum(n) AS tot FROM c)
 SELECT digit, n, round(CAST(n AS DOUBLE) / tot, 6) AS observed,
@@ -1085,8 +1096,13 @@ def wl_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     log10(1 + 1/d) law. One scan + a 9-row aggregate + a broadcast
     1-row total. Digit extraction floors BOTH engines before the
     bigint cast (DuckDB CAST(double AS BIGINT) rounds half-even,
-    Spark truncates — the proj_cast dialect trap)."""
-    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    Spark truncates — the proj_cast dialect trap). Finite-only on
+    both engines: Spark's NaN-greater-than-everything comparison lets
+    NaN through `>= 1`, and floor(NaN)'s ANSI bigint cast aborts the
+    job."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_totalprice") >= 1) & finite("o_totalprice")
+    )
     d = o.select(
         F.substring(F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1)
         .cast("int")
@@ -1552,7 +1568,8 @@ SELECT o_orderkey,
        md5('cust|' || CAST(o_custkey AS VARCHAR) || '#order|'
            || CAST(o_orderkey AS VARCHAR)) AS link_order_customer_hk,
        md5(coalesce(CAST(o_orderstatus AS VARCHAR), '') || '|'
-           || coalesce(CAST(o_totalprice AS VARCHAR), '') || '|'
+           || coalesce(CASE WHEN isfinite(o_totalprice)
+                            THEN CAST(o_totalprice AS VARCHAR) END, '') || '|'
            || coalesce(CAST(o_orderpriority AS VARCHAR), '')) AS order_hashdiff
 FROM orders WHERE o_orderkey <= 1000
 """,
@@ -1586,7 +1603,16 @@ def wl_data_vault_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(
                 F.coalesce(F.col("o_orderstatus"), F.lit("")),
                 F.lit("|"),
-                F.coalesce(F.col("o_totalprice").cast("string"), F.lit("")),
+                # non-finite totals hash as missing: the engines
+                # RENDER them differently ('NaN' vs 'nan'), so a
+                # canonical absent-value is the only portable key
+                F.coalesce(
+                    F.when(
+                        finite("o_totalprice"),
+                        F.col("o_totalprice").cast("string"),
+                    ),
+                    F.lit(""),
+                ),
                 F.lit("|"),
                 F.coalesce(F.col("o_orderpriority"), F.lit("")),
             )

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from systematic_review_classification_spark.functions.predicates import finite
 from systematic_review_classification_spark.registry import query
 from systematic_review_classification_spark.sources.tables import load
 
@@ -916,7 +917,9 @@ WITH ps AS (
   SELECT l_partkey AS pk, l_suppkey AS sk,
          ((2 * sum(CAST(round(round(l_extendedprice / l_quantity, 6) * 1000000, 0) AS BIGINT))
            + 100 * count(*)) // (200 * count(*))) / 10000.0 AS avg_price
-  FROM lineitem GROUP BY 1, 2),
+  FROM lineitem
+  WHERE isfinite(l_quantity) AND l_quantity > 0 AND isfinite(l_extendedprice)
+  GROUP BY 1, 2),
 ranked AS (
   SELECT pk, sk, avg_price,
          row_number() OVER (PARTITION BY pk ORDER BY avg_price, sk) AS rn
@@ -943,7 +946,17 @@ def wl_q2_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus the supplier key so the pick is deterministic under fp
     noise. Dimension joins happen AFTER rn=1 cuts the row set to one
     per part; nation broadcasts."""
-    li = load(spark, sf_dir, "lineitem")
+    # the unit ratio needs a guarded domain on BOTH engines: qty = 0
+    # aborts ANSI division, a NaN qty sneaks past `> 0` (NaN compares
+    # greatest in Spark AND DuckDB), and an inf price makes the micro
+    # cast overflow. AQE's empty-relation pruning HID this at small
+    # fixtures (the p_size join side was empty, so the aggregate —
+    # and its division — never executed).
+    li = load(spark, sf_dir, "lineitem").filter(
+        finite("l_quantity")
+        & (F.col("l_quantity") > 0)
+        & finite("l_extendedprice")
+    )
     # avg of RATIOS is the one average where round(avg(x), 4) is not
     # cross-engine safe: the true mean can land EXACTLY on a 5 in the
     # 5th decimal (seen at sf0.1: a 1-row group at 89.11625), and the

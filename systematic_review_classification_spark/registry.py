@@ -75,10 +75,15 @@ _PRIORITY: list[str] = [
     # oracle changed; never-verified null-world fixes keep (b) slots)
     "udf_python", "udaf_pandas_agg", "udtf_python", "mm_decode_stub",
     "fn_string", "fn_array_hof", "fn_hash", "stat_crosstab",
-    "agg_count_distinct", "ml_label_index", "wl_lorenz_points",
+    "agg_count_distinct", "ml_label_index",
     "txt_fingerprint", "batch_session_window", "stream_session",
     # unicode-world sweep fixes (previously-verified changed keys)
     "mm_binary_meta", "fn_map",
+    # NaN/Inf-world sweep fixes (previously-verified changed keys;
+    # agg_stats/fn_math already re-head above from the earlier sweeps)
+    "proj_cast", "ml_calibration", "grp_pandas_normalize",
+    "sim_bruteforce_topk", "wl_ab_ttest", "wl_ks_test",
+    "wl_power_analysis", "wl_psi_drift", "wl_benford", "udf_map_pandas",
     # (b) never-driver-verified keys, prior order preserved — the ~50
     # budget lands on (a) + this block's head; r7 continues from
     # wherever CORRECTNESS_r06.json stops. 203 keys as of round 6.
