@@ -89,3 +89,46 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, key: str = "?") 
             for i, a, b in diffs
         )
         raise AssertionError(f"[{key}] value mismatch ({len(diffs)}+ rows differ):\n{msg}")
+
+
+def run_world(spark, world_dir: str, tables, excluded) -> list[tuple[str, str]]:
+    """World-sweep runner shared by the tests/test_*_world.py tier.
+
+    Runs EVERY oracled registered key against the world's parquet
+    tables on both engines and returns the list of (key, failure)
+    pairs — empty means the whole registry survives the world. One
+    pass prices the full registry per pathological dataset; each
+    world test owns only its fixture rows and its documented
+    exclusions.
+    """
+    import duckdb as _duckdb
+
+    from systematic_review_classification_spark import all_oracles, all_queries
+
+    queries, oracles = all_queries(), all_oracles()
+    con = _duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS"
+            f" SELECT * FROM read_parquet('{world_dir}/{t}.parquet/*.parquet')"
+        )
+    fails: list[tuple[str, str]] = []
+    try:
+        for key in queries:
+            if key not in oracles or key in excluded:
+                continue
+            try:
+                sp = canonical_rows(queries[key](spark, world_dir).toPandas())
+            except Exception as e:  # noqa: BLE001 — collect every failure
+                fails.append((key, "SPARK: " + str(e).split("\n")[0][:120]))
+                continue
+            try:
+                du = canonical_rows(con.execute(oracles[key]).df())
+            except Exception as e:  # noqa: BLE001
+                fails.append((key, "ORACLE: " + str(e).split("\n")[0][:120]))
+                continue
+            if sp != du:
+                fails.append((key, f"MISMATCH sp={sp[:2]} du={du[:2]}"))
+    finally:
+        con.close()
+    return fails

@@ -20,11 +20,9 @@ from __future__ import annotations
 
 import datetime as dt
 
-import duckdb
 import pytest
 
-from systematic_review_classification_spark import all_oracles, all_queries
-from tests.harness import canonical_rows
+from tests.harness import run_world
 
 # Keys excluded from the degenerate world, each with a reason:
 # - stream_* / src_stream_file: execute through the micro-batch staging
@@ -98,33 +96,9 @@ def world(spark, tmp_path_factory):
 
 
 def test_every_oracled_key_survives_the_degenerate_world(spark, world):
-    queries, oracles = all_queries(), all_oracles()
-    con = duckdb.connect()
-    for t in (
+    tables = (
         "region", "nation", "supplier", "part", "customer", "orders",
         "lineitem", "documents", "embeddings", "events",
-    ):
-        con.execute(
-            f"CREATE VIEW {t} AS"
-            f" SELECT * FROM read_parquet('{world}/{t}.parquet/*.parquet')"
-        )
-    fails = []
-    try:
-        for key in queries:
-            if key not in oracles or key in EXCLUDED:
-                continue
-            try:
-                sp = canonical_rows(queries[key](spark, world).toPandas())
-            except Exception as e:  # noqa: BLE001 — collect every failure
-                fails.append((key, "SPARK: " + str(e).split("\n")[0][:120]))
-                continue
-            try:
-                du = canonical_rows(con.execute(oracles[key]).df())
-            except Exception as e:  # noqa: BLE001
-                fails.append((key, "ORACLE: " + str(e).split("\n")[0][:120]))
-                continue
-            if sp != du:
-                fails.append((key, f"MISMATCH sp={sp[:2]} du={du[:2]}"))
-    finally:
-        con.close()
+    )
+    fails = run_world(spark, world, tables, EXCLUDED)
     assert not fails, f"{len(fails)} keys broke on the degenerate world: {fails}"

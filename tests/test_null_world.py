@@ -40,11 +40,9 @@ vault); Python UDFs are NULL-total like their SQL twins.
 
 from __future__ import annotations
 
-import duckdb
 import pytest
 
-from systematic_review_classification_spark import all_oracles, all_queries
-from tests.harness import canonical_rows
+from tests.harness import run_world
 
 # Excluded for the same physical-layout/staging reasons as
 # test_degenerate_world.py (streaming micro-batch staging, file-layout
@@ -147,30 +145,5 @@ def world(spark, tmp_path_factory):
 
 
 def test_every_oracled_key_survives_the_null_world(spark, world):
-    queries, oracles = all_queries(), all_oracles()
-    con = duckdb.connect()
-    for t in _TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS"
-            f" SELECT * FROM read_parquet('{world}/{t}.parquet/*.parquet')"
-        )
-    fails = []
-    try:
-        for key in queries:
-            if key not in oracles or key in EXCLUDED:
-                continue
-            try:
-                sp = canonical_rows(queries[key](spark, world).toPandas())
-            except Exception as e:  # noqa: BLE001 — collect every failure
-                fails.append((key, "SPARK: " + str(e).split("\n")[0][:120]))
-                continue
-            try:
-                du = canonical_rows(con.execute(oracles[key]).df())
-            except Exception as e:  # noqa: BLE001
-                fails.append((key, "ORACLE: " + str(e).split("\n")[0][:120]))
-                continue
-            if sp != du:
-                fails.append((key, f"MISMATCH sp={sp[:2]} du={du[:2]}"))
-    finally:
-        con.close()
+    fails = run_world(spark, world, _TABLES, EXCLUDED)
     assert not fails, f"{len(fails)} keys broke on the null world: {fails}"
