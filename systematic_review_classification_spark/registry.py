@@ -41,101 +41,68 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Externally-verified-first iteration order. An external correctness
 # harness walks ``queries()`` in iteration order with a bounded budget
 # (~50 entries per run), so keys that have not yet been independently
-# verified — or were fixed since the last run — must come first.
-# Rounds 1-3 verified 146 distinct keys (the full §2 surface: A-H
-# relational/function tiers, streaming, ML, UDFs, the extension
-# heads); those trail in section (c) / registration order. Round 4
-# front-loads (a) the 14 keys changed this round, then (b) the 278
-# still-never-verified extension keys in their prior order — the ~50
-# budget lands entirely on (a)+(b)'s head. Listing an unregistered
-# key is a no-op; keys absent from this list follow in registration
-# order.
+# verified — or were changed since the last run — must come first.
+# Round-7 rotation (freeze-and-verify): rounds 1-6 verified 246
+# distinct keys, all clean at their latest check; this round makes NO
+# edits to any verified key, so the head is (a) keys added or changed
+# in round 7, then (b) the 196 never-driver-verified keys in their
+# prior relative order. The ~50 budget therefore lands entirely on
+# first-time verifications. Verified keys trail in registration
+# order (listing an unregistered key is a no-op; keys absent from
+# this list follow in registration order).
 _PRIORITY: list[str] = [
-    # (a) PREVIOUSLY-VERIFIED keys whose code or oracle changed in
-    # round 6 — re-verify first (rotation rule: any changed key
-    # re-enters the head): the zero-weight-replicate guard
-    # (wl_poisson_bootstrap), the stringified postings columns
-    # (wl_inverted_index — round 5's only external failure — and
-    # wl_postings_delta), the divisor/−0.0/ln(0) guards from the
-    # round-6 static sweep + degenerate-world sweep (ml_*, agg_stats,
-    # fn_math, wl_anova relative tolerance, rank-correlation /
-    # lorenz nullifs), and the dedup_decontaminate sequence clamp.
-    # Round-6-changed keys that were NEVER verified (wl_cohens_kappa,
-    # sample_weighted_es, wl_theil_index, wl_hhi,
-    # wl_change_attribution, wl_qtr_growth, wl_arc_elasticity,
-    # agg_corr_matrix, agg_geomean, fn_try ...) keep their (b) slots.
-    "wl_poisson_bootstrap", "wl_inverted_index", "ml_screen_e2e",
-    "ml_gains_table", "wl_anova_seasonality", "ml_eval_wss95",
-    "ml_rank_screen", "ml_threshold_at_recall", "wl_rank_correlation",
-    "wl_lorenz_points", "agg_stats", "ml_eval_prf", "ml_eval_auc",
-    "fn_math", "dedup_decontaminate", "wl_postings_delta",
-    "wl_paired_ttest", "src_jsonl", "udf_arrow_convert",
-    "scan_partition_prune",
-    # null-world sweep fixes (previously-verified keys whose code or
-    # oracle changed; never-verified null-world fixes keep (b) slots)
-    "udf_python", "udaf_pandas_agg", "udtf_python", "mm_decode_stub",
-    "fn_string", "fn_array_hof", "fn_hash", "stat_crosstab",
-    "agg_count_distinct", "ml_label_index",
-    "txt_fingerprint", "batch_session_window", "stream_session",
-    # unicode-world sweep fixes (previously-verified changed keys)
-    "mm_binary_meta", "fn_map",
-    # NaN/Inf-world sweep fixes (previously-verified changed keys;
-    # agg_stats/fn_math already re-head above from the earlier sweeps)
-    "proj_cast", "ml_calibration", "grp_pandas_normalize",
-    "sim_bruteforce_topk", "wl_ab_ttest", "wl_ks_test",
-    "wl_power_analysis", "wl_psi_drift", "wl_benford", "udf_map_pandas",
-    # (b) never-driver-verified keys, prior order preserved — the ~50
-    # budget lands on (a) + this block's head; r7 continues from
-    # wherever CORRECTNESS_r06.json stops. 203 keys as of round 6.
-    "wl_cohens_kappa", "ml_feature_mi", "ml_split_leakage",
-    "join_asof_forward", "scan_manifest_table", "wl_decayed_popularity",
-    "win_rolling_zscore", "sample_reservoir_merge", "wl_soft_dedup_sampling",
+    # (a) keys added or changed in round 7 (rotation rule: any key
+    # whose code or oracle changes re-enters the head).
+    # (b) never-driver-verified keys — 196 as of round-7 start.
+    "wl_decayed_popularity", "win_rolling_zscore",
+    "sample_reservoir_merge", "wl_soft_dedup_sampling",
     "wl_retrieval_eval", "wl_change_attribution", "dedup_scurve_empirical",
     "wl_markov2_conditional", "wl_linear_forecast", "sql_identifier",
     "wl_iqr_outliers", "wl_interarrival_hist", "agg_bucketed_no_shuffle",
     "wl_pit_features", "sink_compressed", "ml_item_cf", "wl_dp_counts",
-    "wl_partition_balance", "ml_confusion_multiclass",
-    "wl_ivm_retraction", "wl_lateness_profile", "txt_bpe_apply",
-    "wl_hll_daily_rollup", "sql_lateral_view", "sql_hint_broadcast",
-    "graph_link_prediction", "sample_weighted_es", "wl_rendezvous_hashing",
-    "dedup_fellegi_sunter", "rt_analyze_stats", "wl_date_dim",
-    "wl_hygiene_attribution", "graph_clustering_coeff", "graph_powerlaw_fit",
-    "wl_kl_source_mix", "win_top_percent", "wl_kaplan_meier",
-    "wl_percent_of_parent", "wl_cusum", "wl_control_chart", "wl_theil_sen",
-    "wl_simpson_check", "wl_winsorized_mean", "txt_burstiness",
-    "txt_chao1_richness", "wl_effective_sample_size", "txt_distinctive_terms",
-    "wl_theil_index", "txt_heaps_fit", "ml_cascade_cost", "txt_script_mix",
+    "wl_partition_balance", "ml_confusion_multiclass", "wl_ivm_retraction",
+    "wl_lateness_profile", "txt_bpe_apply", "wl_hll_daily_rollup",
+    "sql_lateral_view", "sql_hint_broadcast", "graph_link_prediction",
+    "sample_weighted_es", "wl_rendezvous_hashing", "dedup_fellegi_sunter",
+    "rt_analyze_stats", "wl_date_dim", "wl_hygiene_attribution",
+    "graph_clustering_coeff", "graph_powerlaw_fit", "wl_kl_source_mix",
+    "win_top_percent", "wl_kaplan_meier", "wl_percent_of_parent",
+    "wl_cusum", "wl_control_chart", "wl_theil_sen", "wl_simpson_check",
+    "wl_winsorized_mean", "txt_burstiness", "txt_chao1_richness",
+    "wl_effective_sample_size", "txt_distinctive_terms", "wl_theil_index",
+    "txt_heaps_fit", "ml_cascade_cost", "txt_script_mix",
     "wl_holt_smoothing", "wl_abc_analysis", "wl_data_vault_keys",
     "wl_accumulating_snapshot", "wl_interval_union", "txt_novelty_rate",
     "wl_periodogram", "wl_hhi", "wl_retention_half_life",
-    "wl_capture_recapture", "fn_bround", "wl_seasonal_index", "wl_srm_check",
-    "wl_growth_accounting", "wl_diff_in_diff", "wl_daily_quantile_bands",
-    "wl_error_budget", "wl_engagement_hist", "wl_rate_volume_mix",
-    "wl_stickiness", "wl_arc_elasticity", "wl_pareto_frontier",
-    "wl_markov_absorbing", "wl_q11_partvalue", "wl_q20_excess",
-    "wl_seasonality", "wl_skew_report", "wl_resample_ffill",
-    "sample_reservoir", "agg_grouping_id", "agg_corr_matrix", "sql_qualify",
-    "wl_profile", "wl_attribution", "wl_triangles", "fn_width_bucket",
-    "wl_gini", "wl_equidepth_bins", "dedup_cluster_hist", "fn_epoch",
-    "sink_partitioned", "cache_reuse", "scan_observe", "sql_params",
-    "agg_string_agg", "src_csv_corrupt", "sql_pipe", "fn_variant",
-    "fn_collate", "dedup_incremental", "agg_approx_topk", "join_dpp",
-    "ml_fpgrowth", "ml_als", "wl_chi2_assoc", "src_json_array",
-    "sink_csv_options", "sink_zorder", "sim_pq_adc", "ml_active_screen",
-    "sink_compaction", "fn_string_more", "stream_progress", "fn_mask",
-    "sql_natural_join", "win_nth_value", "win_lag_ignore_nulls",
-    "wl_source_overlap", "agg_percentile_disc", "agg_bitmap_distinct",
-    "wl_retention", "wl_dau_wau", "wl_copurchase", "wl_q9_profit",
-    "agg_linreg", "txt_collocation", "txt_zipf", "fn_struct", "sim_topk_int8",
-    "wl_q16_suppcnt", "wl_q2_mincost", "wl_pagerank3", "ml_pca",
-    "join_null_safe", "agg_mode_tiebreak", "fn_format", "scan_metadata_cols",
-    "txt_stem", "join_asof_tolerance", "dedup_keep_best", "win_gaps_islands",
-    "wl_rfm", "set_ops_all", "fn_base64", "txt_readability",
-    "wl_snapshot_diff", "wl_markov_transitions", "wl_pareto",
-    "ml_feature_cross", "sql_lateral", "src_parquet_merge_schema",
-    "win_time_range", "agg_geomean", "join_scd2", "txt_compression_ratio",
-    "wl_qtr_growth", "wl_basket_rules", "sql_subqueries", "fn_explode_outer",
-    "fn_try", "wl_clean_corpus", "dedup_components", "txt_pii_scrub",
+    "wl_capture_recapture", "fn_bround", "wl_seasonal_index",
+    "wl_srm_check", "wl_growth_accounting", "wl_diff_in_diff",
+    "wl_daily_quantile_bands", "wl_error_budget", "wl_engagement_hist",
+    "wl_rate_volume_mix", "wl_stickiness", "wl_arc_elasticity",
+    "wl_pareto_frontier", "wl_markov_absorbing", "wl_q11_partvalue",
+    "wl_q20_excess", "wl_seasonality", "wl_skew_report",
+    "wl_resample_ffill", "sample_reservoir", "agg_grouping_id",
+    "agg_corr_matrix", "sql_qualify", "wl_profile", "wl_attribution",
+    "wl_triangles", "fn_width_bucket", "wl_gini", "wl_equidepth_bins",
+    "dedup_cluster_hist", "fn_epoch", "sink_partitioned", "cache_reuse",
+    "scan_observe", "sql_params", "agg_string_agg", "src_csv_corrupt",
+    "sql_pipe", "fn_variant", "fn_collate", "dedup_incremental",
+    "agg_approx_topk", "join_dpp", "ml_fpgrowth", "ml_als",
+    "wl_chi2_assoc", "src_json_array", "sink_csv_options", "sink_zorder",
+    "sim_pq_adc", "ml_active_screen", "sink_compaction", "fn_string_more",
+    "stream_progress", "fn_mask", "sql_natural_join", "win_nth_value",
+    "win_lag_ignore_nulls", "wl_source_overlap", "agg_percentile_disc",
+    "agg_bitmap_distinct", "wl_retention", "wl_dau_wau", "wl_copurchase",
+    "wl_q9_profit", "agg_linreg", "txt_collocation", "txt_zipf",
+    "fn_struct", "sim_topk_int8", "wl_q16_suppcnt", "wl_q2_mincost",
+    "wl_pagerank3", "ml_pca", "join_null_safe", "agg_mode_tiebreak",
+    "fn_format", "scan_metadata_cols", "txt_stem", "join_asof_tolerance",
+    "dedup_keep_best", "win_gaps_islands", "wl_rfm", "set_ops_all",
+    "fn_base64", "txt_readability", "wl_snapshot_diff",
+    "wl_markov_transitions", "wl_pareto", "ml_feature_cross",
+    "sql_lateral", "src_parquet_merge_schema", "win_time_range",
+    "agg_geomean", "join_scd2", "txt_compression_ratio", "wl_qtr_growth",
+    "wl_basket_rules", "sql_subqueries", "fn_explode_outer", "fn_try",
+    "wl_clean_corpus", "dedup_components", "txt_pii_scrub",
     "agg_histogram", "pivot_wide", "unpivot_long", "src_range",
     "set_union_missing", "sample_seeded", "src_binaryfile", "src_text",
     "txt_chunk", "wl_q4_late", "wl_q14_promo", "wl_q18_large",
