@@ -858,14 +858,24 @@ def wl_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score"),
         )
     )
-    from pyspark.sql import Window as Wn
+    from systematic_review_classification_spark.functions.ranks import global_rank
 
-    ranked = scored.select(
-        F.when(F.col("n_terms") >= 3, 1).otherwise(0).alias("rel"),
-        F.row_number()
-        .over(Wn.orderBy(F.round("score", 6).desc(), "doc_id"))
-        .alias("rnk"),
-    )
+    # the MRR term consumes the rank of the FIRST relevant document,
+    # which can sit anywhere in the list — so the ranking must be the
+    # full global order, and a partition-less row_number would funnel
+    # every scored document through one task. Two-pass range rank
+    # instead (functions/ranks.py): the only unpartitioned window left
+    # is over the bounded per-partition stats relation.
+    ranked = global_rank(
+        scored.select(
+            F.when(F.col("n_terms") >= 3, 1).otherwise(0).alias("rel"),
+            F.round("score", 6).alias("s"),
+            "doc_id",
+        ),
+        F.col("s").desc(),
+        F.col("doc_id").asc(),
+        rank_col="rnk",
+    ).select("rel", "rnk")
     m = ranked.agg(
         F.sum(F.when(F.col("rnk") <= 10, F.col("rel")).otherwise(0)).alias("rel_at_10"),
         F.min(F.when(F.col("rel") == 1, F.col("rnk"))).alias("first_rel"),
@@ -1286,18 +1296,26 @@ def txt_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tpb = tok.groupBy(F.expr("doc_id div 20").alias("bin")).agg(
         F.count(F.lit(1)).alias("n_tok")
     )
-    curve = (
-        tpb.join(F.broadcast(newb), tpb.bin == newb.first_bin, "left")
-        .select(
-            "bin",
-            "n_tok",
-            F.coalesce("new_tokens", F.lit(0)).alias("nt"),
-        )
-        .select(
-            F.sum("n_tok").over(W.orderBy("bin")).alias("cum_tokens"),
-            F.sum("nt").over(W.orderBy("bin")).alias("vocab"),
-        )
+    # the bin axis is corpus-size/20 — it SCALES with the data, so the
+    # two running sums ride the two-pass range prefix sum
+    # (functions/ranks.py), never a partition-less window
+    from systematic_review_classification_spark.functions.ranks import (
+        global_prefix_sum,
     )
+
+    # newb is O(bins) too — join it key-on-key (AQE picks the
+    # strategy) rather than forcing a broadcast of a data-scaled side
+    binned = tpb.join(newb, tpb.bin == newb.first_bin, "left").select(
+        "bin",
+        "n_tok",
+        F.coalesce("new_tokens", F.lit(0)).alias("nt"),
+    )
+    curve = global_prefix_sum(
+        global_prefix_sum(binned, "n_tok", F.col("bin").asc(), out_col="cum_tokens"),
+        "nt",
+        F.col("bin").asc(),
+        out_col="vocab",
+    ).select("cum_tokens", "vocab")
     lnv = F.log(F.col("vocab").cast("double"))
     lnt = F.log(F.col("cum_tokens").cast("double"))
     return curve.agg(

@@ -612,6 +612,106 @@ def src_weblog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed
 
 
+_RIS_TAGS = {
+    "ris_type": "TY",
+    "title": "TI",
+    "year_raw": "PY",
+    "journal": "JO",
+    "abstract": "AB",
+    "doi": "DO",
+}
+
+
+def _ris_fields(sql_path: str) -> str:
+    tagged = {**_RIS_TAGS, "authors_list": "AU", "keywords_list": "KW"}
+    exprs = ",\n    ".join(
+        f"list_transform(list_filter(ls, x -> substr(x, 1, 6) = '{tag}  - '),"
+        f" x -> trim(substr(x, 7))) AS _{name}"
+        for name, tag in tagged.items()
+    )
+    return f"""
+WITH recs AS (
+  SELECT unnest(string_split(replace(content, chr(13), ''),
+                             chr(10) || 'ER  -')) AS rec
+  FROM read_text('{sql_path}')),
+parsed AS (SELECT string_split(rec, chr(10)) AS ls FROM recs),
+fields AS (
+  SELECT
+    {exprs}
+  FROM parsed)
+"""
+
+
+@query(
+    "src_ris",
+    oracle=_ris_fields(os.path.join(_FIXTURE_DIR, "papers.ris"))
+    + """
+SELECT
+  _ris_type[1] AS ris_type,
+  _title[1] AS title,
+  CASE WHEN len(_authors_list) > 0
+       THEN array_to_string(_authors_list, '; ') END AS authors,
+  CAST(len(_authors_list) AS BIGINT) AS n_authors,
+  TRY_CAST(_year_raw[1] AS BIGINT) AS pub_year,
+  _journal[1] AS journal,
+  _abstract[1] AS abstract,
+  _doi[1] AS doi,
+  CASE WHEN len(_keywords_list) > 0
+       THEN array_to_string(_keywords_list, '; ') END AS keywords
+FROM fields WHERE len(_ris_type) > 0
+""",
+)
+def src_ris(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIS (reference-manager export: EndNote / Zotero / PubMed
+    "Send to citation manager") bibliographic ingest — the file a
+    systematic-review screening pipeline actually starts from. The
+    format is tag-per-line (``XX  - value``), records terminated by
+    an ``ER  -`` line; repeating tags (AU, KW) accumulate.
+
+    Spark-first shape: ``ER  -`` is a RECORD delimiter, so the text
+    source reads whole records via ``lineSep`` — Hadoop's line reader
+    honors a custom delimiter across byte-range splits, which keeps a
+    10⁹-record export splittable with no driver-side parsing. Each
+    record then parses as one codegen projection: split to tag lines,
+    higher-order filter/transform per tag (no Python, no regex
+    backtracking), first-match for singleton tags, array_join for
+    repeating ones. Multi-value tags join with '; ' and missing
+    singletons surface as NULL on both engines (DuckDB's
+    array_to_string of an empty list is NULL while Spark's array_join
+    is '' — so the empty case is pinned to NULL explicitly)."""
+    rec = F.regexp_replace(F.col("value"), "\r", "")
+    lines = F.split(rec, "\n")
+
+    def vals(tag: str):
+        pref = tag + "  - "
+        return F.transform(
+            F.filter(lines, lambda l: F.substring(l, 1, 6) == F.lit(pref)),
+            lambda l: F.trim(F.substring(l, 7, 1 << 20)),
+        )
+
+    def first(tag: str):
+        return F.get(vals(tag), 0)
+
+    def joined(tag: str):
+        v = vals(tag)
+        return F.when(F.size(v) > 0, F.array_join(v, "; "))
+
+    raw = spark.read.option("lineSep", "\nER  -").text(
+        os.path.join(_FIXTURE_DIR, "papers.ris")
+    )
+    return raw.filter(F.size(vals("TY")) > 0).select(
+        first("TY").alias("ris_type"),
+        first("TI").alias("title"),
+        joined("AU").alias("authors"),
+        F.size(vals("AU")).cast("bigint").alias("n_authors"),
+        first("PY").try_cast("bigint").alias("pub_year"),
+        first("JO").alias("journal"),
+        first("AB").alias("abstract"),
+        first("DO").alias("doi"),
+        joined("KW").alias("keywords"),
+    )
+
+
 @query(
     "scan_manifest_table",
     oracle="""

@@ -52,11 +52,17 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # this list follow in registration order).
 _PRIORITY: list[str] = [
     # (a) keys added or changed in round 7 (rotation rule: any key
-    # whose code or oracle changes re-enters the head).
+    # whose code or oracle changes re-enters the head):
+    # wl_retrieval_eval / txt_heaps_fit — their data-scaled global
+    # windows converted to the two-pass range shape by the fixed
+    # unpartitioned-window sweep (both were never-verified, so the
+    # round-7 freeze of verified keys holds).
+    # src_ris — NEW this round: RIS reference-manager-export ingest.
+    "src_ris", "wl_retrieval_eval", "txt_heaps_fit",
     # (b) never-driver-verified keys — 196 as of round-7 start.
     "wl_decayed_popularity", "win_rolling_zscore",
     "sample_reservoir_merge", "wl_soft_dedup_sampling",
-    "wl_retrieval_eval", "wl_change_attribution", "dedup_scurve_empirical",
+    "wl_change_attribution", "dedup_scurve_empirical",
     "wl_markov2_conditional", "wl_linear_forecast", "sql_identifier",
     "wl_iqr_outliers", "wl_interarrival_hist", "agg_bucketed_no_shuffle",
     "wl_pit_features", "sink_compressed", "ml_item_cf", "wl_dp_counts",
@@ -70,7 +76,7 @@ _PRIORITY: list[str] = [
     "wl_cusum", "wl_control_chart", "wl_theil_sen", "wl_simpson_check",
     "wl_winsorized_mean", "txt_burstiness", "txt_chao1_richness",
     "wl_effective_sample_size", "txt_distinctive_terms", "wl_theil_index",
-    "txt_heaps_fit", "ml_cascade_cost", "txt_script_mix",
+    "ml_cascade_cost", "txt_script_mix",
     "wl_holt_smoothing", "wl_abc_analysis", "wl_data_vault_keys",
     "wl_accumulating_snapshot", "wl_interval_union", "txt_novelty_rate",
     "wl_periodogram", "wl_hhi", "wl_retention_half_life",

@@ -94,12 +94,17 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, key: str = "?") 
 def run_world(spark, world_dir: str, tables, excluded) -> list[tuple[str, str]]:
     """World-sweep runner shared by the tests/test_*_world.py tier.
 
-    Runs EVERY oracled registered key against the world's parquet
-    tables on both engines and returns the list of (key, failure)
-    pairs — empty means the whole registry survives the world. One
-    pass prices the full registry per pathological dataset; each
-    world test owns only its fixture rows and its documented
-    exclusions.
+    Runs EVERY registered key against the world's parquet tables and
+    returns the list of (key, failure) pairs — empty means the whole
+    registry survives the world. Oracled keys compare both engines;
+    rows-only keys (approx / seeded ML / streaming — no oracle by
+    design) run in survive-don't-abort mode: the Spark side must fully
+    evaluate without raising, because the NaN world proved a green
+    fixture does not prove abort-safety (8 oracled keys aborted on
+    ANSI CAST(NaN AS BIGINT) before round 6; the rows-only keys had
+    never been priced at all until round 7). One pass prices the full
+    registry per pathological dataset; each world test owns only its
+    fixture rows and its documented exclusions.
     """
     import duckdb as _duckdb
 
@@ -115,7 +120,15 @@ def run_world(spark, world_dir: str, tables, excluded) -> list[tuple[str, str]]:
     fails: list[tuple[str, str]] = []
     try:
         for key in queries:
-            if key not in oracles or key in excluded:
+            if key in excluded:
+                continue
+            if key not in oracles:
+                try:
+                    queries[key](spark, world_dir).toPandas()
+                except Exception as e:  # noqa: BLE001 — collect every failure
+                    fails.append(
+                        (key, "SPARK rows-only: " + str(e).split("\n")[0][:120])
+                    )
                 continue
             try:
                 sp = canonical_rows(queries[key](spark, world_dir).toPandas())
