@@ -26,3 +26,18 @@ def finite(c: Column | str) -> Column:
     """TRUE iff c is a finite (non-NULL, non-NaN, non-inf) double."""
     col = F.col(c) if isinstance(c, str) else c
     return ~F.isnan(col) & (F.abs(col) < F.lit(_INF))
+
+
+def finite_array(c: Column | str) -> Column:
+    """TRUE iff c is a non-NULL array whose every element is finite.
+
+    The vector-hygiene twin of ``finite``: MLlib vector ops abort on
+    non-finite components ('Vector values MUST NOT be NaN or
+    Infinity') and NPE on NULL arrays, so every embedding-consuming
+    operator filters rows through this before ``array_to_vector`` —
+    a corrupt vector is corrupt input, never a job abort. All-lambda
+    higher-order form: stays JVM-side codegen, no Python."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.isNotNull() & F.forall(
+        col, lambda x: x.isNotNull() & finite(x.cast("double"))
+    )

@@ -686,7 +686,9 @@ def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_distinct",
         F.round(
             F.abs(F.col("est_distinct") - F.col("exact_distinct"))
-            / F.col("exact_distinct"),
+            # empty input → exact count 0 → NULL rel_err, not an
+            # ANSI DIVIDE_BY_ZERO abort
+            / F.nullif(F.col("exact_distinct").cast("double"), F.lit(0.0)),
             6,
         ).alias("rel_err"),
     )

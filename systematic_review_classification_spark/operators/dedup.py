@@ -105,7 +105,14 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Local tests assert the candidate set covers exact duplicates."""
     from pyspark.ml.feature import CountVectorizer, MinHashLSH, RegexTokenizer
 
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # NULL text cannot be tokenized (CountVectorizer.fit NPEs on a
+    # NULL token array) and an empty token set has no MinHash — both
+    # are corrupt input, filtered like the oracled dedup tier does
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
     toks = RegexTokenizer(inputCol="text", outputCol="toks", pattern="\\s+").transform(d)
     cv = CountVectorizer(inputCol="toks", outputCol="vec", binary=True, minDF=1.0).fit(toks)
     vecs = cv.transform(toks).filter(F.expr("aggregate(toks, 0, (a, x) -> a + 1) > 0"))

@@ -57,10 +57,18 @@ def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _featurized(spark: SparkSession, sf_dir: str):
     """documents → (doc_id, label, features): hashed-TF vectors with a
-    content-derived binary label (text mentions 'spark')."""
+    content-derived binary label (text mentions 'spark').
+
+    NULL-text rows are dropped up front (all callers are the seeded
+    MLlib model keys): an untokenizable document has no features and a
+    NULL label, and MLlib fit() ABORTS on NULL labels ('Labels MUST
+    NOT be Null or NaN') instead of skipping the row — the same
+    corrupt-input-is-filterable policy the oracled tier applies."""
     from pyspark.ml.feature import HashingTF, RegexTokenizer
 
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+    )
     d = d.withColumn(
         "label",
         F.array_contains(F.split(F.col("text"), " "), "spark").cast("double"),
@@ -135,6 +143,30 @@ def ml_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- seeded MLlib classifiers (rows-only by nature) ------------------------
 
 
+def _train_shape(feat, label_col: str | None = None):
+    """(row count, distinct-label count) of a training relation in ONE
+    map-side-combined aggregate — the degenerate-input guard every
+    MLlib fit() needs, because MLlib ABORTS (rather than returning an
+    empty/degenerate model) on empty data, single-class data for
+    margin losses, or k-means with fewer distinct points than k.
+    Driver-side by design: two constant-size scalars, same pattern as
+    ml_active_screen's round counters."""
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if label_col is not None:
+        aggs.append(F.countDistinct(label_col).alias("k"))
+    row = feat.agg(*aggs).first()
+    return (row["n"], row["k"] if label_col is not None else None)
+
+
+def _empty_result(spark: SparkSession, schema: str):
+    """Typed empty result for a degenerate training set: the operator
+    yields zero scored rows with the contract schema instead of
+    aborting the whole job — downstream joins go empty and monitoring
+    sees '0 rows scored', which is the recoverable failure mode at
+    100 TB (an abort kills every co-scheduled output)."""
+    return spark.createDataFrame([], schema)
+
+
 @query("ml_lr")
 def ml_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Logistic regression on hashed-TF vectors (seeded). Returns the
@@ -143,6 +175,10 @@ def ml_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.functions import vector_to_array
 
     feat = _featurized(spark, sf_dir)
+    if _train_shape(feat)[0] == 0:
+        return _empty_result(
+            spark, "doc_id long, label double, prediction double, p1 double"
+        )
     model = LogisticRegression(maxIter=20, regParam=0.01).fit(feat)
     return model.transform(feat).select(
         "doc_id",
@@ -159,6 +195,8 @@ def ml_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.classification import NaiveBayes
 
     feat = _featurized(spark, sf_dir)
+    if _train_shape(feat)[0] == 0:
+        return _empty_result(spark, "doc_id long, label double, prediction double")
     model = NaiveBayes(modelType="multinomial", smoothing=1.0).fit(feat)
     return model.transform(feat).select("doc_id", "label", "prediction")
 
@@ -169,6 +207,9 @@ def ml_svm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.classification import LinearSVC
 
     feat = _featurized(spark, sf_dir)
+    n, k = _train_shape(feat, "label")
+    if n == 0 or k < 2:  # hinge loss is undefined without both classes
+        return _empty_result(spark, "doc_id long, label double, prediction double")
     model = LinearSVC(maxIter=15, regParam=0.05).fit(feat)
     return model.transform(feat).select("doc_id", "label", "prediction")
 
@@ -179,6 +220,8 @@ def ml_rf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.classification import RandomForestClassifier
 
     feat = _featurized(spark, sf_dir)
+    if _train_shape(feat)[0] == 0:
+        return _empty_result(spark, "doc_id long, label double, prediction double")
     model = RandomForestClassifier(numTrees=10, maxDepth=4, seed=42).fit(feat)
     return model.transform(feat).select("doc_id", "label", "prediction")
 
@@ -193,6 +236,12 @@ def ml_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
 
     feat = _featurized(spark, sf_dir)
+    n, k = _train_shape(feat, "label")
+    # 3-fold CV needs both classes (the AUC evaluator's rawPrediction
+    # is degenerate on one class) and enough rows that a seeded fold
+    # split cannot leave an empty training fold
+    if n < 2 * 3 or k < 2:
+        return _empty_result(spark, "reg_param double, avg_auc double")
     lr = LogisticRegression(maxIter=10)
     grid = ParamGridBuilder().addGrid(lr.regParam, [0.01, 0.1]).build()
     cv = CrossValidator(
@@ -487,12 +536,24 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        array_to_vector(
-            F.transform(F.col("embedding"), lambda x: x.cast("double"))
-        ).alias("features"),
+    from systematic_review_classification_spark.functions.predicates import finite_array
+
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .filter(finite_array("embedding"))
+        .select(
+            "vec_id",
+            array_to_vector(
+                F.transform(F.col("embedding"), lambda x: x.cast("double"))
+            ).alias("features"),
+        )
     )
+    # MLlib KMeans ABORTS (ArrayIndexOutOfBounds in k-means|| init,
+    # probe-verified) when the data has fewer distinct points than k;
+    # xxhash64 gives the distinct count without shuffling the vectors
+    n_distinct = e.agg(F.countDistinct(F.xxhash64("features")).alias("d")).first()["d"]
+    if n_distinct < 5:
+        return _empty_result(spark, "vec_id long, cluster int")
     model = KMeans(k=5, seed=42, maxIter=20).fit(e)
     return model.transform(e).select("vec_id", F.col("prediction").alias("cluster"))
 
@@ -503,6 +564,8 @@ def ml_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.classification import GBTClassifier
 
     feat = _featurized(spark, sf_dir)
+    if _train_shape(feat)[0] == 0:
+        return _empty_result(spark, "doc_id long, label double, prediction double")
     model = GBTClassifier(maxIter=5, maxDepth=3, seed=42).fit(feat)
     return model.transform(feat).select("doc_id", "label", "prediction")
 
@@ -617,12 +680,21 @@ def ml_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import PCA
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        array_to_vector(
-            F.transform("embedding", lambda x: x.cast("double"))
-        ).alias("features"),
+    from systematic_review_classification_spark.functions.predicates import finite_array
+
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .filter(finite_array("embedding"))
+        .select(
+            "vec_id",
+            array_to_vector(
+                F.transform("embedding", lambda x: x.cast("double"))
+            ).alias("features"),
+        )
     )
+    # the covariance of <2 rows is undefined — RowMatrix aborts on it
+    if _train_shape(e)[0] < 2:
+        return _empty_result(spark, "vec_id long, k int, proj_sqnorm double")
     model = PCA(k=8, inputCol="features", outputCol="pc").fit(e)
     return (
         model.transform(e)
@@ -761,12 +833,18 @@ def ml_als(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratings = (
         load(spark, sf_dir, "lineitem")
         .join(load(spark, sf_dir, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        # ALS raises on NULL ids ('user Ids MUST NOT be Null'): an
+        # interaction with no attributable customer/part is corrupt
+        # input, filtered like every other NULL key in the repo
+        .filter(F.col("o_custkey").isNotNull() & F.col("l_partkey").isNotNull())
         .groupBy(
             F.col("o_custkey").cast("int").alias("user"),
             F.col("l_partkey").cast("int").alias("item"),
         )
         .agg(F.count(F.lit(1)).cast("float").alias("rating"))
     )
+    if _train_shape(ratings)[0] == 0:
+        return _empty_result(spark, "user int, item int, score double")
     als = ALS(
         rank=8,
         maxIter=5,
@@ -809,6 +887,10 @@ def ml_active_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # seed: a deterministic 10% hash sample of the corpus
     screened = feat.where(F.crc32(F.col("doc_id").cast("string")) % 10 == 0)
+    # a tiny corpus can leave the hash seed EMPTY, and LR cannot fit
+    # zero rows — an empty curve is the honest degenerate output
+    if _train_shape(screened)[0] == 0:
+        return _empty_result(spark, "round int, n_found double, recall double")
     rows = []
     for rnd in range(3):
         model = LogisticRegression(maxIter=10, regParam=0.01).fit(screened)

@@ -712,6 +712,109 @@ def src_ris(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MEDLINE_TAGS = {
+    "pmid_raw": "PMID",
+    "status": "STAT",
+    "pub_date": "DP",
+    "title": "TI",
+    "abstract": "AB",
+    "journal": "JT",
+}
+
+
+def _medline_fields(sql_path: str) -> str:
+    tagged = {**_MEDLINE_TAGS, "authors_list": "AU", "pubtypes_list": "PT"}
+    exprs = ",\n    ".join(
+        f"list_transform(list_filter(ls, x -> substr(x, 1, 6) = '{tag.ljust(4)}- '),"
+        f" x -> trim(substr(x, 7))) AS _{name}"
+        for name, tag in tagged.items()
+    )
+    return f"""
+WITH recs AS (
+  SELECT unnest(string_split(replace(content, chr(13), ''),
+                             chr(10) || chr(10))) AS rec
+  FROM read_text('{sql_path}')),
+unfolded AS (
+  SELECT regexp_replace(rec, '\\n {{6}}', ' ', 'g') AS rec FROM recs),
+parsed AS (SELECT string_split(rec, chr(10)) AS ls FROM unfolded),
+fields AS (
+  SELECT
+    {exprs}
+  FROM parsed)
+"""
+
+
+@query(
+    "src_medline",
+    oracle=_medline_fields(os.path.join(_FIXTURE_DIR, "pubmed.nbib"))
+    + """
+SELECT
+  TRY_CAST(_pmid_raw[1] AS BIGINT) AS pmid,
+  _status[1] AS status,
+  _pub_date[1] AS pub_date,
+  _title[1] AS title,
+  _abstract[1] AS abstract,
+  CASE WHEN len(_authors_list) > 0
+       THEN array_to_string(_authors_list, '; ') END AS authors,
+  CAST(len(_authors_list) AS BIGINT) AS n_authors,
+  _journal[1] AS journal,
+  CASE WHEN len(_pubtypes_list) > 0
+       THEN array_to_string(_pubtypes_list, '; ') END AS pub_types
+FROM fields WHERE len(_pmid_raw) > 0
+""",
+)
+def src_medline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PubMed MEDLINE / .nbib export ingest — the other file a
+    screening pipeline starts from ("Send to: Citation manager" /
+    E-utilities efetch rettype=medline). Unlike RIS, MEDLINE WRAPS
+    long values: continuation lines carry a 6-space indent and belong
+    to the preceding tag, and records separate on a BLANK line rather
+    than a terminator tag.
+
+    Spark-first shape: blank-line record split via ``lineSep`` (the
+    text source stays byte-range splittable), then the continuation
+    fold is a single regexp_replace — ``\\n`` + 6 spaces is BY
+    DEFINITION a wrapped value, so unfolding is one linear string
+    rewrite, not a stateful line fold. After unfolding, the record
+    parses exactly like RIS: tag lines are ``XXXX- value`` (tag
+    left-justified to 4), higher-order filter/transform per tag,
+    repeating tags (AU, PT) join with '; ', missing singletons are
+    NULL on both engines."""
+    rec = F.regexp_replace(
+        F.regexp_replace(F.col("value"), "\r", ""), "\n {6}", " "
+    )
+    lines = F.split(rec, "\n")
+
+    def vals(tag: str):
+        pref = tag.ljust(4) + "- "
+        return F.transform(
+            F.filter(lines, lambda l: F.substring(l, 1, 6) == F.lit(pref)),
+            lambda l: F.trim(F.substring(l, 7, 1 << 20)),
+        )
+
+    def first(tag: str):
+        return F.get(vals(tag), 0)
+
+    def joined(tag: str):
+        v = vals(tag)
+        return F.when(F.size(v) > 0, F.array_join(v, "; "))
+
+    raw = spark.read.option("lineSep", "\n\n").text(
+        os.path.join(_FIXTURE_DIR, "pubmed.nbib")
+    )
+    return raw.filter(F.size(vals("PMID")) > 0).select(
+        first("PMID").try_cast("bigint").alias("pmid"),
+        first("STAT").alias("status"),
+        first("DP").alias("pub_date"),
+        first("TI").alias("title"),
+        first("AB").alias("abstract"),
+        joined("AU").alias("authors"),
+        F.size(vals("AU")).cast("bigint").alias("n_authors"),
+        first("JT").alias("journal"),
+        joined("PT").alias("pub_types"),
+    )
+
+
 @query(
     "scan_manifest_table",
     oracle="""

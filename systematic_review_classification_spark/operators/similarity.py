@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from systematic_review_classification_spark.functions.predicates import finite
+from systematic_review_classification_spark.functions.predicates import finite, finite_array
 from systematic_review_classification_spark.registry import query
 from systematic_review_classification_spark.sources.tables import load
 
@@ -94,10 +94,33 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
+    # Hygiene must be NPE-proof under predicate pushdown: Catalyst
+    # pushes approxSimilarityJoin's internal UDF predicates BELOW a
+    # plain hygiene filter, so array_to_vector would still see the
+    # corrupt row first. Substituting a valid zero vector inside the
+    # expression (WHEN branches genuinely guard in codegen) means no
+    # UDF anywhere in the reordered plan ever receives NULL; the _ok
+    # filter then drops the sentinel rows from every result.
+    clean = finite_array("embedding")
     e = (
         load(spark, sf_dir, "embeddings")
-        .select("vec_id", array_to_vector(_dbl(F.col("embedding"))).alias("vec"))
+        .select(
+            "vec_id",
+            array_to_vector(
+                F.when(clean, _dbl(F.col("embedding"))).otherwise(
+                    F.array_repeat(F.lit(0.0), 64)
+                )
+            ).alias("vec"),
+            clean.alias("_ok"),
+        )
+        .filter(F.col("_ok"))
+        .drop("_ok")
     )
+    # BRP-LSH fit() derives its random projections from the input dim
+    # and aborts on an empty relation — zero candidates is the honest
+    # degenerate answer
+    if e.agg(F.count(F.lit(1))).first()[0] == 0:
+        return spark.createDataFrame([], "id1 long, id2 long, l2_dist double")
     lsh = BucketedRandomProjectionLSH(
         inputCol="vec", outputCol="buckets", bucketLength=2.0, numHashTables=4, seed=42
     ).fit(e)
@@ -197,10 +220,22 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", _dbl(F.col("embedding")).alias("v")
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .filter(finite_array("embedding"))
+        .select("vec_id", _dbl(F.col("embedding")).alias("v"))
+        # a zero vector has no cosine direction, and its norm would
+        # ANSI-abort the similarity division — same policy as
+        # sim_cosine_topk
+        .filter(F.exists("v", lambda x: x != 0))
     )
     feat = e.withColumn("features", array_to_vector("v"))
+    # MLlib KMeans aborts (k-means|| init) with fewer distinct points
+    # than k — a corpus that degenerate has no meaningful cells anyway
+    if feat.agg(F.countDistinct(F.xxhash64("features"))).first()[0] < 8:
+        return spark.createDataFrame(
+            [], "id1 long, id2 long, cos_sim double, rn int"
+        )
     model = KMeans(k=8, seed=42, maxIter=20).fit(feat)
     cells = model.transform(feat).select(
         "vec_id", "v", F.col("prediction").alias("cell")
@@ -472,8 +507,10 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     M, K, D = 8, 16, 64  # subspaces, centroids each, total dims
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", _dbl(F.col("embedding")).alias("v")
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .filter(finite_array("embedding"))  # PQ codebooks abort on NaN/Inf
+        .select("vec_id", _dbl(F.col("embedding")).alias("v"))
     )
     # (vec_id, m, subvec[8]) — slice() is 1-indexed
     subs = emb.select(
@@ -489,6 +526,19 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s"),
     ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("sub"))
     subs = subs.withColumn("fv", array_to_vector("sub")).cache()
+
+    # every one of the M codebooks is a k=16 KMeans, and MLlib KMeans
+    # aborts with fewer distinct points than k — guard on the SPARSEST
+    # subspace (one map-side-combined agg over the cached slices)
+    min_distinct = (
+        subs.groupBy("m")
+        .agg(F.countDistinct(F.xxhash64("sub")).alias("d"))
+        .agg(F.coalesce(F.min("d"), F.lit(0)))
+        .first()[0]
+    )
+    if min_distinct < K:
+        subs.unpersist()
+        return spark.createDataFrame([], "qid long, vec_id long, adc_d2 double")
 
     codes = None
     books = []

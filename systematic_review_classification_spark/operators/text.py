@@ -235,7 +235,9 @@ def txt_hashing_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, RegexTokenizer
     from pyspark.ml.functions import vector_to_array
 
-    d = load(spark, sf_dir, "documents")
+    # NULL text has no token vector (HashingTF NPEs on a NULL array):
+    # corrupt input, filtered — the NULL-total policy of the tier
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     tokens = RegexTokenizer(inputCol="text", outputCol="toks", pattern="\\s+").transform(d)
     tf = HashingTF(inputCol="toks", outputCol="tf_vec", numFeatures=1024).transform(tokens)
     arr = vector_to_array("tf_vec")

@@ -43,13 +43,16 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (~50 entries per run), so keys that have not yet been independently
 # verified — or were changed since the last run — must come first.
 # Round-7 rotation (freeze-and-verify): rounds 1-6 verified 246
-# distinct keys, all clean at their latest check; this round makes NO
-# edits to any verified key, so the head is (a) keys added or changed
-# in round 7, then (b) the 196 never-driver-verified keys in their
-# prior relative order. The ~50 budget therefore lands entirely on
-# first-time verifications. Verified keys trail in registration
-# order (listing an unregistered key is a no-op; keys absent from
-# this list follow in registration order).
+# distinct keys, all clean at their latest check. This round froze
+# every ORACLED verified key; the one deliberate exception is the
+# rows-only world-sweep hardening, which touched 13 verified
+# rows-only keys (their driver check is the cheap ran-clean run) —
+# those re-enter the head per the rotation rule. Head: (a) keys
+# added or changed in round 7, then (b) the never-driver-verified
+# backlog in prior relative order, so the ~50 budget buys ~29
+# first-time verifications after the 21 (a)-keys. Verified keys
+# trail in registration order (listing an unregistered key is a
+# no-op; keys absent from this list follow in registration order).
 _PRIORITY: list[str] = [
     # (a) keys added or changed in round 7 (rotation rule: any key
     # whose code or oracle changes re-enters the head):
@@ -57,8 +60,20 @@ _PRIORITY: list[str] = [
     # windows converted to the two-pass range shape by the fixed
     # unpartitioned-window sweep (both were never-verified, so the
     # round-7 freeze of verified keys holds).
-    # src_ris — NEW this round: RIS reference-manager-export ingest.
-    "src_ris", "wl_retrieval_eval", "txt_heaps_fit",
+    # src_ris / src_medline — NEW this round: the two
+    # reference-manager export formats a screening pipeline ingests.
+    "src_ris", "src_medline", "wl_retrieval_eval", "txt_heaps_fit",
+    # Changed this round by the rows-only world-sweep hardening
+    # (survive-don't-abort: NULL/non-finite hygiene before MLlib,
+    # degenerate-training-set guards, the agg_sketch_merge /0 and
+    # stream_stateful_ttl empty-feed schema fixes). First the four
+    # never-verified ones, then the 13 whose rows-only verification
+    # the change invalidates (rotation rule: changed keys re-enter
+    # the head; their driver check is the cheap rows-only run).
+    "ml_pca", "ml_als", "ml_active_screen", "sim_pq_adc",
+    "ml_lr", "ml_nb", "ml_svm", "ml_rf", "ml_gbt", "ml_cv", "ml_kmeans",
+    "sim_ann_lsh", "sim_ivf_topk", "dedup_minhash", "txt_hashing_tf",
+    "agg_sketch_merge", "stream_stateful_ttl", "stream_watermark_late",
     # (b) never-driver-verified keys — 196 as of round-7 start.
     "wl_decayed_popularity", "win_rolling_zscore",
     "sample_reservoir_merge", "wl_soft_dedup_sampling",
@@ -92,15 +107,15 @@ _PRIORITY: list[str] = [
     "dedup_cluster_hist", "fn_epoch", "sink_partitioned", "cache_reuse",
     "scan_observe", "sql_params", "agg_string_agg", "src_csv_corrupt",
     "sql_pipe", "fn_variant", "fn_collate", "dedup_incremental",
-    "agg_approx_topk", "join_dpp", "ml_fpgrowth", "ml_als",
+    "agg_approx_topk", "join_dpp", "ml_fpgrowth",
     "wl_chi2_assoc", "src_json_array", "sink_csv_options", "sink_zorder",
-    "sim_pq_adc", "ml_active_screen", "sink_compaction", "fn_string_more",
+    "sink_compaction", "fn_string_more",
     "stream_progress", "fn_mask", "sql_natural_join", "win_nth_value",
     "win_lag_ignore_nulls", "wl_source_overlap", "agg_percentile_disc",
     "agg_bitmap_distinct", "wl_retention", "wl_dau_wau", "wl_copurchase",
     "wl_q9_profit", "agg_linreg", "txt_collocation", "txt_zipf",
     "fn_struct", "sim_topk_int8", "wl_q16_suppcnt", "wl_q2_mincost",
-    "wl_pagerank3", "ml_pca", "join_null_safe", "agg_mode_tiebreak",
+    "wl_pagerank3", "join_null_safe", "agg_mode_tiebreak",
     "fn_format", "scan_metadata_cols", "txt_stem", "join_asof_tolerance",
     "dedup_keep_best", "win_gaps_islands", "wl_rfm", "set_ops_all",
     "fn_base64", "txt_readability", "wl_snapshot_diff",

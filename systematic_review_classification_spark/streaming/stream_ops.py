@@ -147,10 +147,20 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = work_dir(sf_dir, "late_parts")
     # three chronological thirds, then the oldest 5% replayed late
     _chrono_buckets(ev, 3).write.mode("overwrite").partitionBy("bucket").parquet(parts)
-    # row count from the parquet footer — free metadata read, no Spark job
+    # row count from the parquet footers — free metadata read, no
+    # Spark job; events.parquet may be a single file (the generated
+    # testdata) or a Spark-written DIRECTORY of part files
     import pyarrow.parquet as pq
 
-    n_events = pq.ParquetFile(os.path.join(sf_dir, "events.parquet")).metadata.num_rows
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(ev_path):
+        n_events = sum(
+            pq.ParquetFile(os.path.join(ev_path, f)).metadata.num_rows
+            for f in os.listdir(ev_path)
+            if f.endswith(".parquet")
+        )
+    else:
+        n_events = pq.ParquetFile(ev_path).metadata.num_rows
     late = ev.limit(max(n_events // 20, 1))
     # degenerate streams can collapse to fewer buckets — stage whatever
     # bucket dirs the split produced, in chronological order
@@ -615,7 +625,15 @@ def stream_stateful_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from systematic_review_classification_spark.sources.tables import load
 
-    ev = load(spark, sf_dir, "events").orderBy("ts")
+    # a NULL event time has no position on the watermark axis (NaT
+    # becomes iNaT µs → a pre-epoch timeout the state store rejects)
+    # and a NULL user has no session key — both dropped, matching the
+    # batch twin's NULL-ordering-key policy
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .orderBy("ts")
+    )
     parts = work_dir(sf_dir, "ttl_parts")
     _chrono_buckets(ev, 4).write.mode("overwrite").partitionBy("bucket").parquet(parts)
     flat = work_dir(sf_dir, "ttl_flat")
@@ -662,7 +680,10 @@ def stream_stateful_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     stream = (
-        spark.readStream.schema(spark.read.parquet(flat).schema)
+        # ev.schema, not re-inference from the staged files: an empty
+        # feed stages ZERO files and schema inference aborts on them,
+        # while the known schema lets the stream complete empty
+        spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(flat)
         .withColumn("ts", F.col("ts").cast("timestamp"))

@@ -745,6 +745,10 @@ def test_sql_hint_broadcast_is_honored(spark, sf_dir):
         "ml_gains_table",
         # r5: the last two data-scaled unpartitioned ranks, converted
         "wl_rank_correlation", "sim_hybrid_rrf",
+        # r7: found by the FIXED unpartitioned-window sweep (the old
+        # regex could never fire) — the full BM25 ranking behind MRR
+        # and the corpus-scaled bin prefix sums of the Heaps fit
+        "wl_retrieval_eval", "txt_heaps_fit",
     ],
 )
 def test_unbounded_rank_uses_two_pass(spark, sf_dir, key):
