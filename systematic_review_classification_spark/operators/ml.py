@@ -528,6 +528,115 @@ def ml_rank_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STOP_K = 10  # consecutive-irrelevant run length that triggers the stop
+
+
+@query(
+    "ml_stop_screening",
+    oracle=f"""
+WITH {_SCORED_SQL},
+ranked AS (
+  SELECT y, row_number() OVER (ORDER BY score DESC, vec_id) AS k FROM scored),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(coalesce(sum(y), 0) AS BIGINT) AS n_pos
+  FROM ranked),
+pos AS (
+  SELECT CAST(k AS BIGINT) AS k,
+         CAST(row_number() OVER (ORDER BY k) AS BIGINT) AS p_idx
+  FROM ranked WHERE y = 1),
+anchors AS (
+  SELECT CAST(0 AS BIGINT) AS k, CAST(0 AS BIGINT) AS p_idx
+  UNION ALL SELECT k, p_idx FROM pos),
+gaps AS (SELECT k, p_idx, lead(k) OVER (ORDER BY k) AS next_k FROM anchors),
+cands AS (
+  SELECT k + {_STOP_K} AS stop_k, p_idx AS found
+  FROM gaps, tot
+  WHERE coalesce(next_k, 9223372036854775807) > k + {_STOP_K}
+    AND k + {_STOP_K} <= n_docs
+  UNION ALL
+  SELECT n_docs AS stop_k, n_pos AS found FROM tot),
+pick AS (SELECT stop_k, found FROM cands ORDER BY stop_k, found LIMIT 1)
+SELECT CAST(stop_k AS BIGINT) AS stop_rank,
+       n_docs,
+       n_pos,
+       CAST(found AS BIGINT) AS found_at_stop,
+       round(CAST(found AS DOUBLE) / nullif(n_pos, 0), 6) AS recall_at_stop,
+       round(CAST(stop_k AS DOUBLE) / nullif(n_docs, 0), 6) AS screened_frac,
+       stop_k < n_docs AS stopped_early
+FROM pick, tot
+""",
+)
+def ml_stop_screening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic screening STOPPING RULE — the practical question every
+    prioritized-screening run ends with: reading the ranked list top
+    down, stop after _STOP_K (10) consecutive irrelevant documents.
+    Reports where the rule fires, how many relevant documents were
+    found by then, the recall at stop, and the fraction of the corpus
+    actually screened (the realized work saving WSS@95 promises).
+
+    Scale shape: the global screening order comes from the shared
+    two-pass range rank (_screen_curve — no single-task window over
+    the corpus), and the consecutive-run detection needs NO sliding
+    window at all: a run of K irrelevant docs exists exactly in the
+    GAP between consecutive POSITIVE ranks, so the rule reduces to the
+    positives relation (the rare class), a virtual rank-0 anchor for a
+    positive-free head, and a self-join on the dense positive index —
+    equi-join algebra, no partition-less lag. The earliest candidate
+    stop wins via TakeOrdered(1); a full-screen sentinel (stop = n)
+    makes the no-early-stop case explicit rather than empty."""
+    curve, totals = _screen_curve(_scored(spark, sf_dir))
+    # cum_pos AT a positive row is its 1-based index among positives
+    pos = curve.filter(F.col("y") == 1).select(
+        F.col("k").cast("bigint").alias("k"),
+        F.col("cum_pos").cast("bigint").alias("p_idx"),
+    )
+    anchors = pos.unionByName(
+        spark.range(1).select(
+            F.lit(0).cast("bigint").alias("k"), F.lit(0).cast("bigint").alias("p_idx")
+        )
+    )
+    # anchor i's successor is the anchor with index i+1: shift the
+    # relation DOWN by one so the join key meets it (lead() without a
+    # partition-less window)
+    nxt = anchors.select((F.col("p_idx") - 1).alias("p_idx"), F.col("k").alias("next_k"))
+    gaps = anchors.join(nxt, "p_idx", "left")
+    k_run = F.lit(_STOP_K).cast("bigint")
+    # _screen_curve's totals aggregate ZERO per-partition stats rows on
+    # an empty corpus, so its sums surface as NULL where the oracle's
+    # COUNT(*) says 0 (bug class: Spark global agg emits one NULL row
+    # on empty input) — coalesce at every use site
+    n_docs = F.coalesce(F.col("n_total"), F.lit(0)).cast("bigint")
+    n_pos = F.coalesce(F.col("n_pos"), F.lit(0)).cast("bigint")
+    cands = (
+        gaps.join(F.broadcast(totals))
+        .filter(
+            (F.coalesce(F.col("next_k"), F.lit(2**63 - 1)) > F.col("k") + k_run)
+            & (F.col("k") + k_run <= n_docs)
+        )
+        .select((F.col("k") + k_run).alias("stop_k"), F.col("p_idx").alias("found"))
+        .unionByName(
+            totals.select(n_docs.alias("stop_k"), n_pos.alias("found"))
+        )
+    )
+    pick = cands.orderBy("stop_k", "found").limit(1)
+    return pick.join(F.broadcast(totals)).select(
+        F.col("stop_k").cast("bigint").alias("stop_rank"),
+        n_docs.alias("n_docs"),
+        n_pos.alias("n_pos"),
+        F.col("found").cast("bigint").alias("found_at_stop"),
+        F.round(
+            F.col("found").cast("double") / F.nullif(n_pos, F.lit(0)), 6
+        ).alias("recall_at_stop"),
+        F.round(
+            F.col("stop_k").cast("double")
+            / F.nullif(n_docs.cast("double"), F.lit(0.0)),
+            6,
+        ).alias("screened_frac"),
+        (F.col("stop_k") < n_docs).alias("stopped_early"),
+    )
+
+
 @query("ml_kmeans")
 def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMeans clustering (seeded) over the embedding vectors - the

@@ -642,10 +642,9 @@ fields AS (
 """
 
 
-@query(
-    "src_ris",
-    oracle=_ris_fields(os.path.join(_FIXTURE_DIR, "papers.ris"))
-    + """
+# shared SELECT of the RIS oracle — the parse of the ORIGINAL fixture
+# doubles as sink_ris's round-trip-identity oracle
+_RIS_ORACLE = _ris_fields(os.path.join(_FIXTURE_DIR, "papers.ris")) + """
 SELECT
   _ris_type[1] AS ris_type,
   _title[1] AS title,
@@ -659,8 +658,45 @@ SELECT
   CASE WHEN len(_keywords_list) > 0
        THEN array_to_string(_keywords_list, '; ') END AS keywords
 FROM fields WHERE len(_ris_type) > 0
-""",
-)
+"""
+
+
+def _parse_ris_records(raw: DataFrame) -> DataFrame:
+    """Parse a relation of raw RIS record blobs (column ``value``, one
+    record per row as delivered by ``lineSep='\\nER  -'``) into the
+    typed bibliographic schema. Shared by src_ris (ingest) and
+    sink_ris (export read-back)."""
+    rec = F.regexp_replace(F.col("value"), "\r", "")
+    lines = F.split(rec, "\n")
+
+    def vals(tag: str):
+        pref = tag + "  - "
+        return F.transform(
+            F.filter(lines, lambda l: F.substring(l, 1, 6) == F.lit(pref)),
+            lambda l: F.trim(F.substring(l, 7, 1 << 20)),
+        )
+
+    def first(tag: str):
+        return F.get(vals(tag), 0)
+
+    def joined(tag: str):
+        v = vals(tag)
+        return F.when(F.size(v) > 0, F.array_join(v, "; "))
+
+    return raw.filter(F.size(vals("TY")) > 0).select(
+        first("TY").alias("ris_type"),
+        first("TI").alias("title"),
+        joined("AU").alias("authors"),
+        F.size(vals("AU")).cast("bigint").alias("n_authors"),
+        first("PY").try_cast("bigint").alias("pub_year"),
+        first("JO").alias("journal"),
+        first("AB").alias("abstract"),
+        first("DO").alias("doi"),
+        joined("KW").alias("keywords"),
+    )
+
+
+@query("src_ris", oracle=_RIS_ORACLE)
 def src_ris(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RIS (reference-manager export: EndNote / Zotero / PubMed
     "Send to citation manager") bibliographic ingest — the file a
@@ -679,37 +715,63 @@ def src_ris(spark: SparkSession, sf_dir: str) -> DataFrame:
     singletons surface as NULL on both engines (DuckDB's
     array_to_string of an empty list is NULL while Spark's array_join
     is '' — so the empty case is pinned to NULL explicitly)."""
-    rec = F.regexp_replace(F.col("value"), "\r", "")
-    lines = F.split(rec, "\n")
-
-    def vals(tag: str):
-        pref = tag + "  - "
-        return F.transform(
-            F.filter(lines, lambda l: F.substring(l, 1, 6) == F.lit(pref)),
-            lambda l: F.trim(F.substring(l, 7, 1 << 20)),
-        )
-
-    def first(tag: str):
-        return F.get(vals(tag), 0)
-
-    def joined(tag: str):
-        v = vals(tag)
-        return F.when(F.size(v) > 0, F.array_join(v, "; "))
-
     raw = spark.read.option("lineSep", "\nER  -").text(
         os.path.join(_FIXTURE_DIR, "papers.ris")
     )
-    return raw.filter(F.size(vals("TY")) > 0).select(
-        first("TY").alias("ris_type"),
-        first("TI").alias("title"),
-        joined("AU").alias("authors"),
-        F.size(vals("AU")).cast("bigint").alias("n_authors"),
-        first("PY").try_cast("bigint").alias("pub_year"),
-        first("JO").alias("journal"),
-        first("AB").alias("abstract"),
-        first("DO").alias("doi"),
-        joined("KW").alias("keywords"),
+    return _parse_ris_records(raw)
+
+
+@query("sink_ris", oracle=_RIS_ORACLE)
+def sink_ris(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIS EXPORT round-trip — the other half of the reference-manager
+    workflow: screening decisions go BACK to EndNote/Zotero as a RIS
+    file (the include/exclude lists a review team re-imports). The
+    writer serializes each record as one codegen expression (tag lines
+    rebuilt per column, repeating AU/KW re-expanded from the '; '
+    join, ``ER  -`` terminator appended) and writes through the plain
+    text sink — shardable, no driver-side formatting. The check is
+    round-trip IDENTITY: parse the fixture → serialize → write → read
+    back with the record-delimiter source → parse again, and the
+    oracle is the direct parse of the ORIGINAL fixture, so any
+    asymmetry between writer and reader hash-mismatches. (Lossless as
+    long as no value itself contains '; ' or a newline — true of tag-
+    per-line RIS by construction.)"""
+    parsed = src_ris(spark, sf_dir)
+
+    def line(tag: str, col):
+        return F.when(
+            col.isNotNull(),
+            F.array(F.concat(F.lit(tag + "  - "), col.cast("string"))),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def multi(tag: str, col):
+        return F.when(
+            col.isNotNull(),
+            F.transform(
+                F.split(col, "; "), lambda v: F.concat(F.lit(tag + "  - "), v)
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    record = F.array_join(
+        F.flatten(
+            F.array(
+                line("TY", F.col("ris_type")),
+                multi("AU", F.col("authors")),
+                line("TI", F.col("title")),
+                line("PY", F.col("pub_year")),
+                line("JO", F.col("journal")),
+                line("AB", F.col("abstract")),
+                line("DO", F.col("doi")),
+                multi("KW", F.col("keywords")),
+                F.array(F.lit("ER  -")),
+            )
+        ),
+        "\n",
     )
+    out = _io_dir(sf_dir, "ris_export")
+    parsed.select(record.alias("value")).write.mode("overwrite").text(out)
+    back = spark.read.option("lineSep", "\nER  -").text(out)
+    return _parse_ris_records(back)
 
 
 _MEDLINE_TAGS = {

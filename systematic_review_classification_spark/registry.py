@@ -62,7 +62,11 @@ _PRIORITY: list[str] = [
     # round-7 freeze of verified keys holds).
     # src_ris / src_medline — NEW this round: the two
     # reference-manager export formats a screening pipeline ingests.
-    "src_ris", "src_medline", "wl_retrieval_eval", "txt_heaps_fit",
+    # ml_stop_screening — NEW: the consecutive-irrelevant stopping
+    # rule over the two-pass screening order (gap algebra on the
+    # positives relation, no sliding window).
+    "src_ris", "src_medline", "sink_ris", "ml_stop_screening",
+    "wl_retrieval_eval", "txt_heaps_fit",
     # Changed this round by the rows-only world-sweep hardening
     # (survive-don't-abort: NULL/non-finite hygiene before MLlib,
     # degenerate-training-set guards, the agg_sketch_merge /0 and

@@ -749,6 +749,8 @@ def test_sql_hint_broadcast_is_honored(spark, sf_dir):
         # regex could never fire) — the full BM25 ranking behind MRR
         # and the corpus-scaled bin prefix sums of the Heaps fit
         "wl_retrieval_eval", "txt_heaps_fit",
+        # r7: stopping rule rides the same _screen_curve two-pass order
+        "ml_stop_screening",
     ],
 )
 def test_unbounded_rank_uses_two_pass(spark, sf_dir, key):
