@@ -304,24 +304,42 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_minmax_by",
     oracle="""
+WITH c AS (SELECT * FROM customer WHERE c_acctbal IS NOT NULL),
+r AS (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey DESC) AS rx,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal ASC, c_custkey ASC) AS rn
+  FROM c)
 SELECT c_mktsegment,
-       arg_max(c_custkey, c_acctbal) AS richest_cust,
-       arg_min(c_custkey, c_acctbal) AS poorest_cust,
-       round(max(c_acctbal), 2)      AS max_bal,
-       round(min(c_acctbal), 2)      AS min_bal
-FROM customer GROUP BY c_mktsegment
+       max(CASE WHEN rx = 1 THEN c_custkey END) AS richest_cust,
+       max(CASE WHEN rn = 1 THEN c_custkey END) AS poorest_cust,
+       round(max(c_acctbal), 2) AS max_bal,
+       round(min(c_acctbal), 2) AS min_bal
+FROM r GROUP BY c_mktsegment
 """,
 )
 def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arg-extremum aggregates (max_by/min_by ↔ DuckDB arg_max/arg_min).
-
-    c_acctbal is a continuous random double — tie probability ~0; a
-    local test asserts distinctness so engine tie-break never matters.
-    """
-    c = load(spark, sf_dir, "customer")
+    """Arg-extremum aggregates (max_by/min_by ↔ DuckDB arg_max/arg_min)
+    with a TOTAL ordering: a bare ``max_by(key, value)`` picks an
+    arbitrary row on tied values — nondeterministic across retries and
+    partitionings at scale, and divergent between engines (the round-7
+    skew-world probe caught Spark and DuckDB choosing different
+    customers for an equal balance). The ordering struct appends the
+    key itself as the tie-break — richest resolves toward the LARGER
+    custkey, poorest toward the SMALLER — per the repo convention that
+    every extremum/ranking orders by a unique key. NULL balances carry
+    no position in either extremum and are filtered identically on
+    both engines (a struct ordering would otherwise rank Spark's
+    (NULL, key) rows lowest while SQL's three-valued row comparison
+    skips them; DuckDB's arg_max only takes scalar orderings, so the
+    oracle states the same total order as two ranked windows)."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal").isNotNull())
+    omax = F.struct("c_acctbal", "c_custkey")
     return c.groupBy("c_mktsegment").agg(
-        F.max_by("c_custkey", "c_acctbal").alias("richest_cust"),
-        F.min_by("c_custkey", "c_acctbal").alias("poorest_cust"),
+        F.max_by("c_custkey", omax).alias("richest_cust"),
+        F.min_by("c_custkey", omax).alias("poorest_cust"),
         F.round(F.max("c_acctbal"), 2).alias("max_bal"),
         F.round(F.min("c_acctbal"), 2).alias("min_bal"),
     )

@@ -78,6 +78,9 @@ _PRIORITY: list[str] = [
     "ml_lr", "ml_nb", "ml_svm", "ml_rf", "ml_gbt", "ml_cv", "ml_kmeans",
     "sim_ann_lsh", "sim_ivf_topk", "dedup_minhash", "txt_hashing_tf",
     "agg_sketch_merge", "stream_stateful_ttl", "stream_watermark_late",
+    # agg_minmax_by — tie-break made a total order (skew-world probe
+    # caught the engines choosing different rows on tied balances).
+    "agg_minmax_by",
     # (b) never-driver-verified keys — 196 as of round-7 start.
     "wl_decayed_popularity", "win_rolling_zscore",
     "sample_reservoir_merge", "wl_soft_dedup_sampling",
