@@ -744,20 +744,31 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: fingerprints (16 bytes) shuffle, chunk text does not
     — the labeling join carries only (fp, keep_key, n_copies) back to
     the chunk relation on the fingerprint key. Both sides partition on
-    fp, AQE handles the (boilerplate-heavy) skewed fingerprints."""
+    fp, AQE handles the (boilerplate-heavy) skewed fingerprints.
+    Fingerprints are computed INSIDE the row (one higher-order
+    transform over the window starts) and only (start, md5) structs
+    explode — exploding starts first would duplicate the full document
+    text into every window row (a single 2 MB document fanned out to
+    ~10k copies of itself and timed out the round-7 huge-string
+    battery); this shape costs 24 bytes per window regardless of
+    document length."""
     d = load(spark, sf_dir, "documents")
     starts = F.sequence(
         F.lit(1).cast("long"),
         F.greatest(F.col("n_chars") - 56, F.lit(1).cast("long")),
         F.lit(200).cast("long"),
     )
-    fps = (
-        d.select("doc_id", "text", F.explode(starts).alias("chunk_start"))
-        .select(
-            "doc_id",
-            "chunk_start",
-            F.md5(F.col("text").substr(F.col("chunk_start"), F.lit(256))).alias("fp"),
-        )
+    fp_structs = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("chunk_start"),
+            F.md5(F.col("text").substr(s, F.lit(256))).alias("fp"),
+        ),
+    )
+    fps = d.select("doc_id", F.explode(fp_structs).alias("c")).select(
+        "doc_id",
+        F.col("c.chunk_start").alias("chunk_start"),
+        F.col("c.fp").alias("fp"),
     )
     keep = fps.groupBy("fp").agg(
         F.min(F.col("doc_id") * 1000000 + F.col("chunk_start")).alias("keep_key"),

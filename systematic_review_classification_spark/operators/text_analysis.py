@@ -294,24 +294,34 @@ def txt_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget chunking — the realistic LLM variant of txt_chunk:
     windows of 64 tokens at stride 56 (8-token overlap), so every
     chunk fits a fixed context budget regardless of character length.
-    Tokenize once, explode start offsets, slice the token array and
-    re-join — still a pure generate+project pipeline with zero
-    shuffles; only the tokenizer changes between this and a BPE
+    Tokenize once, build ALL chunks inside the row with one
+    higher-order transform (slice + re-join per start offset), THEN
+    explode only the finished chunk structs — still zero shuffles,
+    but each exploded row carries a 64-token chunk, never the whole
+    document. The explode-starts-first shape duplicated the FULL
+    token array into every window row (Generate keeps the array
+    because the downstream slice needs it): a single 100k-token
+    document fanned out to ~1800 copies of a 2 MB array and timed out
+    the round-7 huge-string battery; this shape is linear in OUTPUT
+    size, so one pathological document costs its chunk bytes and
+    nothing more. Only the tokenizer changes between this and a BPE
     variant (txt_token_count_bpe has the regex), never the plan."""
     d = load(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    starts = F.sequence(
-        F.lit(0), F.greatest(F.size(toks) - 9, F.lit(0)), F.lit(56)
+    t = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    chunks = F.transform(
+        F.sequence(
+            F.lit(0), F.greatest(F.size("toks") - 9, F.lit(0)), F.lit(56)
+        ),
+        lambda s: F.struct(
+            s.cast("long").alias("tok_start"),
+            F.array_join(F.slice(F.col("toks"), s + 1, F.lit(64)), " ").alias(
+                "chunk"
+            ),
+            F.size(F.slice(F.col("toks"), s + 1, F.lit(64))).alias("n_tokens"),
+        ),
     )
-    piece = F.slice(F.col("toks"), F.col("tok_start") + 1, 64)
-    return (
-        d.select("doc_id", toks.alias("toks"), F.explode(starts).alias("tok_start"))
-        .select(
-            "doc_id",
-            F.col("tok_start").cast("long").alias("tok_start"),
-            F.array_join(piece, " ").alias("chunk"),
-            F.size(piece).alias("n_tokens"),
-        )
+    return t.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id", "c.tok_start", "c.chunk", "c.n_tokens"
     )
 
 

@@ -80,7 +80,10 @@ _PRIORITY: list[str] = [
     "agg_sketch_merge", "stream_stateful_ttl", "stream_watermark_late",
     # agg_minmax_by — tie-break made a total order (skew-world probe
     # caught the engines choosing different rows on tied balances).
-    "agg_minmax_by",
+    # txt_chunk_tokens / dedup_paragraph (both never-verified) —
+    # window expansion restructured so exploded rows carry chunks/
+    # fingerprints, never the whole document (huge-string battery).
+    "agg_minmax_by", "txt_chunk_tokens", "dedup_paragraph",
     # (b) never-driver-verified keys — 196 as of round-7 start.
     "wl_decayed_popularity", "win_rolling_zscore",
     "sample_reservoir_merge", "wl_soft_dedup_sampling",
@@ -135,8 +138,7 @@ _PRIORITY: list[str] = [
     "set_union_missing", "sample_seeded", "src_binaryfile", "src_text",
     "txt_chunk", "wl_q4_late", "wl_q14_promo", "wl_q18_large",
     "agg_hll_sketch", "join_skew_salted", "fn_url", "txt_sentence_split",
-    "join_range_bucket", "agg_decimal_exact", "dedup_paragraph",
-    "txt_chunk_tokens", "wl_shard_shuffle", "wl_q7_volume", "wl_q8_share",
+    "join_range_bucket", "agg_decimal_exact", "wl_shard_shuffle", "wl_q7_volume", "wl_q8_share",
     "wl_q12_late", "wl_q13_custdist", "wl_q15_topsupp", "wl_q17_smallqty",
     "wl_q19_disjunct", "wl_q21_waiting", "wl_q22_inactive",
     "wl_domain_mix", "wl_pack_sequences",
