@@ -28,6 +28,23 @@ def finite(c: Column | str) -> Column:
     return ~F.isnan(col) & (F.abs(col) < F.lit(_INF))
 
 
+def rnd(c: Column | str, scale: int = 6) -> Column:
+    """Round to ``scale`` digits AND normalize IEEE −0.0 to +0.0.
+
+    The −0.0 class keeps recurring key-by-key (Wilson interval r4,
+    wl_change_attribution / wl_rate_volume_mix r6, wl_linear_forecast
+    r7): a derived value that rounds to exact zero can carry sign
+    −0.0 on one engine and +0.0 on the other (e.g. DuckDB's round
+    keeps the sign of ``0/negative`` and of a negative product that
+    rounds away; Spark's drops it), and the driver's ``repr(float)``
+    canonicalizer distinguishes them. ``round(x) + 0.0`` is the IEEE
+    identity that maps both zeros to +0.0 (round-to-nearest mode) and
+    propagates NULL, so rounding through this helper closes the class
+    structurally. Oracles mirror it as ``round(expr, n) + 0.0``."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.round(col, scale) + F.lit(0.0)
+
+
 def finite_array(c: Column | str) -> Column:
     """TRUE iff c is a non-NULL array whose every element is finite.
 

@@ -304,7 +304,8 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_minmax_by",
     oracle="""
-WITH c AS (SELECT * FROM customer WHERE c_acctbal IS NOT NULL),
+WITH c AS (SELECT * FROM customer
+           WHERE c_acctbal IS NOT NULL AND c_custkey IS NOT NULL),
 r AS (
   SELECT c_mktsegment, c_custkey, c_acctbal,
          row_number() OVER (PARTITION BY c_mktsegment
@@ -334,8 +335,16 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines (a struct ordering would otherwise rank Spark's
     (NULL, key) rows lowest while SQL's three-valued row comparison
     skips them; DuckDB's arg_max only takes scalar orderings, so the
-    oracle states the same total order as two ranked windows)."""
-    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal").isNotNull())
+    oracle states the same total order as two ranked windows). NULL
+    custkeys are filtered for the same reason (ADVICE r7): on a tied
+    minimum balance Spark's struct comparison ranks a NULL key field
+    LOWEST (min_by elects the NULL-key row) while the oracle's
+    default NULLS LAST window ordering elects a non-NULL key — a
+    NULL tie-break column cannot break ties deterministically, so
+    both engines exclude it identically."""
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal").isNotNull() & F.col("c_custkey").isNotNull()
+    )
     omax = F.struct("c_acctbal", "c_custkey")
     return c.groupBy("c_mktsegment").agg(
         F.max_by("c_custkey", omax).alias("richest_cust"),

@@ -27,7 +27,7 @@ from systematic_review_classification_spark.functions.ranks import (
     global_prefix_sum,
     global_rank,
 )
-from systematic_review_classification_spark.functions.predicates import finite
+from systematic_review_classification_spark.functions.predicates import finite, rnd
 from systematic_review_classification_spark.registry import query
 from systematic_review_classification_spark.sources.tables import load
 
@@ -1437,9 +1437,10 @@ fit AS (
   SELECT regr_slope(y, t) AS slope, regr_intercept(y, t) AS icept,
          max(t) AS t_max, CAST(count(*) AS BIGINT) AS n_days
   FROM daily)
-SELECT n_days, round(slope, 6) AS slope, round(icept, 6) AS intercept,
-       round(icept + slope * (t_max + 1), 6) AS forecast_next_day,
-       round(icept + slope * (t_max + 7), 6) AS forecast_next_week
+SELECT n_days, round(slope, 6) + 0.0 AS slope,
+       round(icept, 6) + 0.0 AS intercept,
+       round(icept + slope * (t_max + 1), 6) + 0.0 AS forecast_next_day,
+       round(icept + slope * (t_max + 7), 6) + 0.0 AS forecast_next_week
 FROM fit
 """,
 )
@@ -1461,14 +1462,18 @@ def wl_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("t").alias("t_max"),
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
     )
+    # rnd (not bare round) on all four derived columns: a degenerate
+    # series can land the forecast on exact zero with sign −0.0 in
+    # DuckDB and +0.0 in Spark (hypothesis-caught r7) — the shared
+    # helper normalizes the sign identically on both engines.
     return fit.select(
         "n_days",
-        F.round("slope", 6).alias("slope"),
-        F.round("icept", 6).alias("intercept"),
-        F.round(F.col("icept") + F.col("slope") * (F.col("t_max") + 1), 6).alias(
+        rnd("slope").alias("slope"),
+        rnd("icept").alias("intercept"),
+        rnd(F.col("icept") + F.col("slope") * (F.col("t_max") + 1)).alias(
             "forecast_next_day"
         ),
-        F.round(F.col("icept") + F.col("slope") * (F.col("t_max") + 7), 6).alias(
+        rnd(F.col("icept") + F.col("slope") * (F.col("t_max") + 7)).alias(
             "forecast_next_week"
         ),
     )
@@ -3853,15 +3858,21 @@ adj AS (
   SELECT daily.d, daily.y, daily.y / idx.si AS y_adj
   FROM daily JOIN idx ON isodow(daily.d) = idx.dow),
 stats AS (
-  SELECT avg(y_adj) AS am,
-         sqrt(greatest((sum(y_adj * y_adj) - sum(y_adj) * sum(y_adj) / count(*))
-                       / nullif(count(*) - 1, 0), 0)) AS asd
-  FROM adj)
+  SELECT avg(y_adj) AS am, sum(y_adj * y_adj) AS s2t,
+         sum(y_adj) AS st, count(*) AS cnt
+  FROM adj),
+sd AS (
+  SELECT am,
+         CASE WHEN abs(s2t - st * st / cnt) <= 1e-9 * abs(s2t) THEN NULL
+              ELSE sqrt(greatest((s2t - st * st / cnt)
+                                 / nullif(cnt - 1, 0), 0))
+         END AS asd
+  FROM stats)
 SELECT CAST(adj.d AS VARCHAR) AS day, CAST(adj.y AS BIGINT) AS n_events,
-       round(adj.y_adj, 6) AS deseasonalized,
-       round((adj.y_adj - s.am) / nullif(s.asd, 0), 6) AS adj_z,
+       round(adj.y_adj, 6) + 0.0 AS deseasonalized,
+       round((adj.y_adj - s.am) / nullif(s.asd, 0), 6) + 0.0 AS adj_z,
        CASE WHEN abs((adj.y_adj - s.am) / nullif(s.asd, 0)) > 2 THEN 1 ELSE 0 END AS anomaly
-FROM adj, stats s
+FROM adj, sd s
 """,
 )
 def wl_anomaly_deseasonalized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3886,25 +3897,32 @@ def wl_anomaly_deseasonalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("d", "y", (F.col("y") / F.col("si")).alias("y_adj"))
     stats = adj.agg(
         F.avg("y_adj").alias("am"),
-        F.sqrt(
-            F.greatest(
-                (
-                    F.sum(F.col("y_adj") * F.col("y_adj"))
-                    - F.sum("y_adj") * F.sum("y_adj") / F.count(F.lit(1))
-                )
-                / F.nullif(F.count(F.lit(1)) - 1, F.lit(0)),
-                F.lit(0.0),
-            )
-        ).alias("asd"),
+        F.sum(F.col("y_adj") * F.col("y_adj")).alias("s2t"),
+        F.sum("y_adj").alias("st"),
+        F.count(F.lit(1)).alias("cnt"),
     )
     # one adjusted day (n-1 = 0) or a perfectly flat adjusted series
-    # (asd = 0) has no z-scale — NULL via nullif on both engines
+    # has no z-scale. Flatness is a RELATIVE-tolerance test against
+    # Σy²: when every observed day is a distinct weekday the seasonal
+    # index makes y_adj ≡ mu, and the cancellation Σy² − (Σy)²/n
+    # lands at exactly 0.0 on Spark but a ~1e-16 residue on DuckDB
+    # (summation order) — an exact nullif diverges (hypothesis-caught
+    # r7). Same pattern as wl_anova_seasonality.
+    vn = F.col("s2t") - F.col("st") * F.col("st") / F.col("cnt")
+    stats = stats.select(
+        "am",
+        F.when(F.abs(vn) <= 1e-9 * F.abs(F.col("s2t")), F.lit(None))
+        .otherwise(
+            F.sqrt(F.greatest(vn / F.nullif(F.col("cnt") - 1, F.lit(0)), F.lit(0.0)))
+        )
+        .alias("asd"),
+    )
     z = (F.col("y_adj") - F.col("am")) / F.nullif(F.col("asd"), F.lit(0.0))
     return adj.join(F.broadcast(stats)).select(
         F.col("d").cast("string").alias("day"),
         F.col("y").cast("bigint").alias("n_events"),
-        F.round("y_adj", 6).alias("deseasonalized"),
-        F.round(z, 6).alias("adj_z"),
+        rnd("y_adj").alias("deseasonalized"),
+        rnd(z).alias("adj_z"),
         F.when(F.abs(z) > 2, 1).otherwise(0).alias("anomaly"),
     )
 

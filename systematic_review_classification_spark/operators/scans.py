@@ -735,7 +735,14 @@ def sink_ris(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is the direct parse of the ORIGINAL fixture, so any
     asymmetry between writer and reader hash-mismatches. (Lossless as
     long as no value itself contains '; ' or a newline — true of tag-
-    per-line RIS by construction.)"""
+    per-line RIS by construction — AND the PY value is a bare integer
+    year: the parsed schema try_casts PY to BIGINT, so a dated form
+    like ``PY  - 2019/05/01`` (legal RIS) parses to NULL and its PY
+    line is DROPPED on export. The oracle round-trip still matches —
+    both engines parse it to NULL — so this third lossy channel is
+    invisible to the harness by construction; an export pipeline that
+    must preserve dated PY values should carry the raw PY string
+    through the schema (year_raw) and serialize that instead.)"""
     parsed = src_ris(spark, sf_dir)
 
     def line(tag: str, col):
@@ -806,10 +813,7 @@ fields AS (
 """
 
 
-@query(
-    "src_medline",
-    oracle=_medline_fields(os.path.join(_FIXTURE_DIR, "pubmed.nbib"))
-    + """
+_MEDLINE_SELECT = """
 SELECT
   TRY_CAST(_pmid_raw[1] AS BIGINT) AS pmid,
   _status[1] AS status,
@@ -823,7 +827,13 @@ SELECT
   CASE WHEN len(_pubtypes_list) > 0
        THEN array_to_string(_pubtypes_list, '; ') END AS pub_types
 FROM fields WHERE len(_pmid_raw) > 0
-""",
+"""
+
+
+@query(
+    "src_medline",
+    oracle=_medline_fields(os.path.join(_FIXTURE_DIR, "pubmed.nbib"))
+    + _MEDLINE_SELECT,
 )
 def src_medline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PubMed MEDLINE / .nbib export ingest — the other file a
@@ -842,6 +852,29 @@ def src_medline(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-justified to 4), higher-order filter/transform per tag,
     repeating tags (AU, PT) join with '; ', missing singletons are
     NULL on both engines."""
+    return _read_medline(spark, os.path.join(_FIXTURE_DIR, "pubmed.nbib"))
+
+
+def _read_medline(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed .nbib parse; see ``src_medline`` for format notes.
+
+    Line endings are sniffed from the file HEAD before choosing the
+    record separator: a CRLF export (Windows PubMed "Send to:
+    Citation manager" writes \\r\\n) separates records as
+    ``\\r\\n\\r\\n``, which a literal ``\\n\\n`` lineSep never
+    matches — the whole file would collapse into ONE record and
+    silently fold every citation together (ADVICE r7, probe-confirmed
+    data loss). The sniff is a driver-side metadata read of a few KB
+    (same stance as scan_manifest_table's manifest read); record
+    SPLITTING then still happens in the distributed, byte-range-
+    splittable text source. As a belt for mixed/exotic endings the
+    parse also fails loudly (assert_true) if any parsed record still
+    carries more than one PMID tag — that shape only arises when
+    record splitting has failed."""
+    with open(path, "rb") as fh:
+        head = fh.read(8192)
+    sep = "\r\n\r\n" if b"\r\n" in head else "\n\n"
+
     rec = F.regexp_replace(
         F.regexp_replace(F.col("value"), "\r", ""), "\n {6}", " "
     )
@@ -861,10 +894,15 @@ def src_medline(spark: SparkSession, sf_dir: str) -> DataFrame:
         v = vals(tag)
         return F.when(F.size(v) > 0, F.array_join(v, "; "))
 
-    raw = spark.read.option("lineSep", "\n\n").text(
-        os.path.join(_FIXTURE_DIR, "pubmed.nbib")
+    raw = spark.read.option("lineSep", sep).text(path)
+    split_ok = F.assert_true(
+        F.size(vals("PMID")) <= 1,
+        F.lit(
+            "src_medline: a record parsed with multiple PMID tags — "
+            "record splitting failed (unrecognized line endings?)"
+        ),
     )
-    return raw.filter(F.size(vals("PMID")) > 0).select(
+    return raw.filter(F.size(vals("PMID")) > 0).filter(split_ok.isNull()).select(
         first("PMID").try_cast("bigint").alias("pmid"),
         first("STAT").alias("status"),
         first("DP").alias("pub_date"),

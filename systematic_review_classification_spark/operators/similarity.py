@@ -100,15 +100,21 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corrupt row first. Substituting a valid zero vector inside the
     # expression (WHEN branches genuinely guard in codegen) means no
     # UDF anywhere in the reordered plan ever receives NULL; the _ok
-    # filter then drops the sentinel rows from every result.
+    # filter then drops the sentinel rows from every result. The
+    # sentinel's length follows the ROW's own array (NULL-size rows
+    # fall back to a constant), not a hardcoded 64 (ADVICE r7): a
+    # hash UDF evaluated on a wrong-dim sentinel before the _ok
+    # filter would recreate exactly the dimension-mismatch abort the
+    # sentinel exists to prevent.
     clean = finite_array("embedding")
+    sentinel_len = F.coalesce(F.size("embedding"), F.lit(64))
     e = (
         load(spark, sf_dir, "embeddings")
         .select(
             "vec_id",
             array_to_vector(
                 F.when(clean, _dbl(F.col("embedding"))).otherwise(
-                    F.array_repeat(F.lit(0.0), 64)
+                    F.array_repeat(F.lit(0.0), sentinel_len)
                 )
             ).alias("vec"),
             clean.alias("_ok"),

@@ -54,57 +54,46 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # trail in registration order (listing an unregistered key is a
 # no-op; keys absent from this list follow in registration order).
 _PRIORITY: list[str] = [
-    # (a) keys added or changed in round 7 (rotation rule: any key
-    # whose code or oracle changes re-enters the head):
-    # wl_retrieval_eval / txt_heaps_fit — their data-scaled global
-    # windows converted to the two-pass range shape by the fixed
-    # unpartitioned-window sweep (both were never-verified, so the
-    # round-7 freeze of verified keys holds).
-    # src_ris / src_medline — NEW this round: the two
-    # reference-manager export formats a screening pipeline ingests.
-    # ml_stop_screening — NEW: the consecutive-irrelevant stopping
-    # rule over the two-pass screening order (gap algebra on the
-    # positives relation, no sliding window).
-    "src_ris", "src_medline", "sink_ris", "ml_stop_screening",
-    "wl_retrieval_eval", "txt_heaps_fit",
-    # Changed this round by the rows-only world-sweep hardening
-    # (survive-don't-abort: NULL/non-finite hygiene before MLlib,
-    # degenerate-training-set guards, the agg_sketch_merge /0 and
-    # stream_stateful_ttl empty-feed schema fixes). First the four
-    # never-verified ones, then the 13 whose rows-only verification
-    # the change invalidates (rotation rule: changed keys re-enter
-    # the head; their driver check is the cheap rows-only run).
-    "ml_pca", "ml_als", "ml_active_screen", "sim_pq_adc",
-    "ml_lr", "ml_nb", "ml_svm", "ml_rf", "ml_gbt", "ml_cv", "ml_kmeans",
-    "sim_ann_lsh", "sim_ivf_topk", "dedup_minhash", "txt_hashing_tf",
-    "agg_sketch_merge", "stream_stateful_ttl", "stream_watermark_late",
-    # agg_minmax_by — tie-break made a total order (skew-world probe
-    # caught the engines choosing different rows on tied balances).
-    # txt_chunk_tokens / dedup_paragraph (both never-verified) —
-    # window expansion restructured so exploded rows carry chunks/
-    # fingerprints, never the whole document (huge-string battery).
-    "agg_minmax_by", "txt_chunk_tokens", "dedup_paragraph",
-    # (b) never-driver-verified keys — 196 as of round-7 start.
-    "wl_decayed_popularity", "win_rolling_zscore",
-    "sample_reservoir_merge", "wl_soft_dedup_sampling",
-    "wl_change_attribution", "dedup_scurve_empirical",
-    "wl_markov2_conditional", "wl_linear_forecast", "sql_identifier",
-    "wl_iqr_outliers", "wl_interarrival_hist", "agg_bucketed_no_shuffle",
-    "wl_pit_features", "sink_compressed", "ml_item_cf", "wl_dp_counts",
-    "wl_partition_balance", "ml_confusion_multiclass", "wl_ivm_retraction",
-    "wl_lateness_profile", "txt_bpe_apply", "wl_hll_daily_rollup",
-    "sql_lateral_view", "sql_hint_broadcast", "graph_link_prediction",
-    "sample_weighted_es", "wl_rendezvous_hashing", "dedup_fellegi_sunter",
-    "rt_analyze_stats", "wl_date_dim", "wl_hygiene_attribution",
-    "graph_clustering_coeff", "graph_powerlaw_fit", "wl_kl_source_mix",
-    "win_top_percent", "wl_kaplan_meier", "wl_percent_of_parent",
-    "wl_cusum", "wl_control_chart", "wl_theil_sen", "wl_simpson_check",
+    # (a) keys changed in round 8 (rotation rule: any key whose code
+    # or oracle changes re-enters the head). Round 8 is otherwise a
+    # pure freeze-and-verify round: nothing below this block changed,
+    # so the ~45 remaining driver slots burn the never-verified
+    # backlog in section (b) order.
+    # wl_anomaly_deseasonalized — flat-adjusted-series z-scale is now
+    # a relative-ε test (hypothesis-caught NULL vs 0.0 divergence).
+    # wl_linear_forecast — all four derived columns through the
+    # shared rnd() −0.0 normalizer (hypothesis-caught signed zero).
+    # agg_minmax_by — NULL custkeys filtered on both engines (ADVICE
+    # r7: NULL tie-break column ranked lowest by Spark's struct
+    # order, last by the oracle's window order).
+    # src_medline — CRLF .nbib record splitting (ADVICE r7 medium:
+    # line-ending sniff + multi-PMID loud failure).
+    # sim_ann_lsh — sentinel vector length derived from the row's own
+    # array, not a hardcoded 64 (ADVICE r7; rows-only).
+    "wl_anomaly_deseasonalized", "wl_linear_forecast", "agg_minmax_by",
+    "src_medline", "sim_ann_lsh",
+    # (every already-driver-verified key is dropped from this list —
+    # verified keys trail in registration order; the r7 verdict
+    # flagged re-heads crowding out first-time verifications.)
+    # (b) never-driver-verified backlog — 165 at round-8 start. The
+    # r7 verdict named these twelve LLM-pipeline / world-sweep
+    # stragglers for the first slots:
+    "sample_weighted_es", "wl_theil_index", "wl_hhi", "dedup_components",
+    "dedup_keep_best", "dedup_incremental", "sim_topk_int8", "txt_chunk",
+    "txt_pii_scrub", "wl_domain_mix", "wl_pack_sequences",
+    "wl_shard_shuffle",
+    # remainder in prior relative order:
+    "sql_hint_broadcast", "graph_link_prediction", "wl_rendezvous_hashing",
+    "dedup_fellegi_sunter", "rt_analyze_stats", "wl_date_dim",
+    "wl_hygiene_attribution", "graph_clustering_coeff",
+    "graph_powerlaw_fit", "wl_kl_source_mix", "win_top_percent",
+    "wl_kaplan_meier", "wl_percent_of_parent", "wl_cusum",
+    "wl_control_chart", "wl_theil_sen", "wl_simpson_check",
     "wl_winsorized_mean", "txt_burstiness", "txt_chao1_richness",
-    "wl_effective_sample_size", "txt_distinctive_terms", "wl_theil_index",
-    "ml_cascade_cost", "txt_script_mix",
-    "wl_holt_smoothing", "wl_abc_analysis", "wl_data_vault_keys",
-    "wl_accumulating_snapshot", "wl_interval_union", "txt_novelty_rate",
-    "wl_periodogram", "wl_hhi", "wl_retention_half_life",
+    "wl_effective_sample_size", "txt_distinctive_terms", "ml_cascade_cost",
+    "txt_script_mix", "wl_holt_smoothing", "wl_abc_analysis",
+    "wl_data_vault_keys", "wl_accumulating_snapshot", "wl_interval_union",
+    "txt_novelty_rate", "wl_periodogram", "wl_retention_half_life",
     "wl_capture_recapture", "fn_bround", "wl_seasonal_index",
     "wl_srm_check", "wl_growth_accounting", "wl_diff_in_diff",
     "wl_daily_quantile_bands", "wl_error_budget", "wl_engagement_hist",
@@ -116,32 +105,29 @@ _PRIORITY: list[str] = [
     "wl_triangles", "fn_width_bucket", "wl_gini", "wl_equidepth_bins",
     "dedup_cluster_hist", "fn_epoch", "sink_partitioned", "cache_reuse",
     "scan_observe", "sql_params", "agg_string_agg", "src_csv_corrupt",
-    "sql_pipe", "fn_variant", "fn_collate", "dedup_incremental",
-    "agg_approx_topk", "join_dpp", "ml_fpgrowth",
-    "wl_chi2_assoc", "src_json_array", "sink_csv_options", "sink_zorder",
-    "sink_compaction", "fn_string_more",
-    "stream_progress", "fn_mask", "sql_natural_join", "win_nth_value",
-    "win_lag_ignore_nulls", "wl_source_overlap", "agg_percentile_disc",
-    "agg_bitmap_distinct", "wl_retention", "wl_dau_wau", "wl_copurchase",
-    "wl_q9_profit", "agg_linreg", "txt_collocation", "txt_zipf",
-    "fn_struct", "sim_topk_int8", "wl_q16_suppcnt", "wl_q2_mincost",
-    "wl_pagerank3", "join_null_safe", "agg_mode_tiebreak",
-    "fn_format", "scan_metadata_cols", "txt_stem", "join_asof_tolerance",
-    "dedup_keep_best", "win_gaps_islands", "wl_rfm", "set_ops_all",
+    "sql_pipe", "fn_variant", "fn_collate", "agg_approx_topk", "join_dpp",
+    "ml_fpgrowth", "wl_chi2_assoc", "src_json_array", "sink_csv_options",
+    "sink_zorder", "sink_compaction", "fn_string_more", "stream_progress",
+    "fn_mask", "sql_natural_join", "win_nth_value", "win_lag_ignore_nulls",
+    "wl_source_overlap", "agg_percentile_disc", "agg_bitmap_distinct",
+    "wl_retention", "wl_dau_wau", "wl_copurchase", "wl_q9_profit",
+    "agg_linreg", "txt_collocation", "txt_zipf", "fn_struct",
+    "wl_q16_suppcnt", "wl_q2_mincost", "wl_pagerank3", "join_null_safe",
+    "agg_mode_tiebreak", "fn_format", "scan_metadata_cols", "txt_stem",
+    "join_asof_tolerance", "win_gaps_islands", "wl_rfm", "set_ops_all",
     "fn_base64", "txt_readability", "wl_snapshot_diff",
     "wl_markov_transitions", "wl_pareto", "ml_feature_cross",
     "sql_lateral", "src_parquet_merge_schema", "win_time_range",
     "agg_geomean", "join_scd2", "txt_compression_ratio", "wl_qtr_growth",
     "wl_basket_rules", "sql_subqueries", "fn_explode_outer", "fn_try",
-    "wl_clean_corpus", "dedup_components", "txt_pii_scrub",
-    "agg_histogram", "pivot_wide", "unpivot_long", "src_range",
-    "set_union_missing", "sample_seeded", "src_binaryfile", "src_text",
-    "txt_chunk", "wl_q4_late", "wl_q14_promo", "wl_q18_large",
+    "wl_clean_corpus", "agg_histogram", "pivot_wide", "unpivot_long",
+    "src_range", "set_union_missing", "sample_seeded", "src_binaryfile",
+    "src_text", "wl_q4_late", "wl_q14_promo", "wl_q18_large",
     "agg_hll_sketch", "join_skew_salted", "fn_url", "txt_sentence_split",
-    "join_range_bucket", "agg_decimal_exact", "wl_shard_shuffle", "wl_q7_volume", "wl_q8_share",
-    "wl_q12_late", "wl_q13_custdist", "wl_q15_topsupp", "wl_q17_smallqty",
-    "wl_q19_disjunct", "wl_q21_waiting", "wl_q22_inactive",
-    "wl_domain_mix", "wl_pack_sequences",
+    "join_range_bucket", "agg_decimal_exact", "wl_q7_volume",
+    "wl_q8_share", "wl_q12_late", "wl_q13_custdist", "wl_q15_topsupp",
+    "wl_q17_smallqty", "wl_q19_disjunct", "wl_q21_waiting",
+    "wl_q22_inactive"
 ]
 
 

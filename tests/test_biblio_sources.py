@@ -14,7 +14,14 @@ formats actually guarantee against hand-read fixture values:
 
 from __future__ import annotations
 
+import duckdb
+
 from systematic_review_classification_spark import all_queries
+from systematic_review_classification_spark.operators.scans import (
+    _medline_fields,
+    _read_medline,
+)
+from tests.harness import compare
 
 
 def _rows(spark, key):
@@ -40,6 +47,38 @@ def test_src_ris_values(spark):
     no_journal = [r for r in by_type if r["ris_type"] == "RPRT"]
     assert len(no_journal) == 1 and no_journal[0]["journal"] is None
     assert no_journal[0]["authors"] == "European Food Safety Authority"
+
+
+def test_src_medline_crlf_parity(spark, tmp_path):
+    """A CRLF .nbib (Windows PubMed export) must parse identically to
+    the LF original — before the r8 line-ending sniff, the literal
+    '\\n\\n' lineSep never matched '\\r\\n\\r\\n' and the whole file
+    collapsed into ONE record (silent data loss; ADVICE r7)."""
+    import os
+
+    from systematic_review_classification_spark.operators.scans import (
+        _MEDLINE_SELECT,
+    )
+
+    lf = os.path.join(os.path.dirname(__file__), "fixtures", "pubmed.nbib")
+    data = open(lf, "rb").read()
+    assert b"\r" not in data  # fixture is LF; synthesize the CRLF twin
+    crlf = tmp_path / "pubmed_crlf.nbib"
+    crlf.write_bytes(data.replace(b"\n", b"\r\n"))
+
+    df = _read_medline(spark, str(crlf))
+    rows = {r["pmid"]: r.asDict() for r in df.collect()}
+    assert len(rows) == 6, "CRLF records must split, not fold into one"
+    assert rows[29381234]["n_authors"] == 3
+    # and full value parity against the oracle parsing the same file
+    con = duckdb.connect()
+    compare(
+        _read_medline(spark, str(crlf)),
+        con,
+        _medline_fields(str(crlf)) + _MEDLINE_SELECT,
+        key="src_medline@crlf",
+    )
+    con.close()
 
 
 def test_src_medline_values(spark):

@@ -247,3 +247,105 @@ def test_constant_daily_series_survives(spark, synth_constant_events_dir, key):
         key=f"{key}@constseries",
     )
     con.close()
+
+
+@pytest.fixture(scope="module")
+def synth_flat_adjusted_events_dir(spark, tmp_path_factory):
+    """The r7 hypothesis falsifying example for
+    wl_anomaly_deseasonalized, frozen: every observed day is a
+    DISTINCT weekday with a DIFFERENT event count. The per-weekday
+    seasonal index then equals y_d/mu, so the adjusted series is
+    exactly mu for every day — true variance 0 — but the engines
+    reach that flat series through division, so the cancellation
+    Σy²−(Σy)²/n lands at exact 0.0 on Spark and a ~1e-16 residue on
+    DuckDB (NULL vs 0.0 adj_z before the relative-ε fix)."""
+    import datetime as dt
+
+    d = tmp_path_factory.mktemp("synth_flatadj_events")
+    base = dt.datetime(2024, 3, 4)  # Monday; 4 distinct weekdays
+    rows, eid = [], 0
+    for day, n in enumerate([1, 2, 3, 4]):
+        for _ in range(n):
+            eid += 1
+            rows.append(
+                (eid, (base + dt.timedelta(days=day)).isoformat(sep=" "),
+                 1, "click", 1.0)
+            )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ev (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type VARCHAR, value DOUBLE)"
+    )
+    con.executemany("INSERT INTO ev VALUES (?, ?, ?, ?, ?)", rows)
+    con.execute(f"COPY ev TO '{d}/events.parquet' (FORMAT PARQUET)")
+    con.close()
+    return str(d)
+
+
+def test_flat_adjusted_series_zscore_parity(spark, synth_flat_adjusted_events_dir):
+    """Zero-variance ADJUSTED series (reached via division, so one
+    engine keeps a cancellation residue): adj_z must be NULL on both
+    engines via the shared relative-ε flatness test, never NULL on
+    one and 0.0 on the other."""
+    con = _con_for(synth_flat_adjusted_events_dir, "events")
+    compare(
+        QUERIES["wl_anomaly_deseasonalized"](spark, synth_flat_adjusted_events_dir),
+        con,
+        ORACLES["wl_anomaly_deseasonalized"],
+        key="wl_anomaly_deseasonalized@flatadjusted",
+    )
+    con.close()
+
+
+@pytest.fixture(scope="module")
+def synth_symmetric_events_dir(spark, tmp_path_factory):
+    """The r7 hypothesis −0.0 class for wl_linear_forecast, frozen:
+    daily counts (2, 3, 2) make the OLS slope exactly zero — but
+    DuckDB's regr_slope accumulates it as −0.0 (probe-verified
+    through the oracle's own GROUP BY path over the written parquet)
+    while Spark's lands on +0.0, and round() preserves the sign. Every derived column must
+    pass through the shared rnd()/+0.0 normalizer."""
+    import datetime as dt
+
+    d = tmp_path_factory.mktemp("synth_sym_events")
+    base = dt.datetime(2024, 5, 1)
+    rows, eid = [], 0
+    for day, n in enumerate([2, 3, 2]):
+        for _ in range(n):
+            eid += 1
+            rows.append(
+                (eid, (base + dt.timedelta(days=day)).isoformat(sep=" "),
+                 1, "click", 1.0)
+            )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ev (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type VARCHAR, value DOUBLE)"
+    )
+    con.executemany("INSERT INTO ev VALUES (?, ?, ?, ?, ?)", rows)
+    con.execute(f"COPY ev TO '{d}/events.parquet' (FORMAT PARQUET)")
+    con.close()
+    return str(d)
+
+
+def test_symmetric_series_forecast_negzero_parity(spark, synth_symmetric_events_dir):
+    """Zero-slope daily series: slope rounds to signed zero (−0.0 in
+    DuckDB's accumulation order, +0.0 in Spark's). The shared rnd()
+    helper must normalize the sign identically on both engines."""
+    con = _con_for(synth_symmetric_events_dir, "events")
+    # precondition: without the + 0.0 normalizer the oracle's own
+    # GROUP BY path still produces the signed zero this test freezes
+    sgn = con.execute(
+        "WITH daily AS (SELECT datediff('day', DATE '2024-01-01', "
+        "CAST(date_trunc('day', ts) AS DATE)) AS t, "
+        "CAST(count(*) AS DOUBLE) AS y FROM events GROUP BY 1) "
+        "SELECT round(regr_slope(y, t), 6) FROM daily"
+    ).fetchone()[0]
+    assert repr(sgn) == "-0.0", "fixture no longer exercises the −0.0 branch"
+    compare(
+        QUERIES["wl_linear_forecast"](spark, synth_symmetric_events_dir),
+        con,
+        ORACLES["wl_linear_forecast"],
+        key="wl_linear_forecast@negzero",
+    )
+    con.close()
