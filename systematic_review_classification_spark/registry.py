@@ -70,8 +70,13 @@ _PRIORITY: list[str] = [
     # line-ending sniff + multi-PMID loud failure).
     # sim_ann_lsh — sentinel vector length derived from the row's own
     # array, not a hardcoded 64 (ADVICE r7; rows-only).
+    # dedup_paragraph — window slicing rebuilt over a pre-split
+    # 200-char block array (O(doclen) per document; the r7 kernel was
+    # O(windows × doclen) on MB-scale docs). Oracle unchanged.
+    # mm_decode_stub — decode kernel hoisted into make_decoder() so the
+    # PIL-gated real branch is testable; fake path byte-identical.
     "wl_anomaly_deseasonalized", "wl_linear_forecast", "agg_minmax_by",
-    "src_medline", "sim_ann_lsh",
+    "src_medline", "sim_ann_lsh", "dedup_paragraph", "mm_decode_stub",
     # (every already-driver-verified key is dropped from this list —
     # verified keys trail in registration order; the r7 verdict
     # flagged re-heads crowding out first-time verifications.)

@@ -299,6 +299,24 @@ def test_paragraph_dedup_shuffles_fingerprints_not_text(spark, sf_dir):
         assert "chunk#" not in block, block
 
 
+def test_paragraph_dedup_window_slicing_is_linear(spark, sf_dir):
+    """dedup_paragraph's per-document cost must stay O(doclen): windows
+    are sliced from a pre-split 200-char block ARRAY (zero-copy element
+    views on an UnsafeRow), never via substr on the full text or its
+    UTF-8 bytes inside the window lambda — substr(text, s, ..) scans
+    from the string head to locate char s (O(windows × doclen) per doc,
+    ~224 s on one 4 MB document) and substr(encode(text), s, ..) is
+    just as quadratic because UnsafeRow.getBinary copies the whole
+    byte array on every lambda-body access (~20 s on the same doc; the
+    blocks kernel runs it in ~0.6 s). Pin: the optimized plan splits
+    with regexp_extract_all below the Generate and contains NO
+    substring over the raw text/bytes column."""
+    plan = plan_of(QUERIES["dedup_paragraph"](spark, sf_dir))
+    assert "regexp_extract_all" in plan, plan
+    assert "substr(text#" not in plan and "substring(text#" not in plan, plan
+    assert "encode(text#" not in plan, plan
+
+
 def test_partition_prune_plan(spark, sf_dir):
     """scan_partition_prune's filter must land in PartitionFilters
     (directory-level skipping before any I/O), not just PushedFilters,
