@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from systematic_review_classification_spark.functions.predicates import finite
+from systematic_review_classification_spark.functions.predicates import finite, rnd
 from systematic_review_classification_spark.registry import query
 from systematic_review_classification_spark.sources.tables import load
 
@@ -197,12 +197,13 @@ SELECT o_orderkey,
        CAST(sign(o_totalprice - 250000) AS INTEGER) AS side,
        ((o_orderkey % 7) + 7) % 7             AS key_mod,
        (((0 - o_orderkey) % 7) + 7) % 7       AS negkey_mod,
-       round(sqrt(o_totalprice), 6)           AS root,
+       round(CASE WHEN o_totalprice >= 0 THEN sqrt(o_totalprice) END, 6)
+                                              AS root,
        round(CASE WHEN o_totalprice > 0 THEN ln(o_totalprice) END, 6)
                                               AS log_e,
        round(CASE WHEN o_totalprice > 0 THEN log10(o_totalprice) END, 6)
                                               AS log_10,
-       round(pow(o_totalprice / 100000, 3), 6) AS cubed,
+       round(pow(o_totalprice / 100000, 3), 6) + 0.0 AS cubed,
        greatest(o_orderkey % 5, o_orderkey % 3) AS g,
        least(o_orderkey % 5, o_orderkey % 3)    AS l
 FROM orders WHERE o_orderkey < 2000 AND isfinite(o_totalprice)
@@ -229,12 +230,17 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.signum(p - 250000).cast("int").alias("side"),
         F.pmod(k, F.lit(7)).alias("key_mod"),
         F.pmod(-k, F.lit(7)).alias("negkey_mod"),
-        F.round(F.sqrt(p), 6).alias("root"),
+        # sqrt gated to non-negative input on BOTH engines: a negative
+        # price errors out-of-range on DuckDB and silently NaNs on
+        # Spark (flat-world catch) — NULL identically instead
+        F.round(F.when(p >= 0, F.sqrt(p)), 6).alias("root"),
         # logs gated to positive input on BOTH engines: ln(0) aborts
         # DuckDB and silently NULLs only on Spark
         F.round(F.when(p > 0, F.ln(p)), 6).alias("log_e"),
         F.round(F.when(p > 0, F.log10(p)), 6).alias("log_10"),
-        F.round(F.pow(p / 100000, 3), 6).alias("cubed"),
+        # rnd(): a small negative cube rounds to zero with sign -0.0
+        # in DuckDB, +0.0 here (flat-world catch)
+        rnd(F.pow(p / 100000, 3), 6).alias("cubed"),
         F.greatest(k % 5, k % 3).alias("g"),
         F.least(k % 5, k % 3).alias("l"),
     )
@@ -640,8 +646,9 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderkey,
        CASE WHEN isfinite(o_totalprice) THEN
-         format('{:,}', CAST(floor(o_totalprice) AS BIGINT)) || '.' ||
-           lpad(CAST(CAST(round((o_totalprice - floor(o_totalprice)) * 100)
+         CASE WHEN o_totalprice < 0 THEN '-' ELSE '' END ||
+         format('{:,}', CAST(floor(abs(o_totalprice)) AS BIGINT)) || '.' ||
+           lpad(CAST(CAST(round((abs(o_totalprice) - floor(abs(o_totalprice))) * 100)
                      AS BIGINT) AS VARCHAR), 2, '0') END        AS price_fmt,
        printf('%05d|%s', o_orderkey, o_orderstatus)             AS key_tag,
        printf('%.1f%%', 100.0 * o_orderkey / 3000)              AS pct_tag,
@@ -658,15 +665,21 @@ def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     money never hits a rounding tie, so Spark's HALF_UP vs fmt's
     HALF_EVEN divergence cannot fire — the same
     exact-representability discipline the decimal/median oracles use.
-    Pure codegen'd projection, no shuffle."""
+    The oracle's grouped-integer + 2-digit-fraction decomposition runs
+    on abs() with the sign prepended: floor(-1000.1) is -1001 with
+    fractional part .9, which would render the NEGATIVE money as
+    '-1,001.90' (flat-world catch). Pure codegen'd projection, no
+    shuffle."""
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
     return o.select(
         "o_orderkey",
         # a non-finite price has no money rendering: Spark would
         # print the '\ufffdNaN\ufffd'-style token while the oracle's
         # BIGINT path errors — NULL on both engines instead
+        # + 0.0 normalizes IEEE -0.0 before rendering: format_number
+        # would print '-0.00' where the oracle's sign test sees >= 0
         F.when(
-            finite("o_totalprice"), F.format_number(F.col("o_totalprice"), 2)
+            finite("o_totalprice"), F.format_number(F.col("o_totalprice") + 0.0, 2)
         ).alias("price_fmt"),
         # Java's Formatter renders a NULL %s as the string "null";
         # DuckDB printf returns NULL — emit NULL explicitly for NULL

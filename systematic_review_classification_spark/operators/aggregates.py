@@ -261,9 +261,24 @@ def _safe_corr(x: str, y: str):
     """Pearson r as guarded population moments: covar_pop/(sd·sd) is
     algebraically F.corr, but F.corr ABORTS with ANSI DIVIDE_BY_ZERO
     on a zero-variance column (n>=2 constant input) where DuckDB's
-    corr returns NULL — the moments form nulls out identically."""
-    return F.covar_pop(x, y) / F.nullif(
-        F.stddev_pop(x) * F.stddev_pop(y), F.lit(0.0)
+    corr returns NULL — the moments form nulls out identically.
+
+    The zero-variance test is a RELATIVE epsilon (var ≤ 1e-9·avg(c²)
+    counts as flat), not an exact nullif: Spark's central-moment
+    accumulator gives a constant column variance exactly 0, DuckDB's
+    sum-of-squares form leaves a summation-order-dependent ~1e-16
+    residue — unguarded, the residue slips past nullif and the ratio
+    of two residues mints an arbitrary r (the flat world measured
+    −0.47 for a constant-vs-cancelling pair, non-deterministically).
+    Oracles mirror the identical CASE (see agg_stats /
+    agg_corr_matrix)."""
+
+    def flat(c: str):
+        return F.var_pop(c) <= 1e-9 * F.avg(F.col(c) * F.col(c))
+
+    return F.when(
+        ~flat(x) & ~flat(y),
+        F.covar_pop(x, y) / (F.stddev_pop(x) * F.stddev_pop(y)),
     )
 
 
@@ -274,7 +289,12 @@ SELECT l_returnflag,
        round(stddev_samp(l_quantity), 4)                 AS sd_qty,
        round(stddev_pop(l_quantity), 4)                  AS sdp_qty,
        round(var_samp(l_extendedprice), 2)               AS var_price,
-       round(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
+       round(CASE WHEN var_pop(l_quantity) > 1e-9 * avg(l_quantity * l_quantity)
+                   AND var_pop(l_extendedprice)
+                       > 1e-9 * avg(l_extendedprice * l_extendedprice)
+                  THEN covar_pop(l_quantity, l_extendedprice)
+                       / (stddev_pop(l_quantity) * stddev_pop(l_extendedprice))
+             END, 6)                                     AS corr_qty_price,
        round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
        round(covar_pop(l_quantity, l_discount), 6)       AS covp_qty_disc
 FROM lineitem

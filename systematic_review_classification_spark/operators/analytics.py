@@ -366,14 +366,19 @@ def wl_pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "wl_ab_ttest",
     oracle="""
-WITH g AS (
+WITH g0 AS (
   SELECT event_type,
          count(*) AS n,
          avg(value) AS mu,
-         var_samp(value) AS v
+         var_samp(value) AS v0,
+         avg(value * value) AS m2
   FROM events WHERE event_type IN ('click', 'purchase')
     AND isfinite(value)
   GROUP BY event_type),
+g AS (
+  SELECT event_type, n, mu,
+         CASE WHEN v0 <= 1e-9 * m2 THEN 0.0 ELSE v0 END AS v
+  FROM g0),
 w AS (
   SELECT max(CASE WHEN event_type = 'click' THEN n END)    AS n1,
          max(CASE WHEN event_type = 'click' THEN mu END)   AS mu1,
@@ -402,16 +407,30 @@ def wl_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Adding a million experiment arms changes the small table's size,
     not the scan count."""
     # finite-only values on both engines: one inf blows DuckDB's
-    # VARSAMP out of range, one NaN silently NaNs the Spark moments
-    g = (
+    # VARSAMP out of range, one NaN silently NaNs the Spark moments.
+    # Each arm's variance is FLATNESS-TESTED with a relative epsilon
+    # (v <= 1e-9 * avg(value^2) counts as zero): a constant arm is
+    # exactly 0 under Spark's central-moment accumulator but a ~1e-16
+    # cancellation residue under DuckDB's sum-of-squares form, which
+    # unguarded turns an undefined t into a ~1e18 statistic there and
+    # NULL here (flat-world catch; same pattern as
+    # wl_anomaly_deseasonalized / wl_anova_seasonality).
+    g0 = (
         load(spark, sf_dir, "events")
         .filter(F.col("event_type").isin("click", "purchase") & finite("value"))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.avg("value").alias("mu"),
-            F.var_samp("value").alias("v"),
+            F.var_samp("value").alias("v0"),
+            F.avg(F.col("value") * F.col("value")).alias("m2"),
         )
+    )
+    g = g0.select(
+        "event_type", "n", "mu",
+        F.when(F.col("v0") <= 1e-9 * F.col("m2"), F.lit(0.0))
+        .otherwise(F.col("v0"))
+        .alias("v"),
     )
 
     def pick(col: str, ev: str):
@@ -743,7 +762,7 @@ ranked AS (
 SELECT c_nationkey, CAST(max(n_cust) AS BIGINT) AS n_cust,
        round(max(nation_rev), 2) AS nation_rev,
        round(sum(CASE WHEN rn * 10 <= n_cust THEN revenue ELSE 0 END)
-             / nullif(max(nation_rev), 0), 6) AS top_decile_share
+             / nullif(max(nation_rev), 0), 6) + 0.0 AS top_decile_share
 FROM ranked GROUP BY c_nationkey
 """,
 )
@@ -780,7 +799,9 @@ def wl_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.groupBy("c_nationkey").agg(
         F.max("n_cust").cast("bigint").alias("n_cust"),
         F.round(F.max("nation_rev"), 2).alias("nation_rev"),
-        F.round(
+        # rnd(): a 0-revenue decile over a NEGATIVE nation total is
+        # 0/negative = -0.0 in DuckDB's round, +0.0 here
+        rnd(
             F.sum(F.when(F.col("rn") * 10 <= F.col("n_cust"), F.col("revenue")).otherwise(0.0))
             / F.nullif(F.max("nation_rev"), F.lit(0.0)),
             6,
@@ -2637,10 +2658,10 @@ WITH q AS (
   FROM lineitem GROUP BY 1)
 SELECT li.l_returnflag AS flag,
        CAST(count(*) AS BIGINT) AS n,
-       round(avg(li.l_extendedprice), 4) AS raw_mean,
+       round(avg(li.l_extendedprice), 4) + 0.0 AS raw_mean,
        round(avg(CASE WHEN li.l_extendedprice < q.p5 THEN q.p5
                       WHEN li.l_extendedprice > q.p95 THEN q.p95
-                      ELSE li.l_extendedprice END), 4) AS winsorized_mean
+                      ELSE li.l_extendedprice END), 4) + 0.0 AS winsorized_mean
 FROM lineitem li JOIN q ON li.l_returnflag = q.flag
 GROUP BY li.l_returnflag
 """,
@@ -2667,8 +2688,10 @@ def wl_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.round(F.avg("l_extendedprice"), 4).alias("raw_mean"),
-            F.round(F.avg(clamped), 4).alias("winsorized_mean"),
+            # rnd(): symmetric +/-price groups winsorize to a ~1e-14
+            # residue whose round lands on -0.0 in DuckDB, +0.0 here
+            rnd(F.avg("l_extendedprice"), 4).alias("raw_mean"),
+            rnd(F.avg(clamped), 4).alias("winsorized_mean"),
         )
         .withColumnRenamed("l_returnflag", "flag")
     )
@@ -2714,13 +2737,18 @@ def wl_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     "wl_theil_index",
     oracle="""
 WITH x AS (SELECT o_orderpriority AS grp, o_totalprice AS y FROM orders),
-m AS (SELECT grp, CAST(count(*) AS DOUBLE) AS n, avg(y) AS mu FROM x GROUP BY grp)
+m AS (SELECT grp, CAST(count(*) AS DOUBLE) AS n, avg(y) AS mu,
+             coalesce(avg(abs(y)), 0.0) AS abs_mu
+      FROM x GROUP BY grp)
 SELECT x.grp, CAST(m.n AS BIGINT) AS n,
-       round(sum(CASE WHEN x.y > 0
-                      THEN (x.y / (m.n * m.mu)) * ln(x.y / m.mu)
-                      ELSE 0 END), 6) AS theil_t
+       CASE WHEN max(CASE WHEN x.y > 0 THEN 1 ELSE 0 END) = 1
+                 AND NOT (m.mu > 1e-9 * m.abs_mu)
+            THEN NULL
+            ELSE round(sum(CASE WHEN x.y > 0 AND m.mu > 1e-9 * m.abs_mu
+                           THEN (x.y / (m.n * m.mu)) * ln(x.y / m.mu)
+                           ELSE 0 END), 6) END AS theil_t
 FROM x JOIN m ON x.grp = m.grp
-GROUP BY x.grp, m.n
+GROUP BY x.grp, m.n, m.mu, m.abs_mu
 """,
 )
 def wl_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2734,7 +2762,9 @@ def wl_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     x = o.select(F.col("o_orderpriority").alias("grp"), F.col("o_totalprice").alias("y"))
     m = x.groupBy("grp").agg(
-        F.count(F.lit(1)).cast("double").alias("n"), F.avg("y").alias("mu")
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("y").alias("mu"),
+        F.coalesce(F.avg(F.abs("y")), F.lit(0.0)).alias("abs_mu"),
     )
     # 0·ln(0) = 0 by the limit convention, applied as an explicit CASE
     # on both engines: a bare y/mu would abort on an all-zero group
@@ -2742,16 +2772,37 @@ def wl_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (Spark ln(0) = NULL is skipped by sum; DuckDB ln(0) = -inf
     # poisons it). Zero-value rows contribute 0 inequality; an
     # all-zero group reports theil_t = 0.
+    #
+    # Theil T is only DEFINED for a positive mean, and the positivity
+    # test must be flatness-aware (mu > 1e-9 · avg|y|, the relative-ε
+    # pattern): a group whose values CANCEL (+1000.1 / −1000.1) has
+    # mu exactly 0 on one engine and a residue on the other — the
+    # bare form aborts Spark with DIVIDE_BY_ZERO and DuckDB with
+    # ln(negative) (flat-world catch). A group holding positives but
+    # a non-positive mean reports theil_t = NULL identically.
+    mu_pos = F.col("mu") > 1e-9 * F.col("abs_mu")
     term = F.when(
-        F.col("y") > 0,
+        (F.col("y") > 0) & mu_pos,
         (F.col("y") / (F.col("n") * F.col("mu")))
         * F.log(F.col("y") / F.col("mu")),
     ).otherwise(0.0)
+    has_pos = F.max(F.when(F.col("y") > 0, 1).otherwise(0))
     return (
         x.join(F.broadcast(m), "grp")
-        .groupBy("grp", "n")
-        .agg(F.round(F.sum(term), 6).alias("theil_t"))
-        .select("grp", F.col("n").cast("bigint").alias("n"), "theil_t")
+        .groupBy("grp", "n", "mu", "abs_mu")
+        .agg(
+            F.round(F.sum(term), 6).alias("t_sum"),
+            has_pos.alias("has_pos"),
+        )
+        .select(
+            "grp",
+            F.col("n").cast("bigint").alias("n"),
+            F.when(
+                (F.col("has_pos") == 1) & ~mu_pos, F.lit(None).cast("double")
+            )
+            .otherwise(F.col("t_sum"))
+            .alias("theil_t"),
+        )
     )
 
 

@@ -305,12 +305,31 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH f AS (SELECT l_quantity, l_extendedprice, l_discount FROM lineitem
            WHERE isfinite(l_quantity) AND isfinite(l_extendedprice)
-             AND isfinite(l_discount))
-SELECT 'qty_price' AS pair, round(corr(l_quantity, l_extendedprice), 6) AS r FROM f
+             AND isfinite(l_discount)),
+-- flatness-aware corr, mirroring _safe_corr's relative-epsilon guard:
+-- a constant column's variance is a ~1e-16 residue here (sum-of-
+-- squares form) but exactly 0 on Spark, and the ratio of two residues
+-- mints an arbitrary r unguarded
+m AS (SELECT count(*) AS n,
+             var_pop(l_quantity) > 1e-9 * avg(l_quantity * l_quantity) AS ok_q,
+             var_pop(l_extendedprice)
+               > 1e-9 * avg(l_extendedprice * l_extendedprice) AS ok_p,
+             var_pop(l_discount) > 1e-9 * avg(l_discount * l_discount) AS ok_d,
+             covar_pop(l_quantity, l_extendedprice) AS c_qp,
+             covar_pop(l_quantity, l_discount) AS c_qd,
+             covar_pop(l_extendedprice, l_discount) AS c_pd,
+             stddev_pop(l_quantity) AS s_q,
+             stddev_pop(l_extendedprice) AS s_p,
+             stddev_pop(l_discount) AS s_d
+      FROM f)
+SELECT 'qty_price' AS pair,
+       round(CASE WHEN ok_q AND ok_p THEN c_qp / (s_q * s_p) END, 6) AS r FROM m
 UNION ALL
-SELECT 'qty_disc' AS pair, round(corr(l_quantity, l_discount), 6) AS r FROM f
+SELECT 'qty_disc' AS pair,
+       round(CASE WHEN ok_q AND ok_d THEN c_qd / (s_q * s_d) END, 6) AS r FROM m
 UNION ALL
-SELECT 'price_disc' AS pair, round(corr(l_extendedprice, l_discount), 6) AS r FROM f
+SELECT 'price_disc' AS pair,
+       round(CASE WHEN ok_p AND ok_d THEN c_pd / (s_p * s_d) END, 6) AS r FROM m
 """,
 )
 def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -42,17 +42,18 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # harness walks ``queries()`` in iteration order with a bounded budget
 # (~50 entries per run), so keys that have not yet been independently
 # verified — or were changed since the last run — must come first.
-# Round-7 rotation (freeze-and-verify): rounds 1-6 verified 246
+# Round-8 rotation (freeze-and-verify): rounds 1-7 verified 281
 # distinct keys, all clean at their latest check. This round froze
-# every ORACLED verified key; the one deliberate exception is the
-# rows-only world-sweep hardening, which touched 13 verified
-# rows-only keys (their driver check is the cheap ran-clean run) —
-# those re-enter the head per the rotation rule. Head: (a) keys
-# added or changed in round 7, then (b) the never-driver-verified
-# backlog in prior relative order, so the ~50 budget buys ~29
-# first-time verifications after the 21 (a)-keys. Verified keys
-# trail in registration order (listing an unregistered key is a
-# no-op; keys absent from this list follow in registration order).
+# every key except the 16 whose code or oracle genuinely changed
+# (the two hypothesis-caught divergence fixes, the four ADVICE
+# items, the dedup_paragraph linear rewrite, the PIL decode wiring,
+# and the 9 flat-world sweep fixes) — those re-enter the head per
+# the rotation rule. Head: (a) keys changed in round 8, then (b)
+# the never-driver-verified backlog in prior relative order, so the
+# ~50 budget buys ~34 first-time verifications after the 16
+# (a)-keys. Verified keys trail in registration order (listing an
+# unregistered key is a no-op; keys absent from this list follow in
+# registration order).
 _PRIORITY: list[str] = [
     # (a) keys changed in round 8 (rotation rule: any key whose code
     # or oracle changes re-enters the head). Round 8 is otherwise a
@@ -75,15 +76,29 @@ _PRIORITY: list[str] = [
     # O(windows × doclen) on MB-scale docs). Oracle unchanged.
     # mm_decode_stub — decode kernel hoisted into make_decoder() so the
     # PIL-gated real branch is testable; fake path byte-identical.
+    # Flat-world sweep fixes (the new cancellation/−0.0 world found 8
+    # divergences in one pass): fn_format (oracle's floor-based
+    # decimal split rendered negatives as '-1,001.90'), fn_math (sqrt
+    # gated to non-negative on both engines), wl_theil_index
+    # (flatness-aware positive-mean gate — cancelled groups aborted
+    # BOTH engines, differently), wl_ab_ttest + agg_stats +
+    # agg_corr_matrix (relative-ε variance nullout mirrored into the
+    # oracles — DuckDB's variance residue minted arbitrary statistics),
+    # wl_winsorized_mean + wl_pareto (−0.0 via rnd()/+0.0),
+    # stream_stateful_ttl (TTL horizon clamped to watermark+1 for
+    # late-arriving sessions; rows-only).
     "wl_anomaly_deseasonalized", "wl_linear_forecast", "agg_minmax_by",
     "src_medline", "sim_ann_lsh", "dedup_paragraph", "mm_decode_stub",
+    "fn_format", "fn_math", "wl_theil_index", "wl_ab_ttest", "agg_stats",
+    "agg_corr_matrix", "wl_winsorized_mean", "wl_pareto",
+    "stream_stateful_ttl",
     # (every already-driver-verified key is dropped from this list —
     # verified keys trail in registration order; the r7 verdict
     # flagged re-heads crowding out first-time verifications.)
     # (b) never-driver-verified backlog — 165 at round-8 start. The
     # r7 verdict named these twelve LLM-pipeline / world-sweep
     # stragglers for the first slots:
-    "sample_weighted_es", "wl_theil_index", "wl_hhi", "dedup_components",
+    "sample_weighted_es", "wl_hhi", "dedup_components",
     "dedup_keep_best", "dedup_incremental", "sim_topk_int8", "txt_chunk",
     "txt_pii_scrub", "wl_domain_mix", "wl_pack_sequences",
     "wl_shard_shuffle",
@@ -94,7 +109,7 @@ _PRIORITY: list[str] = [
     "graph_powerlaw_fit", "wl_kl_source_mix", "win_top_percent",
     "wl_kaplan_meier", "wl_percent_of_parent", "wl_cusum",
     "wl_control_chart", "wl_theil_sen", "wl_simpson_check",
-    "wl_winsorized_mean", "txt_burstiness", "txt_chao1_richness",
+    "txt_burstiness", "txt_chao1_richness",
     "wl_effective_sample_size", "txt_distinctive_terms", "ml_cascade_cost",
     "txt_script_mix", "wl_holt_smoothing", "wl_abc_analysis",
     "wl_data_vault_keys", "wl_accumulating_snapshot", "wl_interval_union",
@@ -106,7 +121,7 @@ _PRIORITY: list[str] = [
     "wl_pareto_frontier", "wl_markov_absorbing", "wl_q11_partvalue",
     "wl_q20_excess", "wl_seasonality", "wl_skew_report",
     "wl_resample_ffill", "sample_reservoir", "agg_grouping_id",
-    "agg_corr_matrix", "sql_qualify", "wl_profile", "wl_attribution",
+    "sql_qualify", "wl_profile", "wl_attribution",
     "wl_triangles", "fn_width_bucket", "wl_gini", "wl_equidepth_bins",
     "dedup_cluster_hist", "fn_epoch", "sink_partitioned", "cache_reuse",
     "scan_observe", "sql_params", "agg_string_agg", "src_csv_corrupt",
@@ -118,10 +133,10 @@ _PRIORITY: list[str] = [
     "wl_retention", "wl_dau_wau", "wl_copurchase", "wl_q9_profit",
     "agg_linreg", "txt_collocation", "txt_zipf", "fn_struct",
     "wl_q16_suppcnt", "wl_q2_mincost", "wl_pagerank3", "join_null_safe",
-    "agg_mode_tiebreak", "fn_format", "scan_metadata_cols", "txt_stem",
+    "agg_mode_tiebreak", "scan_metadata_cols", "txt_stem",
     "join_asof_tolerance", "win_gaps_islands", "wl_rfm", "set_ops_all",
     "fn_base64", "txt_readability", "wl_snapshot_diff",
-    "wl_markov_transitions", "wl_pareto", "ml_feature_cross",
+    "wl_markov_transitions", "ml_feature_cross",
     "sql_lateral", "src_parquet_merge_schema", "win_time_range",
     "agg_geomean", "join_scd2", "txt_compression_ratio", "wl_qtr_growth",
     "wl_basket_rules", "sql_subqueries", "fn_explode_outer", "fn_try",

@@ -673,8 +673,17 @@ def stream_stateful_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
                         last, cnt = us, cnt + 1
                 state.update((s, last, cnt))
                 # reclaim this user's state once the watermark passes
-                # the session gap horizon
-                state.setTimeoutTimestamp(last // 1_000 + _TTL_GAP_US // 1_000)
+                # the session gap horizon. applyInPandasWithState does
+                # NOT pre-filter late rows (unlike windowed aggs), so a
+                # session rebuilt from events that arrived BEHIND the
+                # watermark can put last+gap before the watermark —
+                # setTimeoutTimestamp rejects that outright. Clamp to
+                # watermark+1ms: an already-expired session times out
+                # at the next watermark advance, the standard TTL
+                # semantics for late data.
+                horizon = last // 1_000 + _TTL_GAP_US // 1_000
+                wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(max(horizon, wm + 1))
         yield pd.DataFrame(
             out, columns=["user_id", "start_us", "end_us", "n_events", "closed_by"]
         )
