@@ -2331,7 +2331,7 @@ def wl_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH daily AS (
   SELECT CAST(date_trunc('day', ts) AS DATE) AS d, CAST(count(*) AS DOUBLE) AS y
-  FROM events GROUP BY 1),
+  FROM events WHERE ts IS NOT NULL GROUP BY 1),
 mr AS (
   SELECT d, y, abs(y - lag(y) OVER (ORDER BY d)) AS rng
   FROM daily),
@@ -2355,8 +2355,14 @@ def wl_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one lag over the bounded daily axis; limits are a broadcast
     1-row aggregate; the violation flag is row-local. The operational
     sibling of wl_anomaly_zscore (which needs a variance estimate
-    this chart deliberately avoids)."""
-    ev = load(spark, sf_dir, "events")
+    this chart deliberately avoids).
+
+    NULL timestamps are dropped on both engines (the time-axis NULL
+    policy): a NULL day sorts FIRST under Spark's window order but
+    LAST under DuckDB's, which SHIFTS the whole moving-range lag
+    chain and changes avg(rng) — masked by symmetry at 2 daily rows
+    (the null world), caught at 9+ rows (the combo world)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("d")).agg(
         F.count(F.lit(1)).cast("double").alias("y")
     )
@@ -3633,7 +3639,7 @@ def wl_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH act AS (
   SELECT user_id, user_id % 2 AS treated, count(*) AS n_events,
          sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS outcome
-  FROM events GROUP BY user_id),
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
 ranked AS (
   SELECT *, row_number() OVER (ORDER BY n_events, user_id) AS rnk,
          count(*) OVER () AS n
@@ -3672,8 +3678,13 @@ def wl_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ml_gains_table's trick) over the DISTRIBUTED two-pass range rank
     (functions/ranks.py) — users scale with data, so a global-window
     row_number would collapse to one task; the total count rides a
-    1-row broadcast. Strata are bounded, one pass per aggregate."""
-    ev = load(spark, sf_dir, "events")
+    1-row broadcast. Strata are bounded, one pass per aggregate.
+
+    NULL users are dropped on both engines (the rank-key NULL
+    policy): a NULL user_id has no treatment arm (NULL % 2) and sorts
+    FIRST in Spark's rank order but LAST in DuckDB's, shifting every
+    other user's stratum assignment (combo-world catch)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     act = ev.groupBy("user_id").agg(
         (F.col("user_id") % 2).alias("treated"),
         F.count(F.lit(1)).alias("n_events"),

@@ -105,21 +105,47 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Local tests assert the candidate set covers exact duplicates."""
     from pyspark.ml.feature import CountVectorizer, MinHashLSH, RegexTokenizer
 
-    # NULL text cannot be tokenized (CountVectorizer.fit NPEs on a
-    # NULL token array) and an empty token set has no MinHash — both
-    # are corrupt input, filtered like the oracled dedup tier does
-    d = (
-        load(spark, sf_dir, "documents")
-        .filter(F.col("text").isNotNull())
-        .select("doc_id", "text")
+    # NULL text cannot be tokenized (RegexTokenizer's Scala UDF NPEs)
+    # and an empty token set has no MinHash. A plain
+    # .filter(text.isNotNull()) is NOT enough: Catalyst freely
+    # reorders conjunctive predicates, and the downstream
+    # empty-token-set filter inlines the tokenizer UDF into a scan
+    # predicate that can run BEFORE the null filter (combo-world
+    # catch; same class as sim_ann_lsh's pushed-down hash UDF). The
+    # NPE-proof form substitutes the sentinel INSIDE the expression —
+    # coalesce to '' so the UDF is total, and '' tokenizes to [] which
+    # the token-count filter already excludes.
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
     )
+    from pyspark.ml.functions import array_to_vector
+
     toks = RegexTokenizer(inputCol="text", outputCol="toks", pattern="\\s+").transform(d)
     cv = CountVectorizer(inputCol="toks", outputCol="vec", binary=True, minDF=1.0).fit(toks)
-    vecs = cv.transform(toks).filter(F.expr("aggregate(toks, 0, (a, x) -> a + 1) > 0"))
+    # An empty token set has no MinHash ('Must have at least 1 non
+    # zero entry') and a plain filter between transform and join is
+    # NOT enough either: approxSimilarityJoin's hash UDF gets
+    # evaluated ahead of the filter once Catalyst collapses the
+    # stages (combo-world catch, second site of the sim_ann_lsh
+    # class). Sentinel INSIDE the expression: empty vectors are
+    # replaced by a fixed one-hot basis vector so the LSH UDF is
+    # total, and sentinel rows are dropped from the OUTPUT by the
+    # _ok flag on both join sides.
+    n_vocab = max(len(cv.vocabulary), 1)
+    basis = array_to_vector(
+        F.concat(F.array(F.lit(1.0)), F.array_repeat(F.lit(0.0), n_vocab - 1))
+    )
+    ok = F.size("toks") > 0
+    vecs = (
+        cv.transform(toks)
+        .withColumn("_ok", ok)
+        .withColumn("vec", F.when(F.col("_ok"), F.col("vec")).otherwise(basis))
+    )
     mh = MinHashLSH(inputCol="vec", outputCol="sig", numHashTables=8, seed=42).fit(vecs)
     pairs = mh.approxSimilarityJoin(vecs, vecs, 0.3, distCol="jaccard_dist")
     return (
-        pairs.select(
+        pairs.filter(F.col("datasetA._ok") & F.col("datasetB._ok"))
+        .select(
             F.col("datasetA.doc_id").alias("id1"),
             F.col("datasetB.doc_id").alias("id2"),
             F.round("jaccard_dist", 6).alias("jaccard_dist"),

@@ -44,16 +44,16 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # verified — or were changed since the last run — must come first.
 # Round-8 rotation (freeze-and-verify): rounds 1-7 verified 281
 # distinct keys, all clean at their latest check. This round froze
-# every key except the 16 whose code or oracle genuinely changed
+# every key except the 19 whose code or oracle genuinely changed
 # (the two hypothesis-caught divergence fixes, the four ADVICE
 # items, the dedup_paragraph linear rewrite, the PIL decode wiring,
-# and the 9 flat-world sweep fixes) — those re-enter the head per
-# the rotation rule. Head: (a) keys changed in round 8, then (b)
-# the never-driver-verified backlog in prior relative order, so the
-# ~50 budget buys ~34 first-time verifications after the 16
-# (a)-keys. Verified keys trail in registration order (listing an
-# unregistered key is a no-op; keys absent from this list follow in
-# registration order).
+# the 9 flat-world sweep fixes, and the 3 combo-world fixes) —
+# those re-enter the head per the rotation rule. Head: (a) keys
+# changed in round 8, then (b) the never-driver-verified backlog in
+# prior relative order, so the ~50 budget buys ~31 first-time
+# verifications after the 19 (a)-keys. Verified keys trail in
+# registration order (listing an unregistered key is a no-op; keys
+# absent from this list follow in registration order).
 _PRIORITY: list[str] = [
     # (a) keys changed in round 8 (rotation rule: any key whose code
     # or oracle changes re-enters the head). Round 8 is otherwise a
@@ -87,11 +87,18 @@ _PRIORITY: list[str] = [
     # wl_winsorized_mean + wl_pareto (−0.0 via rnd()/+0.0),
     # stream_stateful_ttl (TTL horizon clamped to watermark+1 for
     # late-arriving sessions; rows-only).
+    # Combo-world fixes (null+flat+skew union; 3 combination bugs a
+    # single-axis world can't reach): wl_control_chart +
+    # wl_stratified_ate (NULL day / NULL user shifts the lag chain /
+    # rank order between engines — standard drop-NULL-keys policy),
+    # dedup_minhash (predicate reordering ran the tokenizer UDF before
+    # the null filter — sentinel inside the expression; rows-only).
     "wl_anomaly_deseasonalized", "wl_linear_forecast", "agg_minmax_by",
     "src_medline", "sim_ann_lsh", "dedup_paragraph", "mm_decode_stub",
     "fn_format", "fn_math", "wl_theil_index", "wl_ab_ttest", "agg_stats",
     "agg_corr_matrix", "wl_winsorized_mean", "wl_pareto",
-    "stream_stateful_ttl",
+    "stream_stateful_ttl", "wl_control_chart", "wl_stratified_ate",
+    "dedup_minhash",
     # (every already-driver-verified key is dropped from this list —
     # verified keys trail in registration order; the r7 verdict
     # flagged re-heads crowding out first-time verifications.)
@@ -108,7 +115,7 @@ _PRIORITY: list[str] = [
     "wl_hygiene_attribution", "graph_clustering_coeff",
     "graph_powerlaw_fit", "wl_kl_source_mix", "win_top_percent",
     "wl_kaplan_meier", "wl_percent_of_parent", "wl_cusum",
-    "wl_control_chart", "wl_theil_sen", "wl_simpson_check",
+    "wl_theil_sen", "wl_simpson_check",
     "txt_burstiness", "txt_chao1_richness",
     "wl_effective_sample_size", "txt_distinctive_terms", "ml_cascade_cost",
     "txt_script_mix", "wl_holt_smoothing", "wl_abc_analysis",

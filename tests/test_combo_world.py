@@ -1,0 +1,97 @@
+"""The COMBO world: null-world + flat-world + skew-world rows UNIONED
+per table (key columns offset per source world so primary keys stay
+distinct and intra-world FK joins still resolve), every key on both
+engines.
+
+Single-axis worlds can miss COMBINATION divergences — the r7 ADVICE
+agg_minmax_by finding (NULL tie-break key × tied skewed metric) was
+exactly that shape, and this world's first probe caught three more in
+one pass:
+
+- wl_control_chart: a NULL day SHIFTS the moving-range lag chain
+  (Spark NULLS FIRST vs DuckDB NULLS LAST) — masked by symmetry at
+  the null world's 2 daily rows, divergent at the combo's 9+.
+- wl_stratified_ate: a NULL user_id enters the activity rank order at
+  opposite ends on the two engines, moving every other user's stratum
+  boundary. Both fixed with the standard drop-NULL-keys policy.
+- dedup_minhash: Catalyst reorders conjunctive predicates, so the
+  empty-token-set filter (which inlines RegexTokenizer's Scala UDF)
+  can run BEFORE a plain text-IS-NOT-NULL filter and NPE on the null
+  world's row — the same pushdown-defeats-hygiene class as
+  sim_ann_lsh, fixed the same way (sentinel inside the expression).
+
+The union deliberately mixes 1997 order dates with 2024 event dates,
+NULL rows next to exact-cancellation rows, and duplicate-heavy skew
+next to flat groups, so per-key guards must compose rather than each
+relying on its own world's shape.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.harness import run_world
+from tests.test_flat_world import _TABLES as _FLAT
+from tests.test_null_world import _TABLES as _NULL
+from tests.test_skew_world import _TABLES as _SKEW
+
+EXCLUDED = {
+    "stream_tumbling", "stream_sliding", "stream_session",
+    "stream_dedup", "stream_stateful", "stream_foreachbatch",
+    "stream_static_join", "src_stream_file",
+    "sink_parquet", "sink_compaction",
+}
+
+# key columns offset per source world so unioned worlds don't collide;
+# orders.o_custkey follows the customer offset so FK joins resolve
+# within each world's slice. region/nation stay the null world's (they
+# are the FK targets every world's rows point at).
+_PK = {
+    "supplier": [0], "part": [0], "customer": [0], "orders": [0],
+    "lineitem": [0], "documents": [0], "embeddings": [0], "events": [0],
+}
+_FK = {"orders": [1]}
+_OFFSETS = [("null", _NULL, 0), ("flat", _FLAT, 1000), ("skew", _SKEW, 2000)]
+
+
+def _shift(rows, idxs, off):
+    out = []
+    for r in rows:
+        r = list(r)
+        for i in idxs:
+            if r[i] is not None:
+                r[i] = r[i] + off
+        out.append(tuple(r))
+    return out
+
+
+def _build():
+    tables = {}
+    for t, (rows, schema) in _NULL.items():
+        merged = []
+        for tag, world, off in _OFFSETS:
+            wrows, wschema = world[t]
+            assert wschema == schema, f"schema drift in {t} ({tag})"
+            if t in ("region", "nation"):
+                if tag == "null":
+                    merged.extend(wrows)
+                continue
+            merged.extend(_shift(wrows, _PK.get(t, []) + _FK.get(t, []), off))
+        tables[t] = (merged, schema)
+    return tables
+
+
+_TABLES = _build()
+
+
+@pytest.fixture(scope="module")
+def world(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("combo_world"))
+    for t, (rows, schema) in _TABLES.items():
+        spark.createDataFrame(rows, schema).write.parquet(f"{d}/{t}.parquet")
+    return d
+
+
+def test_every_oracled_key_survives_the_combo_world(spark, world):
+    fails = run_world(spark, world, _TABLES, EXCLUDED)
+    assert not fails, f"{len(fails)} keys broke on the combo world: {fails}"
