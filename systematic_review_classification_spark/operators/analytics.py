@@ -2500,7 +2500,7 @@ WITH x AS (
          CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS DOUBLE)
            AS t,
          o_totalprice AS y
-  FROM orders),
+  FROM orders WHERE isfinite(o_totalprice)),
 pooled AS (SELECT regr_slope(y, t) AS slope FROM x),
 per_grp AS (
   SELECT grp, regr_slope(y, t) AS gslope, CAST(count(*) AS BIGINT) AS n
@@ -2519,8 +2519,15 @@ def wl_simpson_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     away from. Both regressions are the REGR_* moment machinery (one
     pooled pass, one grouped pass); a flagged row means the pooled
     line is answering a different question than the segments, and any
-    downstream narrative needs the stratified number."""
-    o = load(spark, sf_dir, "orders")
+    downstream narrative needs the stratified number.
+
+    Non-finite prices are filtered on both engines (the finite()
+    policy): one NaN y makes Spark's regr_slope NaN where DuckDB's
+    returns NULL, and NaN's comparison semantics (NaN != 0.0 is TRUE
+    in Spark, NULL <> 0 is NULL in SQL) then flip the sign_flip flag
+    on one engine only (combo-2 catch — masked in the pure NaN world
+    where EVERY slope degenerated the same way)."""
+    o = load(spark, sf_dir, "orders").filter(finite("o_totalprice"))
     x = o.select(
         F.col("o_orderpriority").alias("grp"),
         F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))

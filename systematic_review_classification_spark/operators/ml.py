@@ -238,10 +238,33 @@ def ml_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     feat = _featurized(spark, sf_dir)
     n, k = _train_shape(feat, "label")
     # 3-fold CV needs both classes (the AUC evaluator's rawPrediction
-    # is degenerate on one class) and enough rows that a seeded fold
-    # split cannot leave an empty training fold
+    # is degenerate on one class) and enough rows that a fold split
+    # cannot leave an empty training fold
     if n < 2 * 3 or k < 2:
         return _empty_result(spark, "reg_param double, avg_auc double")
+    # STRATIFIED deterministic folds via foldCol: a seeded random
+    # split can strand a whole class inside ONE fold, making that
+    # fold's training complement single-class — LR then emits
+    # length-1 rawPrediction and the AUC evaluator aborts (combo-2
+    # world catch: 8 rows, 3 of the minority class). Round-robin
+    # within each label guarantees every training fold sees both
+    # classes whenever each class has >= 2 rows (checked below).
+    # Scale note: the per-label window funnels each class through one
+    # task — fine for fold ASSIGNMENT (CV itself refits the model k
+    # times; at real scale you'd hash-assign folds and stratify by
+    # sampling), chosen here because the evaluator's correctness
+    # requires per-class coverage, not approximate balance.
+    min_per_class = (
+        feat.groupBy("label").count().agg(F.min("count")).first()[0]
+    )
+    if min_per_class is None or min_per_class < 2:
+        return _empty_result(spark, "reg_param double, avg_auc double")
+    feat = feat.withColumn(
+        "fold",
+        (
+            (F.row_number().over(W.partitionBy("label").orderBy("doc_id")) - 1) % 3
+        ).cast("int"),
+    )
     lr = LogisticRegression(maxIter=10)
     grid = ParamGridBuilder().addGrid(lr.regParam, [0.01, 0.1]).build()
     cv = CrossValidator(
@@ -249,7 +272,7 @@ def ml_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         estimatorParamMaps=grid,
         evaluator=BinaryClassificationEvaluator(),
         numFolds=3,
-        seed=42,
+        foldCol="fold",
         parallelism=2,
     )
     model = cv.fit(feat)

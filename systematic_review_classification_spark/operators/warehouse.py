@@ -863,17 +863,18 @@ def wl_chi2_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "wl_mad_outliers",
     oracle="""
-WITH med AS (
+WITH f AS (SELECT * FROM events WHERE isfinite(value)),
+med AS (
   SELECT event_type, round(median(value), 6) AS med_v
-  FROM events GROUP BY event_type),
+  FROM f GROUP BY event_type),
 mad AS (
   SELECT e.event_type, med.med_v,
          round(median(abs(e.value - med.med_v)), 6) AS mad_v
-  FROM events e JOIN med USING (event_type)
+  FROM f e JOIN med USING (event_type)
   GROUP BY e.event_type, med.med_v)
 SELECT e.event_id, e.event_type,
        round((e.value - m.med_v) / m.mad_v, 4) AS mad_score
-FROM events e JOIN mad m USING (event_type)
+FROM f e JOIN mad m USING (event_type)
 WHERE m.mad_v > 0 AND abs((e.value - m.med_v) / m.mad_v) > 1.8
 """,
 )
@@ -890,8 +891,16 @@ def wl_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fact never self-joins. A type whose MAD is exactly 0 (over
     half its values identical — common for fee-like metrics) has no
     robust spread to score against and is skipped on both engines;
-    unguarded, that division aborts the job under ANSI mode."""
-    ev = load(spark, sf_dir, "events")
+    unguarded, that division aborts the job under ANSI mode.
+
+    Non-finite values are filtered on both engines (the finite()
+    policy): a NaN is corrupt input, not an outlier — letting it into
+    the median/MAD chain poisons the group's spread differently per
+    engine (the two engines' exact-median machinery treats NaN's sort
+    position differently once a group mixes NaN and finite rows;
+    combo-2 catch), and NaN > 1.8 is TRUE in both engines' comparison
+    order, so an unfiltered NaN row even self-flags."""
+    ev = load(spark, sf_dir, "events").filter(finite("value"))
     med = ev.groupBy("event_type").agg(
         F.round(F.median("value"), 6).alias("med_v")
     )

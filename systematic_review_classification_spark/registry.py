@@ -44,14 +44,14 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # verified — or were changed since the last run — must come first.
 # Round-8 rotation (freeze-and-verify): rounds 1-7 verified 281
 # distinct keys, all clean at their latest check. This round froze
-# every key except the 19 whose code or oracle genuinely changed
+# every key except the 22 whose code or oracle genuinely changed
 # (the two hypothesis-caught divergence fixes, the four ADVICE
 # items, the dedup_paragraph linear rewrite, the PIL decode wiring,
-# the 9 flat-world sweep fixes, and the 3 combo-world fixes) —
+# the 9 flat-world sweep fixes, and the 6 combo-world fixes) —
 # those re-enter the head per the rotation rule. Head: (a) keys
 # changed in round 8, then (b) the never-driver-verified backlog in
-# prior relative order, so the ~50 budget buys ~31 first-time
-# verifications after the 19 (a)-keys. Verified keys trail in
+# prior relative order, so the ~50 budget buys ~28 first-time
+# verifications after the 22 (a)-keys. Verified keys trail in
 # registration order (listing an unregistered key is a no-op; keys
 # absent from this list follow in registration order).
 _PRIORITY: list[str] = [
@@ -99,6 +99,13 @@ _PRIORITY: list[str] = [
     "agg_corr_matrix", "wl_winsorized_mean", "wl_pareto",
     "stream_stateful_ttl", "wl_control_chart", "wl_stratified_ate",
     "dedup_minhash",
+    # Combo-2 (nan+unicode+extreme-ts union) fixes: wl_simpson_check
+    # (NaN regr_slope vs NULL + NaN comparison flipped the flag on one
+    # engine — finite-filtered), wl_mad_outliers (NaN inside a mixed
+    # group poisons the exact medians differently — finite-filtered),
+    # ml_cv (stratified deterministic foldCol; a seeded split could
+    # strand a class in one fold and abort the evaluator; rows-only).
+    "wl_simpson_check", "ml_cv", "wl_mad_outliers",
     # (every already-driver-verified key is dropped from this list —
     # verified keys trail in registration order; the r7 verdict
     # flagged re-heads crowding out first-time verifications.)
@@ -115,7 +122,7 @@ _PRIORITY: list[str] = [
     "wl_hygiene_attribution", "graph_clustering_coeff",
     "graph_powerlaw_fit", "wl_kl_source_mix", "win_top_percent",
     "wl_kaplan_meier", "wl_percent_of_parent", "wl_cusum",
-    "wl_theil_sen", "wl_simpson_check",
+    "wl_theil_sen",
     "txt_burstiness", "txt_chao1_richness",
     "wl_effective_sample_size", "txt_distinctive_terms", "ml_cascade_cost",
     "txt_script_mix", "wl_holt_smoothing", "wl_abc_analysis",

@@ -24,6 +24,20 @@ The union deliberately mixes 1997 order dates with 2024 event dates,
 NULL rows next to exact-cancellation rows, and duplicate-heavy skew
 next to flat groups, so per-key guards must compose rather than each
 relying on its own world's shape.
+
+A SECOND union covers the other three axes (nan + unicode +
+extreme-ts). Its probes caught three more: wl_simpson_check (one
+NaN price makes Spark's regr_slope NaN where DuckDB's is NULL, and
+NaN != 0.0 is TRUE in Spark where NULL <> 0 is NULL — the sign_flip
+flag fired on one engine only; masked in the pure NaN world where
+every slope degenerated identically), ml_cv (a seeded random fold
+split stranded a whole class inside one fold, making that fold's
+training complement single-class and aborting the AUC evaluator —
+now a stratified deterministic foldCol), and wl_mad_outliers (a NaN
+value inside a group that MIXES NaN and finite rows poisons the two
+engines' exact medians differently, and NaN > 1.8 self-flags — now
+finite-filtered on both engines; masked in the pure NaN world where
+whole groups degenerated together).
 """
 
 from __future__ import annotations
@@ -31,9 +45,16 @@ from __future__ import annotations
 import pytest
 
 from tests.harness import run_world
+from tests.test_extreme_ts_world import _TABLES as _XTS
 from tests.test_flat_world import _TABLES as _FLAT
+from tests.test_nan_world import _TABLES as _NAN
 from tests.test_null_world import _TABLES as _NULL
 from tests.test_skew_world import _TABLES as _SKEW
+from tests.test_unicode_world import _TABLES as _UNI
+
+import tests.test_extreme_ts_world as _xts_mod
+import tests.test_nan_world as _nan_mod
+import tests.test_unicode_world as _uni_mod
 
 EXCLUDED = {
     "stream_tumbling", "stream_sliding", "stream_session",
@@ -41,6 +62,16 @@ EXCLUDED = {
     "stream_static_join", "src_stream_file",
     "sink_parquet", "sink_compaction",
 }
+
+# the second union inherits every source world's documented exclusions
+# (a key excluded from one axis for a world-specific reason stays
+# excluded when that axis's rows are present)
+EXCLUDED2 = (
+    EXCLUDED
+    | getattr(_nan_mod, "EXCLUDED", set())
+    | getattr(_uni_mod, "EXCLUDED", set())
+    | getattr(_xts_mod, "EXCLUDED", set())
+)
 
 # key columns offset per source world so unioned worlds don't collide;
 # orders.o_custkey follows the customer offset so FK joins resolve
@@ -51,7 +82,6 @@ _PK = {
     "lineitem": [0], "documents": [0], "embeddings": [0], "events": [0],
 }
 _FK = {"orders": [1]}
-_OFFSETS = [("null", _NULL, 0), ("flat", _FLAT, 1000), ("skew", _SKEW, 2000)]
 
 
 def _shift(rows, idxs, off):
@@ -65,15 +95,16 @@ def _shift(rows, idxs, off):
     return out
 
 
-def _build():
+def _build(offsets):
     tables = {}
-    for t, (rows, schema) in _NULL.items():
+    base = offsets[0][1]
+    for t, (rows, schema) in base.items():
         merged = []
-        for tag, world, off in _OFFSETS:
+        for tag, world, off in offsets:
             wrows, wschema = world[t]
             assert wschema == schema, f"schema drift in {t} ({tag})"
             if t in ("region", "nation"):
-                if tag == "null":
+                if off == 0:
                     merged.extend(wrows)
                 continue
             merged.extend(_shift(wrows, _PK.get(t, []) + _FK.get(t, []), off))
@@ -81,17 +112,32 @@ def _build():
     return tables
 
 
-_TABLES = _build()
+_TABLES = _build([("null", _NULL, 0), ("flat", _FLAT, 1000), ("skew", _SKEW, 2000)])
+_TABLES2 = _build([("nan", _NAN, 0), ("uni", _UNI, 1000), ("xts", _XTS, 2000)])
+
+
+def _write(spark, tmp_path_factory, name, tables):
+    d = str(tmp_path_factory.mktemp(name))
+    for t, (rows, schema) in tables.items():
+        spark.createDataFrame(rows, schema).write.parquet(f"{d}/{t}.parquet")
+    return d
 
 
 @pytest.fixture(scope="module")
 def world(spark, tmp_path_factory):
-    d = str(tmp_path_factory.mktemp("combo_world"))
-    for t, (rows, schema) in _TABLES.items():
-        spark.createDataFrame(rows, schema).write.parquet(f"{d}/{t}.parquet")
-    return d
+    return _write(spark, tmp_path_factory, "combo_world", _TABLES)
+
+
+@pytest.fixture(scope="module")
+def world2(spark, tmp_path_factory):
+    return _write(spark, tmp_path_factory, "combo2_world", _TABLES2)
 
 
 def test_every_oracled_key_survives_the_combo_world(spark, world):
     fails = run_world(spark, world, _TABLES, EXCLUDED)
     assert not fails, f"{len(fails)} keys broke on the combo world: {fails}"
+
+
+def test_every_oracled_key_survives_the_nan_unicode_ts_combo(spark, world2):
+    fails = run_world(spark, world2, _TABLES2, EXCLUDED2)
+    assert not fails, f"{len(fails)} keys broke on combo-2: {fails}"
