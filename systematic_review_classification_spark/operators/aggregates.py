@@ -381,7 +381,9 @@ SELECT l_returnflag,
        round(median(l_quantity), 3)                    AS med_qty,
        round(quantile_cont(l_extendedprice, 0.95), 3)  AS p95_price,
        round(quantile_cont(l_extendedprice, 0.5), 3)   AS p50_price
-FROM lineitem GROUP BY l_returnflag
+FROM lineitem
+WHERE isfinite(l_quantity) AND isfinite(l_extendedprice)
+GROUP BY l_returnflag
 """,
 )
 def agg_median_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -392,8 +394,17 @@ def agg_median_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     round(,3) not (,2): the true median of 2-decimal prices is a
     midpoint with exactly 3 decimals — round(,2) sits on a half-up
     boundary the two engines resolve differently, round(,3) is exact.
-    """
-    li = load(spark, sf_dir, "lineitem")
+
+    Non-finite measures are filtered on both engines (the finite()
+    policy): DuckDB's comparison-based quantile selection is
+    RUN-TO-RUN NONDETERMINISTIC once a group mixes NaN and finite
+    values (NaN's inconsistent comparisons make the selected element
+    depend on morsel scheduling — combo-2 world, median 10.0 one run
+    and NULL the next); masked in the pure NaN world where whole
+    groups degenerated together."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        finite("l_quantity") & finite("l_extendedprice")
+    )
     return li.groupBy("l_returnflag").agg(
         F.round(F.median("l_quantity"), 3).alias("med_qty"),
         F.round(F.percentile("l_extendedprice", 0.95), 3).alias("p95_price"),

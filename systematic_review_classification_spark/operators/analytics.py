@@ -1507,14 +1507,15 @@ WITH q AS (
   SELECT l_returnflag AS flag,
          quantile_cont(l_extendedprice, 0.25) AS q1,
          quantile_cont(l_extendedprice, 0.75) AS q3
-  FROM lineitem GROUP BY 1)
+  FROM lineitem WHERE isfinite(l_extendedprice) GROUP BY 1)
 SELECT li.l_returnflag AS flag,
        round(max(q.q1), 3) AS q1, round(max(q.q3), 3) AS q3,
        CAST(sum(CASE WHEN li.l_extendedprice > q.q3 + 1.5 * (q.q3 - q.q1)
                        OR li.l_extendedprice < q.q1 - 1.5 * (q.q3 - q.q1)
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
        CAST(count(*) AS BIGINT) AS n
-FROM lineitem li JOIN q ON li.l_returnflag = q.flag
+FROM (SELECT * FROM lineitem WHERE isfinite(l_extendedprice)) li
+JOIN q ON li.l_returnflag = q.flag
 GROUP BY li.l_returnflag
 """,
 )
@@ -1525,8 +1526,14 @@ def wl_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     group first (bounded), broadcast back, and the fence test is one
     conditional-sum pass over the fact — two scans total, no
     row-vs-row work. Prices carry 2 decimals so the interpolated
-    quartiles and fences are well clear of comparison knife-edges."""
-    li = load(spark, sf_dir, "lineitem")
+    quartiles and fences are well clear of comparison knife-edges.
+
+    Non-finite prices are filtered on both engines: DuckDB's
+    comparison-based quantile is run-to-run NONDETERMINISTIC over a
+    group mixing NaN and finite values (probe-verified on
+    agg_median_pct — same machinery), and a NaN price is corrupt
+    input, not an outlier."""
+    li = load(spark, sf_dir, "lineitem").filter(finite("l_extendedprice"))
     q = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
         F.percentile("l_extendedprice", F.lit(0.25)).alias("q1"),
         F.percentile("l_extendedprice", F.lit(0.75)).alias("q3"),
@@ -2668,14 +2675,15 @@ WITH q AS (
   SELECT l_returnflag AS flag,
          quantile_cont(l_extendedprice, 0.05) AS p5,
          quantile_cont(l_extendedprice, 0.95) AS p95
-  FROM lineitem GROUP BY 1)
+  FROM lineitem WHERE isfinite(l_extendedprice) GROUP BY 1)
 SELECT li.l_returnflag AS flag,
        CAST(count(*) AS BIGINT) AS n,
        round(avg(li.l_extendedprice), 4) + 0.0 AS raw_mean,
        round(avg(CASE WHEN li.l_extendedprice < q.p5 THEN q.p5
                       WHEN li.l_extendedprice > q.p95 THEN q.p95
                       ELSE li.l_extendedprice END), 4) + 0.0 AS winsorized_mean
-FROM lineitem li JOIN q ON li.l_returnflag = q.flag
+FROM (SELECT * FROM lineitem WHERE isfinite(l_extendedprice)) li
+JOIN q ON li.l_returnflag = q.flag
 GROUP BY li.l_returnflag
 """,
 )
@@ -2685,8 +2693,10 @@ def wl_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     every row (unlike trimming) and reports next to the raw mean so
     the tail influence is visible. Same two-pass shape as
     wl_iqr_outliers: bounded per-group quantiles broadcast back, one
-    clamp-and-average pass over the fact."""
-    li = load(spark, sf_dir, "lineitem")
+    clamp-and-average pass over the fact. Non-finite prices filtered
+    on both engines (DuckDB's NaN-mixed quantile race; see
+    wl_iqr_outliers)."""
+    li = load(spark, sf_dir, "lineitem").filter(finite("l_extendedprice"))
     q = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
         F.percentile("l_extendedprice", F.lit(0.05)).alias("p5"),
         F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),

@@ -136,12 +136,17 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.array(F.lit(1.0)), F.array_repeat(F.lit(0.0), n_vocab - 1))
     )
     ok = F.size("toks") > 0
-    vecs = (
-        cv.transform(toks)
-        .withColumn("_ok", ok)
-        .withColumn("vec", F.when(F.col("_ok"), F.col("vec")).otherwise(basis))
+    raw = cv.transform(toks)
+    vecs = raw.withColumn("_ok", ok).withColumn(
+        "vec", F.when(F.col("_ok"), F.col("vec")).otherwise(basis)
     )
-    mh = MinHashLSH(inputCol="vec", outputCol="sig", numHashTables=8, seed=42).fit(vecs)
+    # fit on the UNsubstituted column: the when() substitution strips
+    # CountVectorizer's ML-attribute metadata, and without it
+    # MinHashLSH.fit falls back to head() to learn the input dim —
+    # 'head of empty array' on an empty corpus (the metadata path
+    # needs no rows). The model itself is data-independent (seeded
+    # random hash coefficients), so fitting on raw changes nothing.
+    mh = MinHashLSH(inputCol="vec", outputCol="sig", numHashTables=8, seed=42).fit(raw)
     pairs = mh.approxSimilarityJoin(vecs, vecs, 0.3, distCol="jaccard_dist")
     return (
         pairs.filter(F.col("datasetA._ok") & F.col("datasetB._ok"))

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from systematic_review_classification_spark.functions.predicates import finite
 from systematic_review_classification_spark.registry import query
 from systematic_review_classification_spark.sources.tables import load
 
@@ -731,7 +732,7 @@ SELECT o_orderpriority,
        round(quantile_disc(o_totalprice, 0.25), 2) AS p25,
        round(quantile_disc(o_totalprice, 0.50), 2) AS p50,
        round(quantile_disc(o_totalprice, 0.75), 2) AS p75
-FROM orders GROUP BY o_orderpriority
+FROM orders WHERE isfinite(o_totalprice) GROUP BY o_orderpriority
 """,
 )
 def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -741,8 +742,15 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolated percentile_cont family). Element selection — the
     smallest value whose cume_dist reaches p — agrees between engines,
     so the oracle matches exactly; round(2) only normalizes the
-    double."""
-    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_pd")
+    double.
+
+    Non-finite values are filtered on both engines: DuckDB's
+    comparison-based quantile selection is run-to-run
+    NONDETERMINISTIC over a group mixing NaN and finite values
+    (probe-verified on agg_median_pct's median — same machinery)."""
+    load(spark, sf_dir, "orders").filter(
+        finite("o_totalprice")
+    ).createOrReplaceTempView("orders_pd")
     return spark.sql(
         """
         SELECT o_orderpriority,

@@ -44,14 +44,14 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # verified — or were changed since the last run — must come first.
 # Round-8 rotation (freeze-and-verify): rounds 1-7 verified 281
 # distinct keys, all clean at their latest check. This round froze
-# every key except the 22 whose code or oracle genuinely changed
+# every key except the 25 whose code or oracle genuinely changed
 # (the two hypothesis-caught divergence fixes, the four ADVICE
 # items, the dedup_paragraph linear rewrite, the PIL decode wiring,
 # the 9 flat-world sweep fixes, and the 6 combo-world fixes) —
 # those re-enter the head per the rotation rule. Head: (a) keys
 # changed in round 8, then (b) the never-driver-verified backlog in
-# prior relative order, so the ~50 budget buys ~28 first-time
-# verifications after the 22 (a)-keys. Verified keys trail in
+# prior relative order, so the ~50 budget buys ~25 first-time
+# verifications after the 25 (a)-keys. Verified keys trail in
 # registration order (listing an unregistered key is a no-op; keys
 # absent from this list follow in registration order).
 _PRIORITY: list[str] = [
@@ -106,6 +106,14 @@ _PRIORITY: list[str] = [
     # ml_cv (stratified deterministic foldCol; a seeded split could
     # strand a class in one fold and abort the evaluator; rows-only).
     "wl_simpson_check", "ml_cv", "wl_mad_outliers",
+    # NaN-mixed-quantile race class, closed globally: DuckDB's
+    # comparison-based median/quantile is RUN-TO-RUN NONDETERMINISTIC
+    # over a group mixing NaN and finite values (probe: 2 distinct
+    # medians in 10 runs on the same parquet). Every order-statistic
+    # oracle over a NaN-able measure is now finite-filtered on both
+    # engines; integer-fed quantiles (txt_lang_stats, wl_theil_sen's
+    # count-derived slopes) cannot produce NaN and stay unguarded.
+    "agg_median_pct", "agg_percentile_disc", "wl_iqr_outliers",
     # (every already-driver-verified key is dropped from this list —
     # verified keys trail in registration order; the r7 verdict
     # flagged re-heads crowding out first-time verifications.)
@@ -143,7 +151,7 @@ _PRIORITY: list[str] = [
     "ml_fpgrowth", "wl_chi2_assoc", "src_json_array", "sink_csv_options",
     "sink_zorder", "sink_compaction", "fn_string_more", "stream_progress",
     "fn_mask", "sql_natural_join", "win_nth_value", "win_lag_ignore_nulls",
-    "wl_source_overlap", "agg_percentile_disc", "agg_bitmap_distinct",
+    "wl_source_overlap", "agg_bitmap_distinct",
     "wl_retention", "wl_dau_wau", "wl_copurchase", "wl_q9_profit",
     "agg_linreg", "txt_collocation", "txt_zipf", "fn_struct",
     "wl_q16_suppcnt", "wl_q2_mincost", "wl_pagerank3", "join_null_safe",
