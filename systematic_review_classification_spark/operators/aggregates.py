@@ -271,7 +271,22 @@ def _safe_corr(x: str, y: str):
     of two residues mints an arbitrary r (the flat world measured
     −0.47 for a constant-vs-cancelling pair, non-deterministically).
     Oracles mirror the identical CASE (see agg_stats /
-    agg_corr_matrix)."""
+    agg_corr_matrix).
+
+    CONTRACT (ADVICE r8, documented rather than changed): the floor
+    is deliberately UNCENTERED — relative to avg(c²), not to the
+    centered variance scale — because the failure mode it guards is
+    catastrophic cancellation in DuckDB's uncentered sum-of-squares
+    accumulator, whose residue magnitude tracks avg(c²). A centered
+    test (eps·avg((c−mu)²) = eps·var itself) is circular and would
+    re-admit the residue class. Consequence: data with relative
+    spread below ~3e-5 of its magnitude (e.g. values ≈1e6 with
+    sd ≈ 1 → var/avg(c²) ≈ 1e-12) is classified flat and its
+    correlation reported NULL on BOTH engines. At that spread the
+    uncentered double-precision moments carry no trustworthy r
+    anyway (the residue floor ~1e-16·avg(c²) is within 4 decimal
+    orders of the signal); a pipeline needing r on such data should
+    center/rescale the measure upstream."""
 
     def flat(c: str):
         return F.var_pop(c) <= 1e-9 * F.avg(F.col(c) * F.col(c))

@@ -2769,7 +2769,7 @@ SELECT x.grp, CAST(m.n AS BIGINT) AS n,
             THEN NULL
             ELSE round(sum(CASE WHEN x.y > 0 AND m.mu > 1e-9 * m.abs_mu
                            THEN (x.y / (m.n * m.mu)) * ln(x.y / m.mu)
-                           ELSE 0 END), 6) END AS theil_t
+                           ELSE 0 END), 6) + 0.0 END AS theil_t
 FROM x JOIN m ON x.grp = m.grp
 GROUP BY x.grp, m.n, m.mu, m.abs_mu
 """,
@@ -2814,7 +2814,11 @@ def wl_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         x.join(F.broadcast(m), "grp")
         .groupBy("grp", "n", "mu", "abs_mu")
         .agg(
-            F.round(F.sum(term), 6).alias("t_sum"),
+            # rnd() not bare round: Theil T is mathematically >= 0,
+            # but a tiny negative FP residue of the sum would round
+            # to −0.0 on DuckDB and +0.0 on Spark (ADVICE r8) — the
+            # same signed-zero class rnd() closes everywhere else.
+            rnd(F.sum(term), 6).alias("t_sum"),
             has_pos.alias("has_pos"),
         )
         .select(

@@ -754,11 +754,12 @@ WITH chunks AS (
   SELECT doc_id, cs AS chunk_start, substring(text, cs, 256) AS chunk
   FROM documents, unnest(range(1, greatest(n_chars - 56, 1) + 1, 200)) AS u(cs)),
 fps AS (SELECT doc_id, chunk_start, md5(chunk) AS fp FROM chunks),
-keep AS (SELECT fp, min(doc_id * 1000000 + chunk_start) AS keep_key,
+keep AS (SELECT fp,
+                min(struct_pack(d := doc_id, c := chunk_start)) AS keep_key,
                 count(*) AS n_copies
          FROM fps GROUP BY fp)
 SELECT f.doc_id, f.chunk_start, k.n_copies,
-       CAST(f.doc_id * 1000000 + f.chunk_start = k.keep_key AS BOOLEAN) AS kept
+       struct_pack(d := f.doc_id, c := f.chunk_start) = k.keep_key AS kept
 FROM fps f JOIN keep k ON f.fp = k.fp
 """,
 )
@@ -834,17 +835,26 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.chunk_start").alias("chunk_start"),
         F.col("c.fp").alias("fp"),
     )
+    # Canonical-copy election is a lexicographic struct min over
+    # (doc_id, chunk_start) — NOT the arithmetic doc_id*1e6+start
+    # composite, which collides once chunk_start >= 1e6 (exactly the
+    # MB-scale documents the O(doclen) kernel targets: a 4 MB doc has
+    # chunk_start up to ~4M, so two rows of one fingerprint group
+    # could both label kept=true; ADVICE r8). Struct ordering is
+    # field-lexicographic on both engines (DuckDB struct_pack min
+    # mirrors it).
     keep = fps.groupBy("fp").agg(
-        F.min(F.col("doc_id") * 1000000 + F.col("chunk_start")).alias("keep_key"),
+        F.min(F.struct("doc_id", "chunk_start")).alias("keep_key"),
         F.count(F.lit(1)).alias("n_copies"),
     )
     return fps.join(keep, "fp").select(
         "doc_id",
         "chunk_start",
         "n_copies",
-        (F.col("doc_id") * 1000000 + F.col("chunk_start") == F.col("keep_key")).alias(
-            "kept"
-        ),
+        (
+            (F.col("doc_id") == F.col("keep_key.doc_id"))
+            & (F.col("chunk_start") == F.col("keep_key.chunk_start"))
+        ).alias("kept"),
     )
 
 
@@ -1108,15 +1118,16 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 wins AS (
-  SELECT doc_id, md5(array_to_string(list_slice(toks, i, i + 15), ' ')) AS fp
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(list_slice(toks, i, i + 15), ' ')) AS fp
   FROM t CROSS JOIN UNNEST(range(1, len(toks) + 1)) AS r(i)
   WHERE i + 15 <= len(toks)),
-pairs AS (
-  SELECT a.doc_id AS id1, b.doc_id AS id2,
-         count(DISTINCT a.fp) AS n_shared_spans
-  FROM wins a JOIN wins b ON a.fp = b.fp AND a.doc_id < b.doc_id
-  GROUP BY 1, 2)
-SELECT id1, id2, n_shared_spans FROM pairs
+rep AS (SELECT fp, min(doc_id) AS rep FROM wins GROUP BY fp)
+SELECT r.rep AS id1, w.doc_id AS id2,
+       count(DISTINCT w.fp) AS n_shared_spans
+FROM wins w JOIN rep r ON w.fp = r.fp
+WHERE w.doc_id <> r.rep
+GROUP BY 1, 2
 """,
 )
 def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1125,36 +1136,42 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     window is fingerprinted; two documents sharing ANY window share a
     verbatim 16-token span — catching copied sentences that
     whole-document fingerprints (dedup_exact) and set-similarity
-    (Jaccard/MinHash) both miss. Output: document pairs with shared
-    span counts.
+    (Jaccard/MinHash) both miss.
 
-    Scale shape: windows are a row-local slice projection (no
-    suffix array materializes); the only shuffle keys WINDOW
-    FINGERPRINTS — text never moves (the dedup_paragraph discipline).
-    A boilerplate span shared by k docs emits k(k-1)/2 pairs — the
-    same density caveat as dedup_minhash_portable; the linear-output
-    production form groups by fingerprint to a min-doc representative
-    (dedup_minhash_canonical's star-edge trick) instead of pairing."""
+    LINEAR output (round-9 rewrite): each window fingerprint elects a
+    min-doc_id representative and every other holder links to it —
+    dedup_minhash_canonical's star-edge trick — so a boilerplate span
+    shared by k docs emits k−1 edges, not k(k−1)/2 pairs; total output
+    is bounded by distinct (doc, fingerprint) incidences, linear in
+    corpus size regardless of duplicate density. The per-doc window
+    set is DISTINCT before any join (a pathological single-char-run
+    document repeats one fingerprint ~doclen times; without the
+    distinct, two such docs joined fp-to-fp explode quadratically —
+    the round-8 30 s-battery timeout). Windows are a row-local slice
+    projection (no suffix array materializes); the only shuffle keys
+    WINDOW FINGERPRINTS — text never moves (the dedup_paragraph
+    discipline). Output: (id1=representative, id2=member,
+    n_shared_spans); run dedup_components over the edges when full
+    cluster closure is needed."""
     d = load(spark, sf_dir, "documents")
     t = d.select("doc_id", F.split("text", " ").alias("toks"))
     starts = F.when(
         F.size("toks") >= 16, F.sequence(F.lit(1), F.size("toks") - 15)
     ).otherwise(F.array().cast("array<int>"))
-    wins = t.select(
-        "doc_id", F.explode(starts).alias("i"), "toks"
-    ).select(
-        "doc_id",
-        F.md5(F.concat_ws(" ", F.slice("toks", F.col("i"), 16))).alias("fp"),
-    )
-    a, b = wins.alias("a"), wins.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    wins = (
+        t.select("doc_id", F.explode(starts).alias("i"), "toks")
+        .select(
+            "doc_id",
+            F.md5(F.concat_ws(" ", F.slice("toks", F.col("i"), 16))).alias("fp"),
         )
-        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
-        .agg(F.countDistinct("a.fp").alias("n_shared_spans"))
+        .distinct()
+    )
+    rep = wins.groupBy("fp").agg(F.min("doc_id").alias("rep"))
+    return (
+        wins.join(rep, "fp")
+        .filter(F.col("doc_id") != F.col("rep"))
+        .groupBy(F.col("rep").alias("id1"), F.col("doc_id").alias("id2"))
+        .agg(F.countDistinct("fp").alias("n_shared_spans"))
     )
 
 

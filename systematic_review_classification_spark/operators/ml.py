@@ -254,10 +254,16 @@ def ml_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # times; at real scale you'd hash-assign folds and stratify by
     # sampling), chosen here because the evaluator's correctness
     # requires per-class coverage, not approximate balance.
+    # Require min_per_class >= numFolds (3): with a 2-row class the
+    # round-robin leaves fold 2's VALIDATION slice single-class, and
+    # the AUC evaluator over zero positives returns NaN — silently
+    # poisoning avg_auc instead of aborting (ADVICE r8). >= numFolds
+    # guarantees every fold's validation set has >= 1 row of each
+    # class AND every training complement keeps both classes.
     min_per_class = (
         feat.groupBy("label").count().agg(F.min("count")).first()[0]
     )
-    if min_per_class is None or min_per_class < 2:
+    if min_per_class is None or min_per_class < 3:
         return _empty_result(spark, "reg_param double, avg_auc double")
     feat = feat.withColumn(
         "fold",

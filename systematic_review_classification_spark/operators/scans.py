@@ -652,6 +652,7 @@ SELECT
        THEN array_to_string(_authors_list, '; ') END AS authors,
   CAST(len(_authors_list) AS BIGINT) AS n_authors,
   TRY_CAST(_year_raw[1] AS BIGINT) AS pub_year,
+  _year_raw[1] AS year_raw,
   _journal[1] AS journal,
   _abstract[1] AS abstract,
   _doi[1] AS doi,
@@ -689,6 +690,7 @@ def _parse_ris_records(raw: DataFrame) -> DataFrame:
         joined("AU").alias("authors"),
         F.size(vals("AU")).cast("bigint").alias("n_authors"),
         first("PY").try_cast("bigint").alias("pub_year"),
+        first("PY").alias("year_raw"),
         first("JO").alias("journal"),
         first("AB").alias("abstract"),
         first("DO").alias("doi"),
@@ -733,16 +735,14 @@ def sink_ris(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip IDENTITY: parse the fixture → serialize → write → read
     back with the record-delimiter source → parse again, and the
     oracle is the direct parse of the ORIGINAL fixture, so any
-    asymmetry between writer and reader hash-mismatches. (Lossless as
+    asymmetry between writer and reader hash-mismatches. Lossless as
     long as no value itself contains '; ' or a newline — true of tag-
-    per-line RIS by construction — AND the PY value is a bare integer
-    year: the parsed schema try_casts PY to BIGINT, so a dated form
-    like ``PY  - 2019/05/01`` (legal RIS) parses to NULL and its PY
-    line is DROPPED on export. The oracle round-trip still matches —
-    both engines parse it to NULL — so this third lossy channel is
-    invisible to the harness by construction; an export pipeline that
-    must preserve dated PY values should carry the raw PY string
-    through the schema (year_raw) and serialize that instead.)"""
+    per-line RIS by construction. Dated PY values (``PY  - 2019/05/01``,
+    legal RIS) round-trip too: the schema carries the raw PY string as
+    ``year_raw`` alongside the typed ``pub_year`` BIGINT (NULL for
+    dated forms), and the writer serializes ``year_raw`` — closing the
+    round-8 lossy channel where try_cast-to-NULL dropped the PY line
+    on export (fixture record 9 pins it)."""
     parsed = src_ris(spark, sf_dir)
 
     def line(tag: str, col):
@@ -765,7 +765,7 @@ def sink_ris(spark: SparkSession, sf_dir: str) -> DataFrame:
                 line("TY", F.col("ris_type")),
                 multi("AU", F.col("authors")),
                 line("TI", F.col("title")),
-                line("PY", F.col("pub_year")),
+                line("PY", F.col("year_raw")),
                 line("JO", F.col("journal")),
                 line("AB", F.col("abstract")),
                 line("DO", F.col("doi")),

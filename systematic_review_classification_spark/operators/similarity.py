@@ -101,16 +101,27 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expression (WHEN branches genuinely guard in codegen) means no
     # UDF anywhere in the reordered plan ever receives NULL; the _ok
     # filter then drops the sentinel rows from every result. The
-    # sentinel's length follows the ROW's own array (NULL-size rows
-    # fall back to a constant), not a hardcoded 64 (ADVICE r7): a
-    # hash UDF evaluated on a wrong-dim sentinel before the _ok
-    # filter would recreate exactly the dimension-mismatch abort the
-    # sentinel exists to prevent.
+    # sentinel's length follows the ROW's own array (NULL-embedding
+    # rows fall back to the corpus's real dimension, measured once
+    # driver-side — NOT a hardcoded 64, ADVICE r7+r8): a hash UDF
+    # evaluated on a wrong-dim sentinel before the _ok filter would
+    # recreate exactly the dimension-mismatch abort the sentinel
+    # exists to prevent. The same one-row aggregate also yields the
+    # clean-row count, so the empty-relation guard costs no extra scan.
     clean = finite_array("embedding")
-    sentinel_len = F.coalesce(F.size("embedding"), F.lit(64))
+    raw = load(spark, sf_dir, "embeddings")
+    stats = raw.agg(
+        F.max(F.when(clean, F.size("embedding"))).alias("dim"),
+        F.count(F.when(clean, F.lit(1))).alias("n_ok"),
+    ).first()
+    # BRP-LSH fit() derives its random projections from the input dim
+    # and aborts on an empty relation — zero candidates is the honest
+    # degenerate answer
+    if stats["n_ok"] == 0:
+        return spark.createDataFrame([], "id1 long, id2 long, l2_dist double")
+    sentinel_len = F.coalesce(F.size("embedding"), F.lit(int(stats["dim"])))
     e = (
-        load(spark, sf_dir, "embeddings")
-        .select(
+        raw.select(
             "vec_id",
             array_to_vector(
                 F.when(clean, _dbl(F.col("embedding"))).otherwise(
@@ -122,11 +133,6 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_ok"))
         .drop("_ok")
     )
-    # BRP-LSH fit() derives its random projections from the input dim
-    # and aborts on an empty relation — zero candidates is the honest
-    # degenerate answer
-    if e.agg(F.count(F.lit(1))).first()[0] == 0:
-        return spark.createDataFrame([], "id1 long, id2 long, l2_dist double")
     lsh = BucketedRandomProjectionLSH(
         inputCol="vec", outputCol="buckets", bucketLength=2.0, numHashTables=4, seed=42
     ).fit(e)

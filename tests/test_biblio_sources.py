@@ -31,13 +31,17 @@ def _rows(spark, key):
 
 def test_src_ris_values(spark):
     by_type = all_queries()["src_ris"](spark, "x").collect()
-    assert len(by_type) == 8
+    assert len(by_type) == 9
     rows = {r["doi"]: r.asDict() for r in by_type if r["doi"]}
     first = rows["10.1016/j.foodcont.2019.01.001"]
     # repeating AU tags accumulate in file order
     assert first["authors"] == "Verhoef, Anna; de Jong, Pieter"
     assert first["n_authors"] == 2
     assert first["pub_year"] == 2019
+    assert first["year_raw"] == "2019"
+    # dated PY (legal RIS): typed pub_year is NULL, raw string is kept
+    dated = [r for r in by_type if r["year_raw"] == "2019/05/01"]
+    assert len(dated) == 1 and dated[0]["pub_year"] is None
     assert first["keywords"] == "systematic review; active learning"
     # an 'ER - ' inside an abstract is NOT a record boundary (the
     # terminator is the tag line, matched with its two-space padding)
