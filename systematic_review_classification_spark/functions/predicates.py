@@ -45,6 +45,37 @@ def rnd(c: Column | str, scale: int = 6) -> Column:
     return F.round(col, scale) + F.lit(0.0)
 
 
+def money_round(c: Column | str, scale: int = 2) -> Column:
+    """round() for money-like DOUBLE aggregates, via a decimal snap —
+    closes the FP-SUMMATION-MIDPOINT class (duplicate-flood world,
+    round 9).
+
+    A sum/avg of 2-to-4-decimal-digit money values can land EXACTLY
+    on a coarse-round midpoint in decimal (the flood world's
+    13 × 95.475 = 1241.175), while the binary double each engine
+    accumulates sits ±1 ulp around it depending on SUMMATION ORDER —
+    so round(x, 2) resolves to .17 on one engine/run and .18 on
+    another (DuckDB's morsel scheduling makes it nondeterministic
+    even run-to-run). Snapping the aggregate to DECIMAL(28,6) first
+    is order-robust (the ±1 ulp wobble is ~9 orders below the 1e-6
+    snap grid) and engine-consistent: double→decimal rounds to the
+    same 6-digit decimal on both engines (probe-verified), and
+    round(DECIMAL, 2) is half-up on both, so the midpoint resolves
+    identically. Non-finite values bypass the snap (CAST(NaN/inf AS
+    DECIMAL) ABORTS on both engines — NaN-world policy) and propagate
+    through the plain round; NULL propagates as NULL. Domain bound:
+    |x| < 1e22 (DECIMAL(28,6) capacity) — money sums at any real
+    scale; beyond it the ANSI cast aborts loudly rather than
+    rounding silently. Oracle mirror:
+    ``CASE WHEN isfinite(x) THEN CAST(round(CAST(x AS DECIMAL(28,6)),
+    n) AS DOUBLE) ELSE round(x, n) END``."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.when(
+        finite(col),
+        F.round(col.cast("decimal(28,6)"), scale).cast("double"),
+    ).otherwise(F.round(col, scale))
+
+
 def finite_array(c: Column | str) -> Column:
     """TRUE iff c is a non-NULL array whose every element is finite.
 

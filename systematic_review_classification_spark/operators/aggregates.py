@@ -18,23 +18,41 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from systematic_review_classification_spark.functions.predicates import finite
+from systematic_review_classification_spark.functions.predicates import (
+    finite,
+    money_round,
+    rnd,
+)
 from systematic_review_classification_spark.registry import query
 from systematic_review_classification_spark.sources.tables import load
 
 
 # --- flagship -----------------------------------------------------------
 
-PRICING_SUMMARY_ORACLE = """
+
+def _mr(expr: str, scale: int = 2) -> str:
+    """Oracle-side mirror of predicates.money_round: decimal-snap a
+    finite money aggregate before the coarse round so an exact-decimal
+    midpoint (e.g. a duplicate-flood sum of 13 × 95.475 = 1241.175)
+    resolves the same way regardless of either engine's summation
+    order; non-finite values keep plain-round propagation."""
+    return (
+        f"CASE WHEN isfinite({expr}) THEN"
+        f" CAST(round(CAST({expr} AS DECIMAL(28,6)), {scale}) AS DOUBLE)"
+        f" ELSE round({expr}, {scale}) END"
+    )
+
+
+PRICING_SUMMARY_ORACLE = f"""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                                           AS sum_qty,
-       round(sum(l_extendedprice), 2)                                      AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)                   AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)     AS sum_charge,
-       round(avg(l_quantity), 2)                                           AS avg_qty,
-       round(avg(l_extendedprice), 2)                                      AS avg_price,
-       round(avg(l_discount), 2)                                           AS avg_disc,
-       count(*)                                                            AS count_order
+       {_mr("sum(l_quantity)")}                                           AS sum_qty,
+       {_mr("sum(l_extendedprice)")}                                      AS sum_base_price,
+       {_mr("sum(l_extendedprice * (1 - l_discount))")}                   AS sum_disc_price,
+       {_mr("sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))")}     AS sum_charge,
+       {_mr("avg(l_quantity)")}                                           AS avg_qty,
+       {_mr("avg(l_extendedprice)")}                                      AS avg_price,
+       {_mr("avg(l_discount)")}                                           AS avg_disc,
+       count(*)                                                           AS count_order
 FROM lineitem
 WHERE l_shipdate <= timestamp '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
@@ -48,6 +66,14 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: parquet scan with pushed shipdate filter and 7-column pruned
     ReadSchema → partial HashAggregate → Exchange on the two group
     keys → final HashAggregate, all inside whole-stage codegen.
+
+    Money aggregates round through money_round's decimal snap (round 9,
+    duplicate-flood world): a flood of identical rows sums to an exact
+    2-digit midpoint (13 × 95.475 = 1241.175) that plain round(x, 2)
+    resolves by summation-order luck — .17 vs .18 across engines and
+    even across DuckDB runs. The snap is a per-GROUP scalar on the
+    final aggregate (4 rows at any scale), so the scan/shuffle plan is
+    byte-identical.
     """
     li = load(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -55,13 +81,13 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 2).alias("avg_disc"),
+            money_round(F.sum("l_quantity")).alias("sum_qty"),
+            money_round(F.sum("l_extendedprice")).alias("sum_base_price"),
+            money_round(F.sum(disc_price)).alias("sum_disc_price"),
+            money_round(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+            money_round(F.avg("l_quantity")).alias("avg_qty"),
+            money_round(F.avg("l_extendedprice")).alias("avg_price"),
+            money_round(F.avg("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -310,8 +336,8 @@ SELECT l_returnflag,
                   THEN covar_pop(l_quantity, l_extendedprice)
                        / (stddev_pop(l_quantity) * stddev_pop(l_extendedprice))
              END, 6)                                     AS corr_qty_price,
-       round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
-       round(covar_pop(l_quantity, l_discount), 6)       AS covp_qty_disc
+       round(covar_samp(l_quantity, l_extendedprice), 4) + 0.0 AS cov_qty_price,
+       round(covar_pop(l_quantity, l_discount), 6) + 0.0 AS covp_qty_disc
 FROM lineitem
 WHERE isfinite(l_quantity) AND isfinite(l_extendedprice) AND isfinite(l_discount)
 GROUP BY l_returnflag
@@ -322,7 +348,13 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     with pandas describe-level stats [PUB]; here distributed).
     Non-finite measures are filtered explicitly on both engines: one
     NaN/inf blows DuckDB's stddev out of range and poisons every
-    Spark moment with NaN (tests/test_nan_world.py)."""
+    Spark moment with NaN (tests/test_nan_world.py). The covariance
+    columns round through rnd()/+0.0: a CONSTANT column (the
+    duplicate-flood world's 0.05 discount) makes the true covariance
+    exactly 0, and DuckDB's sum-of-products residue rounds to −0.0
+    where Spark's central-moment form gives +0.0 (the standard
+    signed-zero class; variance/stddev columns are mathematically
+    non-negative after round and need no normalizer)."""
     li = load(spark, sf_dir, "lineitem").filter(
         finite("l_quantity") & finite("l_extendedprice") & finite("l_discount")
     )
@@ -331,8 +363,8 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_pop("l_quantity"), 4).alias("sdp_qty"),
         F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
         F.round(_safe_corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_qty_price"),
-        F.round(F.covar_pop("l_quantity", "l_discount"), 6).alias("covp_qty_disc"),
+        rnd(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_qty_price"),
+        rnd(F.covar_pop("l_quantity", "l_discount"), 6).alias("covp_qty_disc"),
     )
 
 

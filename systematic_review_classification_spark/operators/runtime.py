@@ -839,7 +839,11 @@ def rt_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from systematic_review_classification_spark.streaming.helpers import sf_tag
 
-    t = f"li_stats_{sf_tag(sf_dir)}"
+    import os
+
+    # PID-keyed like the other staging roots (concurrent harness
+    # processes must not race on the table's parquet files)
+    t = f"li_stats_{sf_tag(sf_dir)}_{os.getpid()}"
     base = f"/tmp/systematic_review_classification_spark_stats/{t}"
     spark.sql(f"DROP TABLE IF EXISTS {t}")
     shutil.rmtree(base, ignore_errors=True)

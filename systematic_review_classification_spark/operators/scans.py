@@ -25,7 +25,15 @@ from systematic_review_classification_spark.registry import query
 from systematic_review_classification_spark.session import ensure_confs
 from systematic_review_classification_spark.sources.tables import load
 
-IO_ROOT = "/tmp/systematic_review_classification_spark_io"
+# PID-keyed staging root: sink/scan ops stage files here and their
+# oracles read the SAME path (embedded as a literal at oracle-build
+# time — same process, same PID, so the literal is consistent). The
+# PID key makes every write-then-read staging dir concurrency-safe:
+# two harness processes sharing one fixed /tmp path race (one rewrites
+# parquet footers while the other scans them — observed on
+# scan_metadata_cols when a world probe ran beside driver_sim, the
+# same class as round 8's bucketed-table red test).
+IO_ROOT = f"/tmp/systematic_review_classification_spark_io_{os.getpid()}"
 
 
 def _io_dir(sf_dir: str, name: str) -> str:

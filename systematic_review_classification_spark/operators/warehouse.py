@@ -33,7 +33,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from systematic_review_classification_spark.functions.predicates import finite
+from systematic_review_classification_spark.functions.predicates import (
+    finite,
+    money_round,
+)
 from systematic_review_classification_spark.registry import query
 from systematic_review_classification_spark.sources.tables import load
 
@@ -42,7 +45,12 @@ from systematic_review_classification_spark.sources.tables import load
     "wl_q11_partvalue",
     oracle="""
 WITH pv AS (
-  SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_value
+  SELECT l_partkey,
+         CASE WHEN isfinite(sum(l_extendedprice * (1 - l_discount)))
+              THEN CAST(round(CAST(sum(l_extendedprice * (1 - l_discount))
+                                   AS DECIMAL(28,6)), 2) AS DOUBLE)
+              ELSE round(sum(l_extendedprice * (1 - l_discount)), 2)
+         END AS part_value
   FROM lineitem GROUP BY l_partkey),
 tot AS (SELECT sum(part_value) AS total_value FROM pv)
 SELECT pv.l_partkey, pv.part_value
@@ -59,12 +67,15 @@ def wl_q11_partvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
     the global total is a second agg over the *already reduced* 2k-row
     part-value table — NOT a second scan of the fact — broadcast back
     as a 1-row scalar join. Threshold sits at 2x the mean part value,
-    far from any double-ulp tie."""
+    far from any double-ulp tie. part_value rounds through
+    money_round's decimal snap (duplicate-flood catch: a flooded part
+    sums to an exact half-cent, and plain round resolves it by
+    summation-order luck)."""
     li = load(spark, sf_dir, "lineitem")
     pv = li.groupBy("l_partkey").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "part_value"
-        )
+        money_round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        ).alias("part_value")
     )
     tot = pv.agg(F.sum("part_value").alias("total_value"))
     return (

@@ -12,7 +12,10 @@ from pyspark.sql import types as T
 
 from systematic_review_classification_spark.session import ensure_confs
 
-IO_ROOT = "/tmp/systematic_review_classification_spark_stream"
+# PID-keyed for the same reason as operators/scans.IO_ROOT: staged
+# stream sources + checkpoints must not be shared across concurrent
+# harness processes.
+IO_ROOT = f"/tmp/systematic_review_classification_spark_stream_{os.getpid()}"
 
 # events.ts is parquet TIMESTAMP(NANOS). Declaring it TIMESTAMP_NTZ
 # makes the vectorized reader truncate ns -> µs itself — exactly what
