@@ -1115,13 +1115,26 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_exact_substring",
+    # Oracle windows build from EXPLODED (pos, token) rows + a 16-row
+    # window-frame string_agg — NOT list_slice per window: DuckDB
+    # copies a list per slice access (probe: 43 s for slice-only on a
+    # 2 MB doc, the same UnsafeRow.getBinary-style trap Spark's char
+    # kernel had), and the CROSS JOIN UNNEST form duplicates the full
+    # token list into every window row. Element access toks[i] is a
+    # view (0.0 s probe), so the explode is linear; equivalence to the
+    # slice form is probe-verified incl. NULL text and <16-token docs.
     oracle="""
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+tok AS (
+  SELECT doc_id, u.pt.pos AS pos, u.pt.tok AS token
+  FROM t, unnest(list_transform(range(1, len(toks) + 1),
+                 i -> struct_pack(pos := i, tok := toks[i]))) AS u(pt)),
 wins AS (
-  SELECT DISTINCT doc_id,
-         md5(array_to_string(list_slice(toks, i, i + 15), ' ')) AS fp
-  FROM t CROSS JOIN UNNEST(range(1, len(toks) + 1)) AS r(i)
-  WHERE i + 15 <= len(toks)),
+  SELECT DISTINCT doc_id, md5(string_agg(token, ' ') OVER w) AS fp
+  FROM tok
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING)
+  QUALIFY count(*) OVER w = 16),
 rep AS (SELECT fp, min(doc_id) AS rep FROM wins GROUP BY fp)
 SELECT r.rep AS id1, w.doc_id AS id2,
        count(DISTINCT w.fp) AS n_shared_spans
