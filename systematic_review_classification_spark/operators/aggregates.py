@@ -149,47 +149,56 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_rollup",
-    oracle="""
+    oracle=f"""
 SELECT l_returnflag, l_linestatus,
        CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
-       round(sum(l_quantity), 2) AS sum_qty,
+       {_mr("sum(l_quantity)")} AS sum_qty,
        count(*)                  AS n
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals. Money/measure sums go through
+    money_round: super-aggregate cells sum MANY rows, so cancelling
+    (±v) inputs leave a signed FP residue that DuckDB's round keeps as
+    −0.0 nondeterministically across runs (flat-world catch, round 9),
+    and flooded inputs can land the total on an exact coarse-round
+    midpoint — the decimal snap closes both."""
     li = load(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.grouping_id().cast("int").alias("gid"),
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        money_round(F.sum("l_quantity")).alias("sum_qty"),
         F.count(F.lit(1)).alias("n"),
     )
 
 
 @query(
     "agg_cube",
-    oracle="""
+    oracle=f"""
 SELECT o_orderstatus, o_orderpriority,
        CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
-       round(sum(o_totalprice), 2) AS sum_price,
+       {_mr("sum(o_totalprice)")} AS sum_price,
        count(*)                    AS n
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-subsets subtotals; money_round on the measure for the same
+    reason as agg_rollup (the grand-total cell over the flat world's
+    cancelling ±prices minted a run-to-run −0.0 from DuckDB)."""
     o = load(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.grouping_id().cast("int").alias("gid"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        money_round(F.sum("o_totalprice")).alias("sum_price"),
         F.count(F.lit(1)).alias("n"),
     )
 
 
 @query(
     "agg_gsets",
-    oracle="""
+    oracle=f"""
 SELECT o_orderstatus, o_orderpriority,
-       round(sum(o_totalprice), 2) AS sum_price,
+       {_mr("sum(o_totalprice)")} AS sum_price,
        count(*)                    AS n
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
@@ -202,15 +211,17 @@ def agg_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         "o_orderpriority",
     ).agg(
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        # money_round: the () grouping set is agg_cube's grand-total
+        # cell — same −0.0/midpoint exposure
+        money_round(F.sum("o_totalprice")).alias("sum_price"),
         F.count(F.lit(1)).alias("n"),
     )
 
 
 @query(
     "agg_having",
-    oracle="""
-SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spent, count(*) AS n_orders
+    oracle=f"""
+SELECT o_custkey, {_mr("sum(o_totalprice)")} AS total_spent, count(*) AS n_orders
 FROM orders GROUP BY o_custkey
 HAVING sum(o_totalprice) > 1500000 AND count(*) >= 5
 """,
@@ -221,7 +232,7 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.groupBy("o_custkey")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+            money_round(F.sum("o_totalprice")).alias("total_spent"),
             F.count(F.lit(1)).alias("n_orders"),
             F.sum("o_totalprice").alias("_raw_total"),
         )

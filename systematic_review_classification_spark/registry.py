@@ -110,7 +110,14 @@ _PRIORITY: list[str] = [
     # wl_q11_partvalue (was backlog) / agg_stats — duplicate-flood
     #   catches: part_value midpoint snap (money_round) and −0.0 on
     #   a flooded-constant covariance (rnd()/+0.0 on both engines).
-    "wl_q11_partvalue", "agg_stats", "stream_progress",
+    # agg_rollup / agg_cube / agg_gsets / agg_having — money_round on
+    #   the subtotal measures: the flat world's cancelling ±prices
+    #   made DuckDB's grand-total cell round to −0.0 RUN-TO-RUN
+    #   NONDETERMINISTICALLY (caught as an intermittent CI flake this
+    #   round; 12-rep repro pinned it, 0/12 after the snap).
+    "wl_q11_partvalue", "agg_stats",
+    "agg_rollup", "agg_cube", "agg_gsets", "agg_having",
+    "stream_progress",
     "txt_compression_ratio", "sample_seeded", "agg_hll_sketch",
     "wl_theil_sen", "txt_burstiness", "txt_chao1_richness",
     "wl_effective_sample_size", "txt_distinctive_terms", "ml_cascade_cost",
