@@ -28,6 +28,22 @@ def finite(c: Column | str) -> Column:
     return ~F.isnan(col) & (F.abs(col) < F.lit(_INF))
 
 
+def finite_bounded(c: Column | str, bound: float = 9e15) -> Column:
+    """TRUE iff c is finite AND |c| ≤ bound (default 9e15 ≈ 2^53).
+
+    The overflow-world (r9) generalization of :func:`finite`: the NaN
+    world established that ``CAST(NaN AS BIGINT)`` aborts both
+    engines, but a FINITE 1e150 aborts every int-cast bucket/bin/grid
+    expression the same way (Spark ANSI CAST_OVERFLOW; DuckDB
+    Conversion Error) — and past 2^53 a double no longer represents
+    integers exactly, so even a widened BIGINT bucket would be
+    quantization noise. A finite-but-off-grid value is the same
+    corrupt class as NaN: no bin on both engines. Oracle mirror:
+    ``isfinite(x) AND abs(x) <= 9e15``."""
+    col = F.col(c) if isinstance(c, str) else c
+    return finite(col) & (F.abs(col) <= F.lit(bound))
+
+
 def rnd(c: Column | str, scale: int = 6) -> Column:
     """Round to ``scale`` digits AND normalize IEEE −0.0 to +0.0.
 
@@ -77,15 +93,79 @@ def money_round(c: Column | str, scale: int = 2) -> Column:
 
 
 def finite_array(c: Column | str) -> Column:
-    """TRUE iff c is a non-NULL array whose every element is finite.
+    """TRUE iff c is a non-NULL, NON-EMPTY array whose every element
+    is non-NULL and finite.
 
     The vector-hygiene twin of ``finite``: MLlib vector ops abort on
     non-finite components ('Vector values MUST NOT be NaN or
     Infinity') and NPE on NULL arrays, so every embedding-consuming
     operator filters rows through this before ``array_to_vector`` —
     a corrupt vector is corrupt input, never a job abort. All-lambda
-    higher-order form: stays JVM-side codegen, no Python."""
+    higher-order form: stays JVM-side codegen, no Python.
+
+    Empty arrays are corrupt too (ragged-vector world, round 9): a
+    zero-length embedding has no norm, no quantization scale, and no
+    dot product, and DuckDB's ``list_reduce`` ERRORS on an empty list
+    (Spark's ``F.aggregate`` quietly returns the init value — a
+    cross-engine abort asymmetry, not just a wrong value). NULL
+    *elements* inside an otherwise healthy array (a schema-drifted
+    upstream) are the same class: ``forall`` requires each element
+    non-NULL and finite. Mirror in oracle SQL with
+    :data:`CLEAN_VEC_SQL` on the same column."""
     col = F.col(c) if isinstance(c, str) else c
-    return col.isNotNull() & F.forall(
-        col, lambda x: x.isNotNull() & finite(x.cast("double"))
+    return (
+        col.isNotNull()
+        & (F.size(col) > 0)
+        & F.forall(col, lambda x: x.isNotNull() & finite(x.cast("double")))
+    )
+
+
+def clean_vec_sql(col: str = "embedding") -> str:
+    """DuckDB WHERE fragment mirroring :func:`finite_array` exactly.
+
+    Interpolated into every embedding-family oracle so both engines
+    reject the same corrupt vectors (NULL array, empty array, NULL /
+    NaN / inf element) BEFORE any ``list_reduce``/``list_transform``
+    math — DuckDB's ``list_reduce`` errors on empty input and its
+    ``CAST(nan AS BIGINT)`` aborts, so the guard cannot be applied
+    after the arithmetic."""
+    return (
+        f"({col} IS NOT NULL AND len({col}) > 0 AND "
+        f"len(list_filter({col}, x -> x IS NULL OR NOT isfinite(x::DOUBLE))) = 0)"
+    )
+
+
+def dominant_dim_only(df, col: str = "embedding"):
+    """Filter ``df`` to rows whose ``col`` has the corpus's dominant
+    (modal) dimension — ties broken to the SMALLEST dimension so the
+    choice is total and engine-independent.
+
+    Dimension-uniformity twin of :func:`finite_array` for operators
+    whose math requires one global dim (MLlib fit/transform NPEs on
+    mixed vector sizes; a numpy GEMM can't stack ragged rows). A
+    ragged row is corrupt input from a schema-drifted producer —
+    dropped, never a job abort. Scale shape: one map-side-combinable
+    count over ``size(col)`` (bytes shuffled ∝ #distinct dims, not
+    rows) and a broadcast single-row join — no driver collect of
+    vectors, safe at any corpus size. Mirror in oracle SQL with
+    :func:`modal_dim_sql`."""
+    dim = (
+        df.groupBy(F.size(col).alias("_dim"))
+        .count()
+        .orderBy(F.desc("count"), F.asc("_dim"))
+        .limit(1)
+        .select("_dim")
+    )
+    return df.join(F.broadcast(dim), F.size(col) == F.col("_dim")).drop("_dim")
+
+
+def modal_dim_sql(col: str = "embedding", table: str = "embeddings") -> str:
+    """DuckDB predicate fragment mirroring :func:`dominant_dim_only`:
+    keeps rows whose ``len(col)`` equals the modal length over the
+    CLEAN rows of ``table`` (same clean filter, same smallest-dim
+    tie-break)."""
+    clean = clean_vec_sql(col)
+    return (
+        f"len({col}) = (SELECT _d FROM (SELECT len({col}) AS _d, count(*) AS _c "
+        f"FROM {table} WHERE {clean} GROUP BY 1 ORDER BY _c DESC, _d LIMIT 1))"
     )

@@ -348,16 +348,32 @@ def fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_map",
     oracle="""
 SELECT event_id,
-       CAST(props ->> '$.k' AS INTEGER)     AS k_val,
-       len(json_keys(props))                            AS n_keys,
-       array_to_string(list_sort(json_keys(props)), ',') AS key_list
+       CASE WHEN json_valid(props) THEN
+         (CASE WHEN json_type(props) = 'OBJECT'
+               THEN TRY_CAST(props ->> '$.k' AS INTEGER) END) END AS k_val,
+       CASE WHEN json_valid(props) THEN
+         (CASE WHEN json_type(props) = 'OBJECT'
+               THEN len(json_keys(props)) END) END AS n_keys,
+       CASE WHEN json_valid(props) THEN
+         (CASE WHEN json_type(props) = 'OBJECT'
+               THEN array_to_string(list_sort(json_keys(props)), ',') END) END AS key_list
 FROM events WHERE event_id < 500
 """,
 )
 def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map functions: parse the JSON props column into map<string,int>
     and operate on it (element_at / map_keys / size). Oracle reads the
-    same values through DuckDB's JSON path functions."""
+    same values through DuckDB's JSON path functions.
+
+    Malformed-JSON world (r9): a 100 TB event stream ships truncated /
+    garbage / non-object props. Spark's from_json PERMISSIVE-NULLs
+    them; the oracle mirrors with json_valid + json_type OBJECT guards
+    (DuckDB's json functions ERROR on malformed input — lazy nested
+    CASE keeps them unevaluated), and the value cast is try_cast on
+    both engines (ANSI CAST of a non-numeric prop value aborts the
+    job). Duplicate-key objects are OUT of the cross-engine contract
+    (RFC 8259 leaves them unspecified; DuckDB keeps both keys where
+    Spark's map dedups) — the world pins abort-safety only there."""
     ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 500)
     # map<string,STRING>, value cast after lookup: typing the whole
     # map as int makes from_json return NULL for the ENTIRE map the
@@ -370,7 +386,7 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         # try_element_at: ANSI element_at throws on a missing map key,
         # but the oracle's ->> returns NULL — and general corpora have
         # heterogeneous props
-        F.try_element_at(m, F.lit("k")).cast("int").alias("k_val"),
+        F.try_element_at(m, F.lit("k")).try_cast("int").alias("k_val"),
         F.size(F.map_keys(m)).cast("bigint").alias("n_keys"),
         F.array_join(F.sort_array(F.map_keys(m)), ",").alias("key_list"),
     )
@@ -380,15 +396,24 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_json",
     oracle="""
 SELECT event_id,
-       props ->> '$.k'                          AS k_str,
-       CAST(props ->> '$.k' AS INTEGER)         AS k_int,
-       CAST(props ->> '$.missing' AS VARCHAR)   AS absent,
-       CAST(props ->> '$.k' AS INTEGER) % 10    AS k_bucket
+       CASE WHEN json_valid(props) THEN props ->> '$.k' END AS k_str,
+       CASE WHEN json_valid(props)
+            THEN TRY_CAST(props ->> '$.k' AS INTEGER) END AS k_int,
+       CASE WHEN json_valid(props)
+            THEN CAST(props ->> '$.missing' AS VARCHAR) END AS absent,
+       CASE WHEN json_valid(props)
+            THEN TRY_CAST(props ->> '$.k' AS INTEGER) % 10 END AS k_bucket
 FROM events WHERE event_id < 500
 """,
 )
 def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON extraction: get_json_object / from_json-to-struct paths."""
+    """JSON extraction: get_json_object / from_json-to-struct paths.
+
+    Malformed-JSON world (r9): Spark's get_json_object/from_json
+    return NULL on malformed or wrong-typed input; DuckDB's ->> path
+    ERRORS on malformed JSON and its ANSI CAST aborts on a non-numeric
+    value — the oracle mirrors Spark's null-on-bad-input semantics
+    with json_valid guards and TRY_CAST."""
     ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 500)
     k_struct = F.from_json(F.col("props"), "struct<k:int>")
     return ev.select(

@@ -168,7 +168,7 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_id, event_type, round(value, 2) AS value_r,
        CAST(floor(value / 100) AS BIGINT) AS value_bucket
-FROM events WHERE value > 100 AND isfinite(value)
+FROM events WHERE value > 100 AND isfinite(value) AND abs(value) <= 9e15
 """,
 )
 def udf_map_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -180,9 +180,16 @@ def udf_map_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
 
         for pdf in batches:
-            # finite only: floor(inf).astype(int64) would crash the
-            # worker — one poisoned double must never abort the batch
-            keep = pdf[(pdf["value"] > 100) & np.isfinite(pdf["value"])]
+            # finite AND on-grid only (|x| <= 9e15, the finite_bounded
+            # policy — overflow world r9): floor(inf).astype(int64)
+            # would crash the worker, and a FINITE 1e150 silently
+            # wraps to INT64_MIN garbage under numpy's astype — one
+            # poisoned double must never abort OR corrupt the batch
+            keep = pdf[
+                (pdf["value"] > 100)
+                & np.isfinite(pdf["value"])
+                & (pdf["value"].abs() <= 9e15)
+            ]
             yield pd.DataFrame(
                 {
                     "event_id": keep["event_id"],

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from systematic_review_classification_spark.functions.predicates import (
     finite,
+    finite_bounded,
     money_round,
     rnd,
 )
@@ -515,12 +516,12 @@ def agg_approx_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_histogram",
     oracle="""
-SELECT CAST(floor((l_extendedprice - 900) / 5000) AS INTEGER) AS bucket,
+SELECT CAST(floor((l_extendedprice - 900) / 5000) AS BIGINT) AS bucket,
        count(*)                        AS n,
        round(min(l_extendedprice), 2)  AS lo,
        round(max(l_extendedprice), 2)  AS hi
-FROM lineitem WHERE isfinite(l_extendedprice)
-GROUP BY CAST(floor((l_extendedprice - 900) / 5000) AS INTEGER)
+FROM lineitem WHERE isfinite(l_extendedprice) AND abs(l_extendedprice) <= 9e15
+GROUP BY CAST(floor((l_extendedprice - 900) / 5000) AS BIGINT)
 """,
 )
 def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -528,11 +529,13 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns: bucket = floor((x - lo) / width), one map-side-combined
     groupBy, O(buckets) output no matter the input size. floor of a
     shared double expression is exact across engines (no rounding
-    boundary: floor is not round). A non-finite value has no bucket —
-    floor(inf) overflows the ANSI int cast and aborts the job — so the
-    input is finite-filtered identically on both engines."""
-    li = load(spark, sf_dir, "lineitem").filter(finite("l_extendedprice"))
-    bucket = F.floor((F.col("l_extendedprice") - 900) / 5000).cast("int")
+    boundary: floor is not round). A non-finite OR off-grid value
+    (|x| > 9e15, finite_bounded — overflow world r9) has no bucket —
+    floor(inf)'s and floor(1e150)'s casts both abort the job — so the
+    input is filtered identically on both engines; the bucket index
+    is BIGINT so every in-grid value has a representable bucket."""
+    li = load(spark, sf_dir, "lineitem").filter(finite_bounded("l_extendedprice"))
+    bucket = F.floor((F.col("l_extendedprice") - 900) / 5000).cast("bigint")
     return li.groupBy(bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.min("l_extendedprice"), 2).alias("lo"),

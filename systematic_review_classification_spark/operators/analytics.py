@@ -27,7 +27,7 @@ from systematic_review_classification_spark.functions.ranks import (
     global_prefix_sum,
     global_rank,
 )
-from systematic_review_classification_spark.functions.predicates import finite, rnd
+from systematic_review_classification_spark.functions.predicates import finite, finite_bounded, rnd
 from systematic_review_classification_spark.registry import query
 from systematic_review_classification_spark.sources.tables import load
 
@@ -1029,7 +1029,7 @@ WITH s AS (
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ia,
          CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ib
   FROM events WHERE event_type IN ('purchase', 'click')
-    AND isfinite(value)),
+    AND isfinite(value) AND abs(value) <= 9e15),
 pts AS (SELECT g, CAST(sum(ia) AS BIGINT) AS ca, CAST(sum(ib) AS BIGINT) AS cb
         FROM s GROUP BY g),
 tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM pts),
@@ -1050,10 +1050,11 @@ def wl_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-axis discipline as wl_vocab_growth; grid width trades
     resolution, never scalability. Both CDFs come from ONE scan
     (conditional partial sums), the supremum is a plain max."""
-    # finite values only: floor(NaN/inf)'s ANSI bigint cast aborts,
-    # and a non-finite value has no position on the ECDF grid anyway
+    # finite AND on-grid values only (finite_bounded, overflow world
+    # r9): floor(NaN)'s bigint cast aborts, and a finite 1e150's
+    # overflows it too — neither has a position on the ECDF grid
     ev = load(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("purchase", "click") & finite("value")
+        F.col("event_type").isin("purchase", "click") & finite_bounded("value")
     )
     s = ev.select(
         F.floor("value").cast("bigint").alias("g"),
@@ -1944,11 +1945,11 @@ def graph_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "wl_psi_drift",
     oracle="""
 WITH s AS (
-  SELECT CAST(floor(value / 50) AS INTEGER) AS bin,
+  SELECT CAST(floor(value / 50) AS BIGINT) AS bin,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ia,
          CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ib
   FROM events WHERE event_type IN ('purchase', 'click')
-    AND isfinite(value)),
+    AND isfinite(value) AND abs(value) <= 9e15),
 b AS (SELECT bin, CAST(sum(ia) AS DOUBLE) AS ca, CAST(sum(ib) AS DOUBLE) AS cb
       FROM s GROUP BY bin),
 t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM b),
@@ -1971,13 +1972,15 @@ def wl_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-bin aggregate — the KS statistic's (wl_ks_test)
     practitioner sibling, cheaper to monitor because no CDF ordering
     is needed."""
-    # finite values only: floor(inf/50)'s ANSI int cast aborts the
-    # job, and a non-finite score has no bin on the monitoring grid
+    # finite AND on-grid values only (finite_bounded, overflow world
+    # r9): floor(inf/50)'s int cast aborts, and so does a FINITE
+    # 1e150's — a non-finite or off-grid score has no bin on the
+    # monitoring grid; bin is BIGINT so every in-grid value fits
     ev = load(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("purchase", "click") & finite("value")
+        F.col("event_type").isin("purchase", "click") & finite_bounded("value")
     )
     s = ev.select(
-        F.floor(F.col("value") / 50).cast("int").alias("bin"),
+        F.floor(F.col("value") / 50).cast("bigint").alias("bin"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("ia"),
         F.when(F.col("event_type") == "click", 1).otherwise(0).alias("ib"),
     )

@@ -25,6 +25,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from systematic_review_classification_spark.functions.predicates import (
+    clean_vec_sql,
+    finite_array,
+)
 from systematic_review_classification_spark.registry import query
 from systematic_review_classification_spark.sources.tables import load
 
@@ -426,7 +430,7 @@ WITH e AS (SELECT * FROM (
        SELECT vec_id, label, embedding::DOUBLE[] AS v,
               sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
                                (x, y) -> x + y)) AS nn
-       FROM embeddings) WHERE nn > 0),
+       FROM embeddings WHERE {CLEAN_VEC}) WHERE nn > 0),
 pairs AS (
   SELECT a.vec_id AS id1, b.vec_id AS id2,
          round(list_reduce(list_transform(list_zip(a.v, b.v), q -> q[1] * q[2]), (x, y) -> x + y)
@@ -434,14 +438,19 @@ pairs AS (
   FROM e a JOIN e b
     ON a.label = b.label AND a.vec_id < b.vec_id AND a.vec_id % 10 = 0)
 SELECT id1, id2, cos_sim FROM pairs WHERE cos_sim >= 0.3
-""",
+""".replace("{CLEAN_VEC}", clean_vec_sql("embedding")),
 )
 def dedup_embed_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: semantic dedup - blocked
     (label block + probe stride) pairwise cosine with a similarity
     floor. At 100 TB the block comes from LSH buckets (sim_ann_lsh) or
-    IVF cells; the pairwise core is this exact plan."""
-    e = load(spark, sf_dir, "embeddings").select(
+    IVF cells; the pairwise core is this exact plan.
+    Hygiene (ragged-vector world r9): finite_array drops NULL/empty/
+    poisoned vectors on both engines — a NaN norm passes bare > 0
+    under NaN-is-greatest, then `NaN >= 0.3` is FALSE on Spark but
+    TRUE on DuckDB; mixed-dim pairs yield NULL cos_sim and fail the
+    threshold identically on both."""
+    e = load(spark, sf_dir, "embeddings").filter(finite_array("embedding")).select(
         "vec_id", "label", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v")
     )
     # per-vector norms computed BEFORE the join (per pair they would
@@ -752,7 +761,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH chunks AS (
   SELECT doc_id, cs AS chunk_start, substring(text, cs, 256) AS chunk
-  FROM documents, unnest(range(1, greatest(n_chars - 56, 1) + 1, 200)) AS u(cs)),
+  FROM documents, unnest(range(1, greatest(length(text) - 56, 1) + 1, 200)) AS u(cs)),
 fps AS (SELECT doc_id, chunk_start, md5(chunk) AS fp FROM chunks),
 keep AS (SELECT fp,
                 min(struct_pack(d := doc_id, c := chunk_start)) AS keep_key,
@@ -805,13 +814,16 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines."""
     d = load(spark, sf_dir, "documents")
     blocks = F.regexp_extract_all(F.col("text"), F.lit(r"[\s\S]{1,200}"), F.lit(0))
-    b = d.select("doc_id", "n_chars", F.col("text").isNotNull().alias("has_text"),
-                 blocks.alias("blocks"))
+    b = d.select("doc_id", F.col("text").isNotNull().alias("has_text"),
+                 blocks.alias("blocks"),
+                 F.length("text").cast("long").alias("_tlen"))
+    # window count from length(text), never the n_chars METADATA: a
+    # row claiming 4e18 chars would size a 2e16-window sequence and
+    # abort the executor (overflow world, r9) — work sizing comes
+    # from the data being sized, identically on both engines
     n_windows = (
         F.lit(1)
-        + F.floor(
-            (F.greatest(F.col("n_chars") - 56, F.lit(1).cast("long")) - 1) / 200
-        )
+        + F.floor((F.greatest(F.col("_tlen") - 56, F.lit(1).cast("long")) - 1) / 200)
     ).cast("int")
     fp_structs = F.transform(
         F.sequence(F.lit(1), n_windows),
@@ -955,7 +967,7 @@ WITH e AS (SELECT * FROM (
        SELECT vec_id, label, embedding::DOUBLE[] AS v,
               sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
                                (x, y) -> x + y)) AS nn
-       FROM embeddings) WHERE nn > 0),
+       FROM embeddings WHERE {CLEAN_VEC}) WHERE nn > 0),
 pairs AS (
   SELECT a.vec_id AS id1, b.vec_id AS id2
   FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -966,7 +978,7 @@ deg AS (
     SELECT id1 AS node FROM pairs UNION ALL SELECT id2 AS node FROM pairs) n
   GROUP BY node)
 SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
-""",
+""".replace("{CLEAN_VEC}", clean_vec_sql("embedding")),
 )
 def dedup_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate graph degree histogram — the planning report
@@ -978,7 +990,7 @@ def dedup_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     UDF), each edge charged to both endpoints via a 2-row explode,
     then two chained hash aggs. The pair join is bounded by block
     size; everything after it is linear in edges."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").filter(finite_array("embedding"))
     e = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
     norm = F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
     e = e.withColumn("nrm", norm).filter(F.col("nrm") > 0)

@@ -16,6 +16,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from systematic_review_classification_spark.functions.predicates import (
+    clean_vec_sql,
+    finite_array,
+)
 from systematic_review_classification_spark.functions.ranks import global_prefix_sum, global_rank
 from systematic_review_classification_spark.registry import query
 from systematic_review_classification_spark.sources.tables import load
@@ -1071,14 +1075,14 @@ e AS (SELECT * FROM (
        SELECT vec_id, embedding::DOUBLE[] AS v,
               sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
                                (a, b) -> a + b)) AS nn
-       FROM embeddings) WHERE nn > 0),
+       FROM embeddings WHERE {clean_vec_sql("embedding")}) WHERE nn > 0),
 qv AS (SELECT v AS q, nn AS qn FROM e WHERE vec_id = 0),
 es AS (
   SELECT e.vec_id AS doc_id,
          round(list_reduce(list_transform(list_zip(e.v, qv.q), p -> p[1] * p[2]),
                            (a, b) -> a + b)
                / (e.nn * qv.qn), 6) AS cos
-  FROM e, qv WHERE e.vec_id <> 0),
+  FROM e, qv WHERE e.vec_id <> 0 AND len(e.v) = len(qv.q)),
 esr AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS r FROM es),
 fused AS (
   SELECT coalesce(b.doc_id, v.doc_id) AS doc_id,
@@ -1136,7 +1140,10 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     bmr = global_rank(
         bm, F.round("s", 6).desc(), F.col("doc_id"), rank_col="r"
     ).select("doc_id", "r")
-    e = load(spark, sf_dir, "embeddings").select(
+    # clean vectors only (ragged-vector world r9): a NaN norm passes
+    # bare > 0 under NaN-is-greatest and ranks divergently; empty
+    # arrays error DuckDB's list_reduce; dims must match the query's
+    e = load(spark, sf_dir, "embeddings").filter(finite_array("embedding")).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     nn = F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
@@ -1152,6 +1159,7 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     es = (
         e.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(qv))
+        .filter(F.size("v") == F.size("q"))
         .select(
             F.col("vec_id").alias("doc_id"),
             F.round(dot / (F.col("nn") * F.col("qn")), 6).alias("cos"),

@@ -25,30 +25,47 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from systematic_review_classification_spark.functions.ranks import global_rank
-from systematic_review_classification_spark.functions.predicates import finite
+from systematic_review_classification_spark.functions.predicates import (
+    clean_vec_sql,
+    dominant_dim_only,
+    finite,
+    finite_array,
+    finite_bounded,
+    rnd,
+)
 from systematic_review_classification_spark.registry import query
 from systematic_review_classification_spark.sources.tables import load
 
 # Deterministic "scored classifier output" twin used by the eval suite:
 # truth = (label >= 5), score = rounded component sum of the embedding.
 # (Metric math is exercised identically regardless of model quality.)
-_SCORED_SQL = """
+# Corrupt vectors (NULL/empty array, NULL/NaN/inf element) are dropped
+# on BOTH engines before the fold — a NaN score would rank
+# nondeterministically (NaN sorts greatest on both engines but
+# compares FALSE on Spark and TRUE on DuckDB under >=), and DuckDB's
+# list_reduce ERRORS outright on an empty list (ragged-vector world,
+# round 9).
+_SCORED_SQL = f"""
 scored AS (
   SELECT vec_id,
          CAST(label >= 5 AS INTEGER) AS y,
-         round(list_reduce(embedding::DOUBLE[], (a, b) -> a + b), 6) AS score
+         round(list_reduce(embedding::DOUBLE[], (a, b) -> a + b), 6) + 0.0 AS score
   FROM embeddings
+  WHERE {clean_vec_sql("embedding")}
 )
 """
+# score carries the +0.0 signed-zero snap: an all--0.0 vector folds to
+# -0.0 under DuckDB's init-less list_reduce but +0.0 under Spark's
+# 0.0-init aggregate (ragged-vector world, r9).
 
 
 def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings").filter(finite_array("embedding"))
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     return e.select(
         "vec_id",
         (F.col("label") >= 5).cast("int").alias("y"),
-        F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + x), 6).alias("score"),
+        rnd(F.aggregate(v, F.lit(0.0), lambda a, x: a + x)).alias("score"),
     )
 
 
@@ -674,11 +691,13 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    from systematic_review_classification_spark.functions.predicates import finite_array
-
+    # finite_array rejects NULL/empty/poisoned vectors; the modal-dim
+    # filter drops ragged survivors (MLlib k-means aborts on mixed
+    # vector sizes — ragged-vector world, round 9)
     e = (
-        load(spark, sf_dir, "embeddings")
-        .filter(finite_array("embedding"))
+        dominant_dim_only(
+            load(spark, sf_dir, "embeddings").filter(finite_array("embedding"))
+        )
         .select(
             "vec_id",
             array_to_vector(
@@ -692,7 +711,20 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_distinct = e.agg(F.countDistinct(F.xxhash64("features")).alias("d")).first()["d"]
     if n_distinct < 5:
         return _empty_result(spark, "vec_id long, cluster int")
-    model = KMeans(k=5, seed=42, maxIter=20).fit(e)
+    # fit on DISTINCT vectors with UNIFORM (random) init, transform
+    # the full relation. k-means||'s cost-weighted sampling is the
+    # fragile part: one astronomical-magnitude vector (3e38 — finite,
+    # passes every hygiene filter) makes every other point's sampling
+    # probability ~1e-77, init finds < k centers, and the fit ABORTS
+    # with an AIOOBE in the aggregator (ragged-vector world r9;
+    # reproduced with and without duplicate collapse). Uniform init
+    # over the distinct set is magnitude-oblivious and one pass
+    # cheaper at scale; dropDuplicates keeps duplicate floods from
+    # electing coincident centers. Predictions for every row come
+    # from the transform, so output rows are unchanged.
+    model = KMeans(k=5, seed=42, maxIter=20, initMode="random").fit(
+        e.dropDuplicates(["features"])
+    )
     return model.transform(e).select("vec_id", F.col("prediction").alias("cluster"))
 
 
@@ -716,7 +748,7 @@ SELECT CAST(floor(score * 2) AS BIGINT) AS bin,
        count(*) AS n,
        round(avg(score), 6) AS mean_score,
        round(avg(CAST(y AS DOUBLE)), 6) AS pos_rate
-FROM scored WHERE isfinite(score)
+FROM scored WHERE isfinite(score) AND abs(score) <= 9e15
 GROUP BY CAST(floor(score * 2) AS BIGINT)
 """,
 )
@@ -731,10 +763,13 @@ def ml_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials, the same plan at sf0.01 and at 100 TB. Quantile bins,
     when wanted, come from approx_percentile cutpoints broadcast as a
     literal array (see agg_median_pct), still sort-free. A corrupt
-    (non-finite) score has no calibration bin — floor(NaN)'s ANSI
-    bigint cast aborts the job — so scores are finite-filtered
-    identically on both engines."""
-    s = _scored(spark, sf_dir).filter(finite("score"))
+    (non-finite) OR off-grid (|score| > 9e15, finite_bounded) score
+    has no calibration bin — floor(NaN)'s ANSI bigint cast aborts the
+    job, and a finite-but-astronomical score (one 3e38-component
+    vector sums past any int64 bin index — ragged-vector world r9)
+    aborts it the same way — so scores are filtered identically on
+    both engines."""
+    s = _scored(spark, sf_dir).filter(finite_bounded("score"))
     bin_col = F.floor(F.col("score") * 2).cast("bigint")
     return s.groupBy(bin_col.alias("bin")).agg(
         F.count(F.lit(1)).alias("n"),
@@ -818,11 +853,12 @@ def ml_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import PCA
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    from systematic_review_classification_spark.functions.predicates import finite_array
-
+    # clean + modal-dim: the Gramian pass aborts on ragged vectors
+    # (ragged-vector world, round 9)
     e = (
-        load(spark, sf_dir, "embeddings")
-        .filter(finite_array("embedding"))
+        dominant_dim_only(
+            load(spark, sf_dir, "embeddings").filter(finite_array("embedding"))
+        )
         .select(
             "vec_id",
             array_to_vector(

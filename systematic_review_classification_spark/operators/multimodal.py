@@ -75,27 +75,43 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 REAL_DECODE = False
 
 
-def real_decode_px(blob) -> tuple[int, float | None]:
-    """Real image decode: blob bytes → greyscale pixel stats via PIL.
+def _make_real_decode_px():
+    """Factory for the real-codec kernel, so :func:`make_decoder` can
+    bind a NESTED copy that cloudpickle serializes BY VALUE. The
+    module-level :func:`real_decode_px` (same object, built once below)
+    would pickle as a module-attribute REFERENCE, making every shipped
+    decode closure silently require this package on the Python workers
+    — the exact opposite of make_decoder's ships-by-value contract
+    (caught by the round-9 probe worlds: any driver whose cwd isn't
+    the repo root lost the module on the worker and the whole query
+    aborted with ModuleNotFoundError)."""
 
-    Only reached with :data:`REAL_DECODE` = True and requires Pillow on
-    the workers (optional dependency — not in the default environment;
-    the ImportError propagates loudly rather than silently falling back
-    to the deterministic fake, so a deployment that flips the switch
-    without shipping the codec fails visibly, not wrongly). Greyscale
-    conversion makes n_px = width × height regardless of source mode,
-    and the mean uses the same half-away 1e-6 rounding as the fake
-    branch."""
-    import io
+    def real_decode_px(blob) -> tuple[int, float | None]:
+        """Real image decode: blob bytes → greyscale pixel stats via PIL.
 
-    import numpy as np
-    from PIL import Image  # optional dependency, import inside the task
+        Only reached with :data:`REAL_DECODE` = True and requires Pillow
+        on the workers (optional dependency — not in the default
+        environment; the ImportError propagates loudly rather than
+        silently falling back to the deterministic fake, so a deployment
+        that flips the switch without shipping the codec fails visibly,
+        not wrongly). Greyscale conversion makes n_px = width × height
+        regardless of source mode, and the mean uses the same half-away
+        1e-6 rounding as the fake branch."""
+        import io
 
-    img = Image.open(io.BytesIO(bytes(blob)))
-    px = np.asarray(img.convert("L"), dtype=np.int64).ravel()
-    if px.size == 0:
-        return 0, None
-    return int(px.size), float(np.floor(px.mean() * 1e6 + 0.5) / 1e6)
+        import numpy as np
+        from PIL import Image  # optional dependency, import inside the task
+
+        img = Image.open(io.BytesIO(bytes(blob)))
+        px = np.asarray(img.convert("L"), dtype=np.int64).ravel()
+        if px.size == 0:
+            return 0, None
+        return int(px.size), float(np.floor(px.mean() * 1e6 + 0.5) / 1e6)
+
+    return real_decode_px
+
+
+real_decode_px = _make_real_decode_px()
 
 
 @query(
@@ -134,8 +150,17 @@ def make_decoder(real: bool):
     at plan-build time (driver-side): the returned closure is
     cloudpickled by value, so the flag travels with the task instead of
     being re-read from a fresh module import in the Python worker —
-    a module-level function would silently decode with the default."""
+    a module-level function would silently decode with the default.
+
+    SELF-CONTAINED by construction: every function the kernel calls is
+    nested (pickled by value), so the task runs on workers that do NOT
+    have this package importable — referencing the module-level
+    real_decode_px would pickle a module-attribute reference and abort
+    the whole query with ModuleNotFoundError on any cluster whose
+    Python workers lack the package (round-9 probe-world catch)."""
     import numpy as np
+
+    real_px = _make_real_decode_px() if real else None
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -148,7 +173,7 @@ def make_decoder(real: bool):
                     rows.append((doc_id, None, None))
                     continue
                 if real:
-                    rows.append((doc_id, *real_decode_px(blob)))
+                    rows.append((doc_id, *real_px(blob)))
                     continue
                 chars = bytes(blob).decode("utf-8")
                 px = np.array([ord(c) for c in chars], dtype=np.int64)
@@ -167,7 +192,7 @@ def make_decoder(real: bool):
     oracle="""
 WITH f AS (
   SELECT doc_id, text,
-         unnest(range(0, CAST(floor(n_chars / 16) AS BIGINT), 4)) AS frame_idx
+         unnest(range(0, CAST(floor(length(text) / 16) AS BIGINT), 4)) AS frame_idx
   FROM documents)
 SELECT doc_id, frame_idx,
        md5(substring(text, CAST(frame_idx * 16 + 1 AS INTEGER), 16)) AS frame_md5
@@ -178,9 +203,14 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'Video' frame sampling: slice the byte stream into 16-byte
     frames, keep every 4th — sequence + explode + substring, all
     JVM-side. The shape generalizes to real container formats once a
-    demuxer UDF replaces the fixed-width slicing."""
+    demuxer UDF replaces the fixed-width slicing.
+
+    Frame count derives from the PAYLOAD (length(text)), never the
+    n_chars metadata: a lying 4e18 metadata row would size a
+    6e16-frame sequence and abort the executor (overflow world, r9) —
+    exactly the header-vs-payload mismatch a real demuxer guards."""
     d = load(spark, sf_dir, "documents")
-    n_frames = F.floor(F.col("n_chars") / 16).cast("bigint")
+    n_frames = F.floor(F.length("text") / 16).cast("bigint")
     # upper bound clamped to 0: a sub-16-char document has n_frames = 0
     # and sequence(0, -1, 4) throws; the clamp emits a spurious frame 0
     # that the frame_idx < n_frames filter drops (oracle's range(0,0,4)

@@ -311,9 +311,12 @@ def sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_variant",
     oracle="""
 SELECT event_id,
-       json_extract(props, '$.k')::INTEGER AS k,
-       json(props)::VARCHAR AS canonical,
-       (json_extract(props, '$.missing') IS NULL) AS missing_is_null
+       CASE WHEN json_valid(props)
+            THEN TRY_CAST(json_extract(props, '$.k') AS INTEGER) END AS k,
+       CASE WHEN json_valid(props)
+            THEN coalesce(json(props)::VARCHAR, 'null') END AS canonical,
+       CASE WHEN json_valid(props)
+            THEN (json_extract(props, '$.missing') IS NULL) END AS missing_is_null
 FROM events
 """,
 )
@@ -328,13 +331,26 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     bind paths lazily — shredded variant subcolumns make repeated
     json_extract string-parsing (the oracle's form) unnecessary. The
     parse happens in ONE projection here and all three consumers read
-    the shared variant column; everything is a codegen'd intrinsic."""
+    the shared variant column; everything is a codegen'd intrinsic.
+
+    Malformed-JSON world (r9): parse is try_parse_json — a truncated
+    or garbage props row becomes a NULL variant (all three outputs
+    NULL, mirrored by the oracle's json_valid guard) instead of
+    aborting the ingest; the typed extraction is try_variant_get /
+    TRY_CAST (a string-valued k is data, not a crash). Duplicate-key
+    and beyond-double-range JSON stay OUT of the value contract
+    (unspecified by RFC 8259; engines legitimately disagree) — the
+    world pins abort-safety only for those."""
     ev = load(spark, sf_dir, "events")
-    return ev.select("event_id", F.parse_json("props").alias("v")).select(
+    v = F.try_parse_json("props")
+    return ev.select("event_id", v.alias("v")).select(
         "event_id",
-        F.variant_get("v", "$.k", "int").alias("k"),
+        F.try_variant_get("v", "$.k", "int").alias("k"),
         F.to_json("v").alias("canonical"),
-        F.variant_get("v", "$.missing", "string").isNull().alias("missing_is_null"),
+        F.when(
+            F.col("v").isNotNull(),
+            F.try_variant_get("v", "$.missing", "string").isNull(),
+        ).alias("missing_is_null"),
     )
 
 

@@ -14,7 +14,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from systematic_review_classification_spark.functions.predicates import finite, finite_array
+from systematic_review_classification_spark.functions.predicates import (
+    clean_vec_sql,
+    dominant_dim_only,
+    finite,
+    finite_array,
+    modal_dim_sql,
+    rnd,
+)
 from systematic_review_classification_spark.registry import query
 from systematic_review_classification_spark.sources.tables import load
 
@@ -34,7 +41,8 @@ def _norm(a):
 @query(
     "sim_cosine_topk",
     oracle="""
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE {CLEAN_VEC}),
 n AS (SELECT * FROM (
         SELECT vec_id, label, v,
                sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nn
@@ -44,12 +52,13 @@ pairs AS (
   SELECT p.vec_id AS id1, c.vec_id AS id2,
          round(list_reduce(list_transform(list_zip(p.v, c.v), q -> q[1] * q[2]), (a, b) -> a + b)
                / (p.nn * c.nn), 6) AS cos_sim
-  FROM probes p JOIN n c ON p.label = c.label AND p.vec_id <> c.vec_id)
+  FROM probes p JOIN n c ON p.label = c.label AND p.vec_id <> c.vec_id
+                        AND len(p.v) = len(c.v))
 SELECT id1, id2, cos_sim, rn FROM (
   SELECT *, row_number() OVER (PARTITION BY id1 ORDER BY cos_sim DESC, id2) AS rn
   FROM pairs)
 WHERE rn <= 3
-""",
+""".replace("{CLEAN_VEC}", clean_vec_sql("embedding")),
 )
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked brute-force cosine top-k: probe set ⋈ candidates within
@@ -57,8 +66,14 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ranking uses the rounded similarity + id tie-break → deterministic.
     Zero-norm vectors (all-zero embeddings — padding/failed encodes in
     a real corpus) are excluded up front: their cosine is undefined,
-    and under ANSI mode the division would abort the whole job."""
-    e = load(spark, sf_dir, "embeddings").select(
+    and under ANSI mode the division would abort the whole job.
+    Corrupt vectors (NULL/empty array, NULL/NaN/inf element) are
+    excluded by finite_array — NaN norms pass a bare ``> 0`` on both
+    engines (NaN-is-greatest) and then rank divergently — and pairs
+    join only across EQUAL dimensions (a ragged row's dot product is
+    undefined; zip padding would smuggle NULL similarities into the
+    top-k). Ragged-vector world, round 9."""
+    e = load(spark, sf_dir, "embeddings").filter(finite_array("embedding")).select(
         "vec_id", "label", _dbl(F.col("embedding")).alias("v")
     )
     # norms are computed per VECTOR before the join, not per pair —
@@ -73,7 +88,10 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("v2"), _norm(F.col("v")).alias("n2"),
     ).filter(F.col("n2") > 0)
     pairs = probes.join(
-        cand, (F.col("l1") == F.col("l2")) & (F.col("id1") != F.col("id2"))
+        cand,
+        (F.col("l1") == F.col("l2"))
+        & (F.col("id1") != F.col("id2"))
+        & (F.size("v1") == F.size("v2")),
     ).select(
         "id1",
         "id2",
@@ -101,34 +119,34 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expression (WHEN branches genuinely guard in codegen) means no
     # UDF anywhere in the reordered plan ever receives NULL; the _ok
     # filter then drops the sentinel rows from every result. The
-    # sentinel's length follows the ROW's own array (NULL-embedding
-    # rows fall back to the corpus's real dimension, measured once
-    # driver-side — NOT a hardcoded 64, ADVICE r7+r8): a hash UDF
-    # evaluated on a wrong-dim sentinel before the _ok filter would
-    # recreate exactly the dimension-mismatch abort the sentinel
-    # exists to prevent. The same one-row aggregate also yields the
-    # clean-row count, so the empty-relation guard costs no extra scan.
+    # corpus dimension is the MODAL size over clean rows (smallest-dim
+    # tie-break — same total order as dominant_dim_only): a clean but
+    # RAGGED row (8-dim in a 16-dim corpus, ragged-vector world r9) is
+    # corrupt input too, sentinel-substituted and dropped by _ok, so
+    # the hash UDF only ever sees modal-dim vectors. One tiny
+    # per-dimension count aggregate (bytes ∝ #distinct dims) yields
+    # the modal dim AND the empty-relation guard in one scan.
     clean = finite_array("embedding")
     raw = load(spark, sf_dir, "embeddings")
-    stats = raw.agg(
-        F.max(F.when(clean, F.size("embedding"))).alias("dim"),
-        F.count(F.when(clean, F.lit(1))).alias("n_ok"),
-    ).first()
+    dim_rows = (
+        raw.filter(clean).groupBy(F.size("embedding").alias("d")).count().collect()
+    )
     # BRP-LSH fit() derives its random projections from the input dim
     # and aborts on an empty relation — zero candidates is the honest
     # degenerate answer
-    if stats["n_ok"] == 0:
+    if not dim_rows:
         return spark.createDataFrame([], "id1 long, id2 long, l2_dist double")
-    sentinel_len = F.coalesce(F.size("embedding"), F.lit(int(stats["dim"])))
+    modal = min(dim_rows, key=lambda r: (-r["count"], r["d"]))["d"]
+    ok = clean & (F.size("embedding") == F.lit(int(modal)))
     e = (
         raw.select(
             "vec_id",
             array_to_vector(
-                F.when(clean, _dbl(F.col("embedding"))).otherwise(
-                    F.array_repeat(F.lit(0.0), sentinel_len)
+                F.when(ok, _dbl(F.col("embedding"))).otherwise(
+                    F.array_repeat(F.lit(0.0), F.lit(int(modal)))
                 )
             ).alias("vec"),
-            clean.alias("_ok"),
+            ok.alias("_ok"),
         )
         .filter(F.col("_ok"))
         .drop("_ok")
@@ -169,10 +187,15 @@ def sim_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT vec_id,
-       round(sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)), 6) AS l2,
-       round(v[1] / nullif(sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)), 0), 6) AS unit_first,
-       round(v[1] * 2 + 1, 6)  AS scaled_first,
-       round(list_reduce(v, (a, b) -> a + b), 6) AS comp_sum
+       round(CASE WHEN len(v) = 0 THEN 0.0
+             ELSE sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b))
+             END, 6) AS l2,
+       round(v[1] / nullif(CASE WHEN len(v) = 0 THEN 0.0
+             ELSE sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b))
+             END, 0), 6) + 0.0 AS unit_first,
+       round(v[1] * 2 + 1, 6) + 0.0 AS scaled_first,
+       round(CASE WHEN len(v) = 0 THEN 0.0
+             ELSE list_reduce(v, (a, b) -> a + b) END, 6) + 0.0 AS comp_sum
 FROM e
 """,
 )
@@ -180,16 +203,30 @@ def mm_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-column math: L2 norm, normalization, affine scale,
     component sum — all higher-order functions, zero Python. A
     zero-norm vector normalizes to NULL (undefined direction) rather
-    than aborting the job under ANSI division."""
+    than aborting the job under ANSI division.
+
+    Per-ROW math, so corrupt vectors are PRESERVED with propagated
+    NULL/degenerate stats instead of being dropped (unlike the
+    pairwise/MLlib family): an empty array has norm 0 and component
+    sum 0 on both engines (the oracle's len=0 CASE guards DuckDB's
+    list_reduce, which ERRORS on empty input where Spark's aggregate
+    returns the init), its first element is NULL via try_element_at
+    (plain element_at ABORTS under ANSI — ragged-vector world r9),
+    and NaN/inf elements flow through IEEE semantics identically."""
     e = load(spark, sf_dir, "embeddings")
     v = _dbl(F.col("embedding"))
     n = _norm(v)
+    first = F.try_element_at(v, F.lit(1))
+    # unit_first / comp_sum are zero-able derived doubles → rnd()'s
+    # signed-zero snap (an all--0.0 vector folds to -0.0 under
+    # DuckDB's init-less list_reduce but +0.0 under Spark's 0.0-init
+    # aggregate); l2 is sqrt-nonnegative, plain round
     return e.select(
         "vec_id",
         F.round(n, 6).alias("l2"),
-        F.round(F.element_at(v, 1) / F.nullif(n, F.lit(0.0)), 6).alias("unit_first"),
-        F.round(F.element_at(v, 1) * 2 + 1, 6).alias("scaled_first"),
-        F.round(F.aggregate(v, F.lit(0.0), lambda s, x: s + x), 6).alias("comp_sum"),
+        rnd(first / F.nullif(n, F.lit(0.0))).alias("unit_first"),
+        rnd(first * 2 + 1).alias("scaled_first"),
+        rnd(F.aggregate(v, F.lit(0.0), lambda s, x: s + x)).alias("comp_sum"),
     )
 
 
@@ -280,7 +317,8 @@ WITH e AS (SELECT * FROM (
        SELECT vec_id, embedding::DOUBLE[] AS v,
               sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
                                (a, b) -> a + b)) AS nn
-       FROM embeddings) WHERE nn > 0 AND isfinite(nn)),
+       FROM embeddings
+       WHERE {CLEAN_VEC} AND {MODAL_DIM}) WHERE nn > 0 AND isfinite(nn)),
 probes AS (SELECT * FROM e WHERE vec_id < 100),
 pairs AS (
   SELECT p.vec_id AS id1, c.vec_id AS id2,
@@ -291,7 +329,9 @@ SELECT id1, id2, cos_sim, rn FROM (
   SELECT *, row_number() OVER (PARTITION BY id1 ORDER BY cos_sim DESC, id2) AS rn
   FROM pairs)
 WHERE rn <= 3
-""",
+""".replace("{CLEAN_VEC}", clean_vec_sql("embedding")).replace(
+        "{MODAL_DIM}", modal_dim_sql("embedding", "embeddings")
+    ),
 )
 def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT global cosine top-k with NO natural blocks: distributed
@@ -314,9 +354,12 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     B = 8
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", _dbl(F.col("embedding")).alias("v")
-    )
+    # clean + MODAL-DIM rows only: np.stack cannot stack ragged rows,
+    # so a single 8-dim vector in a 16-dim corpus would abort every
+    # task whose block it lands in (ragged-vector world, round 9)
+    e = dominant_dim_only(
+        load(spark, sf_dir, "embeddings").filter(finite_array("embedding"))
+    ).select("vec_id", _dbl(F.col("embedding")).alias("v"))
     # zero-norm AND non-finite vectors out before the GEMM: numpy
     # would emit NaN rows (0/0, inf-inf) that rank nondeterministically
     # vs the oracle — note NaN > 0 is TRUE under both engines'
@@ -375,7 +418,8 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-  FROM embeddings),
+  FROM embeddings
+  WHERE {CLEAN_VEC}),
 m AS (
   SELECT vec_id, e,
          list_aggregate(e, 'min') AS mn,
@@ -383,14 +427,14 @@ m AS (
   FROM v)
 SELECT vec_id,
        CAST(len(e) AS INTEGER) AS n_dims,
-       round(mn, 6) AS vmin,
-       round(mx, 6) AS vmax,
+       round(mn, 6) + 0.0 AS vmin,
+       round(mx, 6) + 0.0 AS vmax,
        CAST(CASE WHEN mx = mn THEN 0
             ELSE list_sum(list_transform(e,
                  x -> CAST(floor((x - mn) * 255.0 / (mx - mn)) AS BIGINT)))
             END AS BIGINT) AS qsum
 FROM m
-""",
+""".replace("{CLEAN_VEC}", clean_vec_sql("embedding")),
 )
 def mm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector int8-range quantization (the storage/serving format
@@ -402,9 +446,15 @@ def mm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic (both engines then run the same IEEE ops in the same
     order), the bucket index uses floor — identical everywhere —
     rather than round (whose half-way tie rule differs by engine),
-    and the checksum sums bigints, so it is order-independent."""
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    and the checksum sums bigints, so it is order-independent.
+    Corrupt vectors are dropped on both engines: a NaN element makes
+    mx NaN on both, but then DuckDB's CAST(floor(NaN) AS BIGINT)
+    ABORTS where Spark's branch logic may not reach it, and an empty
+    array ERRORS DuckDB's list math (ragged-vector world, r9)."""
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .filter(finite_array("embedding"))
+        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
     )
     mn, mx = F.array_min("v"), F.array_max("v")
     q = F.transform(
@@ -413,11 +463,13 @@ def mm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     qsum = F.when(mx == mn, F.lit(0)).otherwise(
         F.aggregate(q, F.lit(0).cast("bigint"), lambda s, x: s + x)
     )
+    # vmin/vmax through rnd()'s signed-zero snap: an all--0.0 vector's
+    # extrema are -0.0 on DuckDB, +0.0 after Spark's round (r9)
     return e.select(
         "vec_id",
         F.size("v").alias("n_dims"),
-        F.round(mn, 6).alias("vmin"),
-        F.round(mx, 6).alias("vmax"),
+        rnd(mn).alias("vmin"),
+        rnd(mx).alias("vmax"),
         qsum.cast("bigint").alias("qsum"),
     )
 
@@ -661,7 +713,8 @@ def wl_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ml_knn_classify",
     oracle="""
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE {CLEAN_VEC}),
 n AS (SELECT * FROM (
         SELECT vec_id, label, v,
                sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nn
@@ -672,7 +725,7 @@ sims AS (
   SELECT q.vec_id AS qid, q.label AS true_label, c.vec_id AS cid, c.label AS clabel,
          round(list_reduce(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]),
                            (a, b) -> a + b) / (q.nn * c.nn), 9) AS sim
-  FROM q CROSS JOIN c),
+  FROM q CROSS JOIN c WHERE len(q.v) = len(c.v)),
 top AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
         FROM sims),
 votes AS (SELECT qid, true_label, clabel, count(*) AS nv
@@ -683,7 +736,7 @@ pred AS (SELECT qid, true_label, clabel AS pred_label,
 SELECT qid AS vec_id, true_label, pred_label,
        CASE WHEN pred_label = true_label THEN 1 ELSE 0 END AS correct
 FROM pred WHERE pr = 1
-""",
+""".replace("{CLEAN_VEC}", clean_vec_sql("embedding")),
 )
 def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN classifier (k=3, cosine, majority vote with deterministic
@@ -694,8 +747,12 @@ def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaced by sim_ivf_topk's cell-blocked candidates and this exact
     vote tail is unchanged. Similarities rank on a 9-dp rounding so
     both engines cut identical neighbor sets; votes tie-break to the
-    smallest label."""
-    e = load(spark, sf_dir, "embeddings").select(
+    smallest label.
+    Hygiene (ragged-vector world r9): corrupt vectors dropped via
+    finite_array (a NaN norm passes a bare > 0 on both engines and
+    then ranks divergently); query/candidate pairs join only across
+    equal dimensions (ragged dot products are undefined)."""
+    e = load(spark, sf_dir, "embeddings").filter(finite_array("embedding")).select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
@@ -719,12 +776,16 @@ def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot = F.aggregate(
         F.zip_with("qv", "cv", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
     )
-    sims = c.crossJoin(F.broadcast(q)).select(
-        "qid",
-        "true_label",
-        "cid",
-        "clabel",
-        F.round(dot / (F.col("qn") * F.col("cn")), 9).alias("sim"),
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.size("qv") == F.size("cv"))
+        .select(
+            "qid",
+            "true_label",
+            "cid",
+            "clabel",
+            F.round(dot / (F.col("qn") * F.col("cn")), 9).alias("sim"),
+        )
     )
     from pyspark.sql import Window as W
 
@@ -758,7 +819,11 @@ WITH rr AS (
                    AS BIGINT) AS DOUBLE) / 4294967296.0 - 0.5 AS rv
   FROM (SELECT unnest(range(0, 16)) AS i), (SELECT unnest(range(1, 65)) AS d)),
 r AS (SELECT i, list(rv ORDER BY d) AS rvec FROM rr GROUP BY i),
-e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (SELECT vec_id, v FROM (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+                            (a, b) -> a + b)) AS nn0
+    FROM embeddings WHERE {CLEAN_VEC}) WHERE nn0 > 0),
 proj AS (
   SELECT vec_id, i,
          list_reduce(list_transform(list_zip(v, rvec), p -> p[1] * p[2]),
@@ -782,7 +847,7 @@ SELECT id1, id2,
 FROM cand JOIN ev a ON a.vec_id = id1 JOIN ev b ON b.vec_id = id2
 WHERE list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]),
                   (x, y) -> x + y) / (a.nn * b.nn) >= 0.3
-""",
+""".replace("{CLEAN_VEC}", clean_vec_sql("embedding")),
 )
 def sim_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-projection (SimHash-for-cosine) LSH with PORTABLE
@@ -827,8 +892,17 @@ def sim_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rvec")
         )
     )
-    e = load(spark, sf_dir, "embeddings").select(
+    # clean vectors with a DEFINED DIRECTION only (ragged-vector world
+    # r9): an all-zero/-0.0 vector projects to bkey 0 in every band,
+    # buckets with every other degenerate row, and the verify's
+    # cos = 0/0 ABORTS under ANSI; NaN/empty rows are corrupt input
+    e = load(spark, sf_dir, "embeddings").filter(finite_array("embedding")).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    e = (
+        e.withColumn("_nn0", _norm(F.col("v")))
+        .filter(F.col("_nn0") > 0)
+        .drop("_nn0")
     )
     pr = F.aggregate(
         F.zip_with("v", "rvec", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
@@ -889,7 +963,8 @@ WITH e AS (
     SELECT vec_id, label, embedding::DOUBLE[] AS v,
            sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
                             (a, b) -> a + b)) AS vnorm
-    FROM embeddings) WHERE vnorm > 0),
+    FROM embeddings
+    WHERE {CLEAN_VEC} AND {MODAL_DIM}) WHERE vnorm > 0),
 d AS (
   SELECT label, i, avg(v[i]) AS c
   FROM e CROSS JOIN UNNEST(range(1, len(v) + 1)) AS r(i)
@@ -909,7 +984,9 @@ SELECT item.label,
                / count(*), 6) AS keep_rate,
        round(avg(dot / (vn * cnorm)), 6) AS mean_cos
 FROM item JOIN cn USING (label) GROUP BY item.label
-""",
+""".replace("{CLEAN_VEC}", clean_vec_sql("embedding")).replace(
+        "{MODAL_DIM}", modal_dim_sql("embedding", "embeddings")
+    ),
 )
 def sim_semdedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style SEMANTIC dedup: items too close to their
@@ -930,8 +1007,14 @@ def sim_semdedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     no UDF, no pairwise join, items never shuffle again. Zero-norm
     items are excluded (undefined cosine; ANSI division would abort),
     and a cluster whose centroid cancels to exactly zero drops out
-    whole — both guards mirrored in the oracle."""
-    e = load(spark, sf_dir, "embeddings").select(
+    whole — both guards mirrored in the oracle. Hygiene (ragged-vector
+    world r9): clean + MODAL-DIM rows only — a centroid is undefined
+    over mixed dimensions, and the engines disagree on ragged zips
+    (Spark's zip_with NULL-pads the fold to NULL; SQL's explode-join
+    sum just SKIPS the missing positions)."""
+    e = dominant_dim_only(
+        load(spark, sf_dir, "embeddings").filter(finite_array("embedding"))
+    ).select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),

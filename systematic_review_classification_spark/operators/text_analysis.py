@@ -214,7 +214,7 @@ def txt_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id, cs AS chunk_start,
        substring(text, cs, 256) AS chunk,
        length(substring(text, cs, 256)) AS chunk_len
-FROM documents, unnest(range(1, greatest(n_chars - 56, 1) + 1, 200)) AS u(cs)
+FROM documents, unnest(range(1, greatest(length(text) - 56, 1) + 1, 200)) AS u(cs)
 """,
 )
 def txt_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -230,11 +230,17 @@ def txt_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan whose output co-partitions with its input, and the chunk
     relation inherits parquet pushdown on doc_id/lang filters. A
     tokenizer-aware variant only swaps the offset expression; the
-    plan shape is identical."""
+    plan shape is identical.
+
+    Offsets derive from ``length(text)`` — never the ``n_chars``
+    METADATA column: metadata can lie, and a single row claiming 4e18
+    chars would have sequence() materialize a 2e16-element array and
+    abort the executor (overflow world, r9). Work sizing always comes
+    from the data being sized, identically on both engines."""
     d = load(spark, sf_dir, "documents")
     starts = F.sequence(
         F.lit(1).cast("long"),
-        F.greatest(F.col("n_chars") - 56, F.lit(1).cast("long")),
+        F.greatest(F.length("text").cast("long") - 56, F.lit(1).cast("long")),
         F.lit(200).cast("long"),
     )
     chunk = F.col("text").substr(F.col("chunk_start"), F.lit(256))

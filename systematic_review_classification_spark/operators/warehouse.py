@@ -1608,7 +1608,9 @@ SELECT o_orderkey,
            || CAST(o_orderkey AS VARCHAR)) AS link_order_customer_hk,
        md5(coalesce(CAST(o_orderstatus AS VARCHAR), '') || '|'
            || coalesce(CASE WHEN isfinite(o_totalprice)
-                            THEN CAST(o_totalprice AS VARCHAR) END, '') || '|'
+                             AND abs(o_totalprice) <= 9e13
+                            THEN CAST(CAST(o_totalprice AS DECIMAL(28,2)) AS VARCHAR)
+                       END, '') || '|'
            || coalesce(CAST(o_orderpriority AS VARCHAR), '')) AS order_hashdiff
 FROM orders WHERE o_orderkey <= 1000
 """,
@@ -1620,10 +1622,17 @@ def wl_data_vault_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern that makes warehouse loads idempotent and parallel (any
     loader, any order, same keys; changed attributes surface as a new
     hashdiff without comparing columns). Pure md5 projection, no
-    shuffle; delimiters guard against concatenation ambiguity. The
-    float-to-string rendering of o_totalprice is part of the
-    contract — both engines print doubles identically for these
-    2-decimal values."""
+    shuffle; delimiters guard against concatenation ambiguity.
+
+    The money attribute is rendered through DECIMAL(28,2) — NOT raw
+    double-to-string, which diverges the hashdiff the moment a total
+    reaches 1e7 (Spark switches to scientific '1.0E7' where DuckDB
+    prints '10000000.0'; overflow-world catch, r9). The portable
+    domain is |x| ≤ 9e13: beyond ~2^53/10^scale DuckDB's
+    double→decimal conversion is itself lossy (it scales in double),
+    so larger totals — like non-finite ones — hash as the canonical
+    absent value rather than an engine-dependent rendering. 90
+    trillion with exact cents covers any real ledger line."""
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
     ck = F.col("o_custkey").cast("string")
     ok = F.col("o_orderkey").cast("string")
@@ -1642,13 +1651,17 @@ def wl_data_vault_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(
                 F.coalesce(F.col("o_orderstatus"), F.lit("")),
                 F.lit("|"),
-                # non-finite totals hash as missing: the engines
-                # RENDER them differently ('NaN' vs 'nan'), so a
-                # canonical absent-value is the only portable key
+                # non-finite and beyond-9e13 totals hash as missing:
+                # the engines RENDER them differently ('NaN' vs 'nan';
+                # sci notation at 1e7; lossy double→decimal past
+                # 2^53/100), so the canonical absent-value is the only
+                # portable key; in-domain money renders via the exact
+                # DECIMAL(28,2) string on both engines
                 F.coalesce(
                     F.when(
-                        finite("o_totalprice"),
-                        F.col("o_totalprice").cast("string"),
+                        finite("o_totalprice")
+                        & (F.abs("o_totalprice") <= F.lit(9e13)),
+                        F.col("o_totalprice").cast("decimal(28,2)").cast("string"),
                     ),
                     F.lit(""),
                 ),

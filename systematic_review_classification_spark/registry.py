@@ -103,6 +103,39 @@ _PRIORITY: list[str] = [
     # (c) never-driver-verified oracled backlog — 128 at round-9
     # start, in prior relative order. Verified keys trail in
     # registration order.
+    # (a2) keys changed by the round-9 PROBE-WORLD session (three new
+    # adversarial worlds — ragged/poisoned vectors, overflow
+    # magnitudes, malformed JSON; see tests/test_*_world.py):
+    # - embedding family: clean-vector hygiene (finite_array now
+    #   rejects empty arrays and NULL elements; oracles mirror via
+    #   clean_vec_sql), equal-dim pair joins, modal-dim filters for
+    #   MLlib/GEMM paths, signed-zero snaps on vmin/vmax/score.
+    # - ml_kmeans: uniform (random) init over the distinct vector set
+    #   (k-means|| cost sampling collapses on one astronomical vector).
+    # - fn_json / fn_map / fn_variant: malformed-JSON null-propagation
+    #   on both engines (json_valid guards + TRY casts); duplicate-key
+    #   and beyond-double/int64-range JSON documented out of contract.
+    # - wl_data_vault_keys: hashdiff money rendered via DECIMAL(28,2)
+    #   (raw double→string diverges at 1e7: Spark sci notation).
+    # - finite_bounded policy (|x| <= 9e15): agg_histogram,
+    #   wl_psi_drift, wl_ks_test, udf_map_pandas, ml_calibration —
+    #   finite-but-off-grid values have no bucket on either engine.
+    # - metadata-lie hardening: txt_chunk / dedup_paragraph /
+    #   mm_frame_sample size their sequences from length(text), never
+    #   the n_chars column (value-invariant on the driver corpus:
+    #   n_chars == length(text) for all rows, probe-verified).
+    # NOT re-headed (result-invariant by construction):
+    # mm_decode_stub's kernel now ships fully by value — packaging
+    # only, the decode output is unchanged.
+    "sim_cosine_topk", "sim_rp_lsh", "sim_semdedup_centroid",
+    "sim_bruteforce_topk", "mm_embed_quantize", "mm_vector_norm",
+    "ml_knn_classify", "dedup_embed_cos", "dedup_degree_hist",
+    "sim_hybrid_rrf", "ml_eval_confusion", "ml_eval_prf",
+    "ml_eval_auc", "ml_eval_wss95", "ml_rank_screen",
+    "ml_stop_screening", "ml_calibration", "ml_threshold_at_recall",
+    "fn_json", "fn_map", "fn_variant", "wl_data_vault_keys",
+    "agg_histogram", "wl_psi_drift", "wl_ks_test", "udf_map_pandas",
+    "txt_chunk", "ml_kmeans", "ml_pca",
     "dedup_exact_substring", "dedup_biblio", "src_ris", "sink_ris",
     "dedup_paragraph", "ml_cv", "sim_ann_lsh", "wl_theil_index",
     "join_bucketed", "agg_bucketed_no_shuffle",
