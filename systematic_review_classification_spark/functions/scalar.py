@@ -470,26 +470,31 @@ SELECT l_orderkey, l_linenumber,
        l_linenumber & 5        AS b_and,
        l_linenumber | 9        AS b_or,
        xor(l_linenumber, 3)    AS b_xor,
-       l_linenumber << 2       AS b_shl,
-       l_linenumber >> 1       AS b_shr,
+       CASE WHEN l_linenumber >= 0 THEN l_linenumber << 2 END AS b_shl,
+       CASE WHEN l_linenumber >= 0 THEN l_linenumber >> 1 END AS b_shr,
        ~l_linenumber           AS b_not
 FROM lineitem WHERE l_orderkey < 100
 """,
 )
 def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitwise scalar operators (&, |, ^, shifts, complement) — the
-    flag-mask toolkit (two's-complement semantics agree across
-    engines on INTEGER)."""
+    flag-mask toolkit. Two's-complement semantics agree across
+    engines on INTEGER for &, |, ^ and ~; SHIFTS of a NEGATIVE value
+    do NOT (DuckDB raises Out of Range on `-1 << k` where Spark
+    shifts arithmetically — negative-ID world, r9), so shifts are
+    defined on the non-negative domain and NULL elsewhere, mirrored
+    in the oracle's CASE."""
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
     ln = F.col("l_linenumber")
+    nonneg = ln >= 0
     return li.select(
         "l_orderkey",
         "l_linenumber",
         ln.bitwiseAND(F.lit(5)).alias("b_and"),
         ln.bitwiseOR(F.lit(9)).alias("b_or"),
         ln.bitwiseXOR(F.lit(3)).alias("b_xor"),
-        F.shiftleft(ln, 2).alias("b_shl"),
-        F.shiftright(ln, 1).alias("b_shr"),
+        F.when(nonneg, F.shiftleft(ln, 2)).alias("b_shl"),
+        F.when(nonneg, F.shiftright(ln, 1)).alias("b_shr"),
         F.bitwise_not(ln).alias("b_not"),
     )
 

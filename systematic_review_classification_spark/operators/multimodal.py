@@ -118,13 +118,16 @@ real_decode_px = _make_real_decode_px()
     "mm_decode_stub",
     oracle="""
 WITH chars AS (
-  SELECT doc_id, n_chars,
-         list_transform(string_split(text, ''), c -> ascii(c)) AS codes
+  SELECT doc_id,
+         CASE WHEN length(text) = 0 THEN []::INTEGER[]
+              ELSE list_transform(string_split(text, ''), c -> ascii(c))
+         END AS codes
   FROM documents)
 SELECT doc_id,
        CAST(len(codes) AS BIGINT) AS n_px,
-       round(CAST(list_reduce(codes, (a, b) -> a + b) AS DOUBLE) / len(codes), 6)
-         AS mean_px
+       round(CASE WHEN len(codes) = 0 THEN NULL
+             ELSE CAST(list_reduce(codes, (a, b) -> a + b) AS DOUBLE) / len(codes)
+             END, 6) AS mean_px
 FROM chars
 """,
 )
@@ -177,6 +180,14 @@ def make_decoder(real: bool):
                     continue
                 chars = bytes(blob).decode("utf-8")
                 px = np.array([ord(c) for c in chars], dtype=np.int64)
+                # a zero-byte asset decodes to 0 px / NULL mean — the
+                # same contract as the real branch and the oracle's
+                # len=0 CASE (DuckDB's string_split('', '') yields ['']
+                # where Python's list('') is [] — the empty case must
+                # be explicit on BOTH engines; blank-text world r9)
+                if px.size == 0:
+                    rows.append((doc_id, 0, None))
+                    continue
                 # half-away rounding to match SQL round(): Python's
                 # round() is banker's, and power-of-two pixel counts
                 # put the true mean exactly on 1e-6 midpoints

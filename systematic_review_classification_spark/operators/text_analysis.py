@@ -24,7 +24,8 @@ WITH feats AS (
   SELECT doc_id, lang,
          len(list_filter(string_split(text, ' '), t -> t IN ({_EN_STOP_SQL}))) AS stop_hits,
          len(string_split(text, ' ')) AS n_tok,
-         CAST(len(regexp_extract_all(text, '[aeiou]')) AS DOUBLE) / length(text) AS vowel_ratio
+         CAST(len(regexp_extract_all(text, '[aeiou]')) AS DOUBLE)
+           / nullif(length(text), 0) AS vowel_ratio
   FROM documents)
 SELECT doc_id, lang, stop_hits, round(vowel_ratio, 6) AS vowel_ratio,
        CASE WHEN CAST(stop_hits AS DOUBLE) / n_tok >= 0.05 THEN 'en' ELSE 'unk' END AS pred_lang
@@ -34,11 +35,16 @@ FROM feats
 def txt_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: stopword-hit rate + vowel ratio →
     threshold rule. (A real n-gram profile model drops into the same
-    shape: per-language feature columns + argmax.)"""
+    shape: per-language feature columns + argmax.)
+    An EMPTY (zero-length, non-NULL) document has no vowel ratio —
+    NULL via nullif on both engines rather than an ANSI
+    divide-by-zero abort (blank-text world, r9)."""
     d = load(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(*_EN_STOP)))
-    vowel_ratio = F.regexp_count(F.col("text"), F.lit("[aeiou]")).cast("double") / F.length("text")
+    vowel_ratio = F.regexp_count(F.col("text"), F.lit("[aeiou]")).cast(
+        "double"
+    ) / F.nullif(F.length("text"), F.lit(0))
     return d.select(
         "doc_id",
         "lang",
@@ -751,7 +757,7 @@ WITH flags AS (
               THEN 0 ELSE 1 END AS fail_stop,
          CASE WHEN regexp_matches(text, '[bcdfghjklmnpqrstvwxz]{{5,}}')
                 OR CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
-                   / length(text) > 0.3
+                   / nullif(length(text), 0) > 0.3
               THEN 1 ELSE 0 END AS fail_ocr
   FROM documents)
 SELECT rule, n_failed, n_docs, round(CAST(n_failed AS DOUBLE) / n_docs, 6) AS fail_rate
@@ -785,11 +791,14 @@ def wl_hygiene_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fail_len = F.when(F.col("n_chars") >= 64, 0).otherwise(1)
     fail_stop = F.when(stop_rate >= 0.05, 0).otherwise(1)
+    # nullif denominator: a zero-length (non-NULL) document must not
+    # ANSI-abort the digit-ratio gate (blank-text world, r9) — the
+    # NULL ratio falls through CASE to "not failed" on both engines
     fail_ocr = F.when(
         (F.regexp_count(F.col("text"), F.lit("[bcdfghjklmnpqrstvwxz]{5,}")) > 0)
         | (
             F.regexp_count(F.col("text"), F.lit("[0-9]")).cast("double")
-            / F.length("text")
+            / F.nullif(F.length("text"), F.lit(0))
             > 0.3
         ),
         1,

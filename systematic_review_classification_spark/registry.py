@@ -124,9 +124,18 @@ _PRIORITY: list[str] = [
     #   mm_frame_sample size their sequences from length(text), never
     #   the n_chars column (value-invariant on the driver corpus:
     #   n_chars == length(text) for all rows, probe-verified).
+    # - blank-text world: txt_langid / wl_hygiene_attribution ratio
+    #   denominators NULL via nullif on zero-length text (ANSI abort);
+    #   mm_decode_stub's zero-byte asset is explicit 0 px / NULL mean
+    #   on both engines (DuckDB string_split('','') is [''], Python
+    #   list('') is []).
+    # - negative-ID world: fn_bitwise shifts defined on the
+    #   non-negative domain (DuckDB raises on negative << k).
     # NOT re-headed (result-invariant by construction):
     # mm_decode_stub's kernel now ships fully by value — packaging
     # only, the decode output is unchanged.
+    "txt_langid", "wl_hygiene_attribution", "mm_decode_stub",
+    "fn_bitwise",
     "sim_cosine_topk", "sim_rp_lsh", "sim_semdedup_centroid",
     "sim_bruteforce_topk", "mm_embed_quantize", "mm_vector_norm",
     "ml_knn_classify", "dedup_embed_cos", "dedup_degree_hist",
