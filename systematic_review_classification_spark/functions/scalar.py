@@ -350,6 +350,7 @@ def fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_id,
        CASE WHEN json_valid(props) THEN
          (CASE WHEN json_type(props) = 'OBJECT'
+               AND regexp_matches(trim(props ->> '$.k'), '^[+-]?[0-9]+$')
                THEN TRY_CAST(props ->> '$.k' AS INTEGER) END) END AS k_val,
        CASE WHEN json_valid(props) THEN
          (CASE WHEN json_type(props) = 'OBJECT'
@@ -371,7 +372,11 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     (DuckDB's json functions ERROR on malformed input — lazy nested
     CASE keeps them unevaluated), and the value cast is try_cast on
     both engines (ANSI CAST of a non-numeric prop value aborts the
-    job). Duplicate-key objects are OUT of the cross-engine contract
+    job). Spark's try_cast string→int REJECTS decimal tokens ('3.7' →
+    NULL) where DuckDB's TRY_CAST rounds ('3.7' → 4), so the oracle
+    gates the cast on an integral-token regexp over the trimmed text
+    (probe-verified r10: '+5' → 5, ' 8 ' → 8 agree on both engines).
+    Duplicate-key objects are OUT of the cross-engine contract
     (RFC 8259 leaves them unspecified; DuckDB keeps both keys where
     Spark's map dedups) — the world pins abort-safety only there."""
     ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 500)
@@ -397,12 +402,15 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_id,
        CASE WHEN json_valid(props) THEN props ->> '$.k' END AS k_str,
-       CASE WHEN json_valid(props)
-            THEN TRY_CAST(props ->> '$.k' AS INTEGER) END AS k_int,
+       CASE WHEN json_valid(props) THEN
+         (CASE WHEN json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+               THEN TRY_CAST(props ->> '$.k' AS INTEGER) END) END AS k_int,
        CASE WHEN json_valid(props)
             THEN CAST(props ->> '$.missing' AS VARCHAR) END AS absent,
-       CASE WHEN json_valid(props)
-            THEN TRY_CAST(props ->> '$.k' AS INTEGER) % 10 END AS k_bucket
+       CASE WHEN json_valid(props) THEN
+         (CASE WHEN json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+               THEN TRY_CAST(props ->> '$.k' AS INTEGER) END) END % 10
+         AS k_bucket
 FROM events WHERE event_id < 500
 """,
 )
@@ -413,7 +421,13 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return NULL on malformed or wrong-typed input; DuckDB's ->> path
     ERRORS on malformed JSON and its ANSI CAST aborts on a non-numeric
     value — the oracle mirrors Spark's null-on-bad-input semantics
-    with json_valid guards and TRY_CAST."""
+    with json_valid guards and TRY_CAST. from_json(struct<k:int>) is
+    STRICTLY typed: it NULLs quoted-string numbers ('"7"'), decimals
+    (3.7 AND 7.0), booleans, and beyond-int32 numbers (probe-verified
+    r10) — where DuckDB's bare TRY_CAST(->> ...) would parse '7' → 7
+    and round '3.7' → 4 — so the oracle additionally gates k_int /
+    k_bucket on json_type(props,'$.k') IN ('BIGINT','UBIGINT'), after
+    which TRY_CAST supplies the matching int32-overflow → NULL."""
     ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 500)
     k_struct = F.from_json(F.col("props"), "struct<k:int>")
     return ev.select(

@@ -311,8 +311,15 @@ def sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_variant",
     oracle="""
 SELECT event_id,
-       CASE WHEN json_valid(props)
-            THEN TRY_CAST(json_extract(props, '$.k') AS INTEGER) END AS k,
+       CASE WHEN json_valid(props) THEN
+         (CASE WHEN json_type(props, '$.k') = 'DOUBLE'
+               THEN TRY_CAST(trunc(CAST(props ->> '$.k' AS DOUBLE)) AS INTEGER)
+               WHEN json_type(props, '$.k') = 'VARCHAR'
+               THEN (CASE WHEN regexp_matches(trim(props ->> '$.k'),
+                                              '^[+-]?[0-9]+$')
+                          THEN TRY_CAST(props ->> '$.k' AS INTEGER) END)
+               ELSE TRY_CAST(json_extract(props, '$.k') AS INTEGER) END) END
+         AS k,
        CASE WHEN json_valid(props)
             THEN coalesce(json(props)::VARCHAR, 'null') END AS canonical,
        CASE WHEN json_valid(props)
@@ -337,7 +344,20 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     or garbage props row becomes a NULL variant (all three outputs
     NULL, mirrored by the oracle's json_valid guard) instead of
     aborting the ingest; the typed extraction is try_variant_get /
-    TRY_CAST (a string-valued k is data, not a crash). Duplicate-key
+    TRY_CAST (a string-valued k is data, not a crash); a non-integral
+    DOUBLE k is TRUNCATED by Spark's variant int cast (3.7 → 3) where
+    DuckDB's TRY_CAST rounds (→ 4), so the oracle truncs the DOUBLE
+    json_type branch explicitly, and a STRING-valued k goes through
+    Spark's string→int cast (integral tokens only, '+5' accepted —
+    DuckDB's cast of the QUOTED json_extract lexeme '"+5"' is NULL),
+    mirrored by an integral-token-regexp ->> branch (probe-verified
+    r10: string '7' → 7, 7.0 → 7, true → 1, int32 overflow → NULL
+    agree). Number-lexeme rendering in canonical re-serialization is
+    implementation-defined: Spark's variant prints JCS shortest form
+    ({"k":7} for input 7.0, 100 for 1e2) where DuckDB's json()
+    preserves the source lexeme — integral-double and sci-notation
+    lexemes are OUT of the canonical contract (badjson world's
+    _AMBIGUOUS rows pin abort-safety there). Duplicate-key
     and beyond-double-range JSON stay OUT of the value contract
     (unspecified by RFC 8259; engines legitimately disagree) — the
     world pins abort-safety only for those."""

@@ -25,6 +25,8 @@ from systematic_review_classification_spark.functions.predicates import (
 from systematic_review_classification_spark.registry import query
 from systematic_review_classification_spark.sources.tables import load
 
+_INF = float("inf")
+
 
 def _dbl(col):
     return F.transform(col, lambda x: x.cast("double"))
@@ -430,8 +432,9 @@ SELECT vec_id,
        round(mn, 6) + 0.0 AS vmin,
        round(mx, 6) + 0.0 AS vmax,
        CAST(CASE WHEN mx = mn THEN 0
+            WHEN NOT isfinite(mx - mn) THEN NULL
             ELSE list_sum(list_transform(e,
-                 x -> CAST(floor((x - mn) * 255.0 / (mx - mn)) AS BIGINT)))
+                 x -> CAST(floor((x - mn) / (mx - mn) * 255.0) AS BIGINT)))
             END AS BIGINT) AS qsum
 FROM m
 """.replace("{CLEAN_VEC}", clean_vec_sql("embedding")),
@@ -457,11 +460,20 @@ def mm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
     )
     mn, mx = F.array_min("v"), F.array_max("v")
+    # Normalize BEFORE scaling: (x-mn)/(mx-mn) ∈ [0,1] cannot overflow
+    # when mx-mn is finite, where ((x-mn)*255) hits inf already at
+    # spans > DBL_MAX/255 ≈ 7e305 (r9 advice). The remaining abort
+    # path — finite opposite-sign extrema near DBL_MAX making
+    # mx-mn = inf, so inf/inf = NaN and the BIGINT cast aborts both
+    # engines — gets the explicit isfinite(mx-mn) escape (qsum NULL:
+    # corrupt scale, not a crash), mirroring the mx = mn branch.
     q = F.transform(
-        "v", lambda x: F.floor((x - mn) * 255.0 / (mx - mn)).cast("bigint")
+        "v", lambda x: F.floor((x - mn) / (mx - mn) * 255.0).cast("bigint")
     )
-    qsum = F.when(mx == mn, F.lit(0)).otherwise(
-        F.aggregate(q, F.lit(0).cast("bigint"), lambda s, x: s + x)
+    qsum = (
+        F.when(mx == mn, F.lit(0))
+        .when((mx - mn) == F.lit(_INF), F.lit(None))
+        .otherwise(F.aggregate(q, F.lit(0).cast("bigint"), lambda s, x: s + x))
     )
     # vmin/vmax through rnd()'s signed-zero snap: an all--0.0 vector's
     # extrema are -0.0 on DuckDB, +0.0 after Spark's round (r9)

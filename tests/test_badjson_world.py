@@ -18,6 +18,9 @@ defined, and the engines legitimately disagree:
 - numbers beyond double/int64 interop range: DuckDB renders 1e309 as
   ``Infinity`` and parses 123456789012345678901 as a lossy double;
   Spark's variant keeps the exact decimal.
+- number-LEXEME preservation in re-serialization: Spark's variant
+  prints JCS shortest form (7.0 → ``7``, 1e2 → ``100``), DuckDB's
+  json() keeps the source lexeme (r10).
 Those rows live in _AMBIGUOUS and get the weaker abort-safety check:
 every key must still EVALUATE (null-propagate), never crash.
 """
@@ -47,6 +50,12 @@ _PROPS = [
     '',                              # empty string
     'null',                          # JSON null literal
     '{"k": "str"}',                  # wrong type
+    '{"k": "7"}',                    # numeric-ish quoted string (r9 advice)
+    '{"k": 3.7}',                    # non-integral number: trunc-vs-round
+    '{"k": -3.2}',                   # negative non-integral number
+    '{"k": "+5"}',                   # signed numeric string
+    '{"k": 2147483648}',             # int64-ok / int32-overflow number
+    '{"k": true}',                   # boolean-valued property
     '{"a": {"b": {"c": {"d": 7}}}}', # deep nesting
     '{"k": "\\u00e9\\ud83d\\ude00"}',  # unicode escapes (é + emoji pair)
     '[1, 2, 3]',                     # array at top level
@@ -59,6 +68,13 @@ _AMBIGUOUS = [
     '{"k": 1, "k": 2}',              # duplicate key
     '{"k": 1e309}',                  # beyond double range
     '{"k": 123456789012345678901}',  # beyond int64 range
+    # number-lexeme rendering in re-serialization (fn_variant's
+    # canonical): Spark's variant prints JCS shortest form ("7", "100")
+    # where DuckDB's json() preserves the source lexeme ("7.0", "1e2").
+    # ECMA-404 doesn't specify number serialization; typed k extraction
+    # still agrees (7.0 → 7 on both, probe-verified r10).
+    '{"k": 7.0}',                    # integral double lexeme
+    '{"k": 1e2}',                    # scientific-notation lexeme
 ]
 
 

@@ -349,3 +349,49 @@ def test_symmetric_series_forecast_negzero_parity(spark, synth_symmetric_events_
         key="wl_linear_forecast@negzero",
     )
     con.close()
+
+
+@pytest.fixture(scope="module")
+def synth_dblmax_span_vec_dir(spark, tmp_path_factory):
+    """Embeddings with a schema drifted to DOUBLE[] carrying finite
+    opposite-sign extrema near DBL_MAX (r9 advice): mx − mn overflows
+    to +inf, so an unguarded affine quantization evaluates inf/inf =
+    NaN and the BIGINT cast aborts BOTH engines. (The driver corpus
+    stores FLOAT32, whose ±3.4e38 span stays finite in double — only
+    a drifted double column reaches this branch, which is why the
+    overflow world's 1e150 single-sign values never did.)"""
+    d = tmp_path_factory.mktemp("synth_dblmax_vecs")
+    import duckdb as _duck
+
+    rows = [
+        (0, [float(i % 5) - 2.0 for i in range(8)], 0),     # healthy
+        (1, [-1.0e308, 1.0e308] + [0.0] * 6, 1),            # inf span
+        (2, [1.0e308, 1.2e308] + [1.0e308] * 6, 0),         # finite huge span
+        (3, [-1.0e308] * 8, 1),                             # mx = mn escape
+    ]
+    con = _duck.connect()
+    con.execute("CREATE TABLE e (vec_id BIGINT, embedding DOUBLE[], label INTEGER)")
+    con.executemany("INSERT INTO e VALUES (?, ?, ?)", rows)
+    con.execute(f"COPY e TO '{d}/embeddings.parquet' (FORMAT PARQUET)")
+    con.close()
+    return str(d)
+
+
+def test_quantize_survives_dblmax_span(spark, synth_dblmax_span_vec_dir):
+    """mm_embed_quantize on the inf-span world: the inf-span row gets
+    qsum NULL (corrupt scale, not a crash), the finite-huge-span row
+    quantizes via the overflow-free (x−mn)/(mx−mn)·255 order, and the
+    flat row takes the mx = mn escape — identically on both engines."""
+    con = _con_for(synth_dblmax_span_vec_dir, "embeddings")
+    compare(
+        QUERIES["mm_embed_quantize"](spark, synth_dblmax_span_vec_dir),
+        con,
+        ORACLES["mm_embed_quantize"],
+        key="mm_embed_quantize@dblmaxspan",
+    )
+    out = {
+        r.vec_id: r.qsum
+        for r in QUERIES["mm_embed_quantize"](spark, synth_dblmax_span_vec_dir).collect()
+    }
+    assert out[1] is None and out[3] == 0 and out[2] is not None
+    con.close()

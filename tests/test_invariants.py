@@ -329,6 +329,12 @@ def test_priority_list_keys_registered():
 
     missing = [k for k in _PRIORITY if k not in QUERIES]
     assert not missing, f"priority list names unregistered keys: {missing}"
+    dupes = sorted({k for k in _PRIORITY if _PRIORITY.count(k) > 1})
+    assert not dupes, (
+        "duplicate keys in priority list (a stale backlog entry would"
+        f" have shadowed the re-headed rank before r10's"
+        f" first-occurrence-wins fix): {dupes}"
+    )
 
 
 def test_compression_ratio_band(spark, sf_dir):
