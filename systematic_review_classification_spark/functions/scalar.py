@@ -350,8 +350,11 @@ def fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_id,
        CASE WHEN json_valid(props) THEN
          (CASE WHEN json_type(props) = 'OBJECT'
-               AND regexp_matches(trim(props ->> '$.k'), '^[+-]?[0-9]+$')
-               THEN TRY_CAST(props ->> '$.k' AS INTEGER) END) END AS k_val,
+               AND regexp_matches(props ->> '$.k',
+                                  '^[\\x00-\\x20]*[+-]?[0-9]+[\\x00-\\x20]*$')
+               THEN TRY_CAST(regexp_replace(props ->> '$.k',
+                      '^[\\x00-\\x20]+|[\\x00-\\x20]+$', '', 'g')
+                    AS INTEGER) END) END AS k_val,
        CASE WHEN json_valid(props) THEN
          (CASE WHEN json_type(props) = 'OBJECT'
                THEN len(json_keys(props)) END) END AS n_keys,
@@ -373,9 +376,13 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     CASE keeps them unevaluated), and the value cast is try_cast on
     both engines (ANSI CAST of a non-numeric prop value aborts the
     job). Spark's try_cast string→int REJECTS decimal tokens ('3.7' →
-    NULL) where DuckDB's TRY_CAST rounds ('3.7' → 4), so the oracle
-    gates the cast on an integral-token regexp over the trimmed text
-    (probe-verified r10: '+5' → 5, ' 8 ' → 8 agree on both engines).
+    NULL) where DuckDB's TRY_CAST rounds ('3.7' → 4), and before
+    parsing Spark trims EXACTLY the ASCII range ≤ 0x20 (including NUL
+    and 0x1F; NOT unicode spaces — NBSP/U+2028 padding stays NULL,
+    probe-verified r10) where DuckDB's cast trims only standard
+    whitespace — so the oracle gates on an integral-token regexp with
+    explicit [\\x00-\\x20] padding and strips that padding before its
+    own TRY_CAST ('+5' → 5, '\\t8\\t' → 8, '\\x00 14' → 14 agree).
     Duplicate-key objects are OUT of the cross-engine contract
     (RFC 8259 leaves them unspecified; DuckDB keeps both keys where
     Spark's map dedups) — the world pins abort-safety only there."""
@@ -547,8 +554,12 @@ def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_orderkey, l_linenumber,
        round(l_extendedprice / (l_linenumber - 3), 4) + 0.0 AS safe_div,
-       TRY_CAST(l_returnflag AS INTEGER)              AS flag_int,
-       TRY_CAST(l_quantity AS INTEGER)                AS qty_int
+       CASE WHEN regexp_matches(l_returnflag,
+                 '^[\\x00-\\x20]*[+-]?[0-9]+[\\x00-\\x20]*$')
+            THEN TRY_CAST(regexp_replace(l_returnflag,
+                   '^[\\x00-\\x20]+|[\\x00-\\x20]+$', '', 'g')
+                 AS INTEGER) END                      AS flag_int,
+       TRY_CAST(trunc(l_quantity) AS INTEGER)         AS qty_int
 FROM lineitem WHERE l_orderkey < 200
 """,
 )
@@ -556,7 +567,15 @@ def fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
     """try_* error-safe functions — ANSI mode makes /0 and bad casts
     runtime ERRORS, so general pipelines over dirty data need the try_
     family (NULL instead of job abort). DuckDB's plain division already
-    yields NULL on /0, and TRY_CAST matches try_cast."""
+    yields NULL on /0. TRY_CAST is NOT a drop-in mirror of try_cast
+    (r10, generalizing the fn_map/fn_variant advice class): Spark's
+    double→int cast TRUNCATES where DuckDB's rounds (oracle truncs
+    explicitly — NaN/inf/overflow still NULL on both), and Spark's
+    string→int parse accepts only integral tokens after trimming
+    exactly ASCII [\\x00-\\x20] (oracle gates + strips the same way;
+    dormant on this corpus's enum flags and integral quantities, but
+    a 100 TB feed will ship '3.7'-shaped strings where the engines
+    disagree by round-vs-NULL)."""
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
     return li.select(
         "l_orderkey",

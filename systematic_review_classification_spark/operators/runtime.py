@@ -315,13 +315,24 @@ SELECT event_id,
          (CASE WHEN json_type(props, '$.k') = 'DOUBLE'
                THEN TRY_CAST(trunc(CAST(props ->> '$.k' AS DOUBLE)) AS INTEGER)
                WHEN json_type(props, '$.k') = 'VARCHAR'
-               THEN (CASE WHEN regexp_matches(trim(props ->> '$.k'),
-                                              '^[+-]?[0-9]+$')
-                          THEN TRY_CAST(props ->> '$.k' AS INTEGER) END)
+               THEN (CASE WHEN regexp_matches(props ->> '$.k',
+                          '^[\\x00-\\x20]*[+-]?[0-9]+[\\x00-\\x20]*$')
+                          THEN TRY_CAST(regexp_replace(props ->> '$.k',
+                                 '^[\\x00-\\x20]+|[\\x00-\\x20]+$', '', 'g')
+                               AS INTEGER) END)
                ELSE TRY_CAST(json_extract(props, '$.k') AS INTEGER) END) END
          AS k,
-       CASE WHEN json_valid(props)
-            THEN coalesce(json(props)::VARCHAR, 'null') END AS canonical,
+       CASE WHEN json_valid(props) THEN
+         (CASE WHEN json_type(props) = 'OBJECT'
+               THEN '{' || coalesce(array_to_string(list_transform(
+                      list_sort(json_keys(props)),
+                      kk -> to_json(kk)::VARCHAR || ':'
+                            || coalesce(json_extract(props, '$."' ||
+                                 replace(replace(kk, '\\', '\\\\'), '"', '\\"')
+                               || '"')::VARCHAR, 'null')),
+                    ','), '') || '}'
+               ELSE coalesce(json(props)::VARCHAR, 'null') END) END
+         AS canonical,
        CASE WHEN json_valid(props)
             THEN (json_extract(props, '$.missing') IS NULL) END AS missing_is_null
 FROM events
@@ -350,14 +361,20 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     json_type branch explicitly, and a STRING-valued k goes through
     Spark's string→int cast (integral tokens only, '+5' accepted —
     DuckDB's cast of the QUOTED json_extract lexeme '"+5"' is NULL),
-    mirrored by an integral-token-regexp ->> branch (probe-verified
-    r10: string '7' → 7, 7.0 → 7, true → 1, int32 overflow → NULL
-    agree). Number-lexeme rendering in canonical re-serialization is
-    implementation-defined: Spark's variant prints JCS shortest form
-    ({"k":7} for input 7.0, 100 for 1e2) where DuckDB's json()
-    preserves the source lexeme — integral-double and sci-notation
-    lexemes are OUT of the canonical contract (badjson world's
-    _AMBIGUOUS rows pin abort-safety there). Duplicate-key
+    mirrored by an integral-token-regexp ->> branch with explicit
+    [\\x00-\\x20] padding — Spark's string cast trims exactly that
+    ASCII range (incl NUL), not unicode spaces (probe-verified r10:
+    string '7' → 7, '\\t8\\t' → 8, 7.0 → 7, true → 1, int32
+    overflow → NULL agree). Canonical re-serialization: Spark's variant SORTS object
+    members (the variant metadata dictionary is ordered for binary
+    search) where DuckDB's json() preserves source order, so the
+    oracle rebuilds top-level objects from list_sort(json_keys) with
+    quoted-path extraction (keys containing '$', quotes, backslashes,
+    or NBSP all probe-verified, ctrl-char world r10); NESTED
+    multi-key objects and number-lexeme rendering remain
+    implementation-defined (Spark prints JCS shortest form — {"k":7}
+    for input 7.0, 100 for 1e2 — DuckDB keeps the source lexeme;
+    badjson world's _AMBIGUOUS rows pin abort-safety). Duplicate-key
     and beyond-double-range JSON stay OUT of the value contract
     (unspecified by RFC 8259; engines legitimately disagree) — the
     world pins abort-safety only for those."""

@@ -73,6 +73,11 @@ _PRIORITY: list[str] = [
     #   isfinite(mx-mn) escape (qsum NULL) on both engines: finite
     #   opposite-sign extrema near DBL_MAX made inf/inf = NaN abort
     #   the BIGINT cast (double-typed schema-drift fixture).
+    # - fn_try — oracle mirrors try_cast exactly instead of bare
+    #   TRY_CAST (same class, found by r10 self-audit): double→int
+    #   truncs, string→int gated on integral tokens with the ASCII
+    #   [\x00-\x20] trim Spark's parser applies (dormant on the enum/
+    #   integral corpus; real on any dirty feed).
     # Also structural (no key semantics changed): the r9 duplicate-
     # entry bug that let fn_variant / wl_data_vault_keys /
     # agg_histogram keep their deep backlog rank (last-occurrence-wins
@@ -88,6 +93,7 @@ _PRIORITY: list[str] = [
     "fn_map",
     "fn_variant",
     "mm_embed_quantize",
+    "fn_try",
     "sample_seeded",
     "agg_hll_sketch",
     "wl_data_vault_keys",
@@ -191,7 +197,6 @@ _PRIORITY: list[str] = [
     "wl_basket_rules",
     "sql_subqueries",
     "fn_explode_outer",
-    "fn_try",
     "wl_clean_corpus",
     "pivot_wide",
     "unpivot_long",

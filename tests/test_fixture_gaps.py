@@ -395,3 +395,60 @@ def test_quantize_survives_dblmax_span(spark, synth_dblmax_span_vec_dir):
     }
     assert out[1] is None and out[3] == 0 and out[2] is not None
     con.close()
+
+
+@pytest.fixture(scope="module")
+def synth_dirty_cast_lineitem_dir(spark, tmp_path_factory):
+    """Lineitem rows whose cast inputs sit exactly on the TRY_CAST /
+    try_cast fault lines (r10): non-integral quantities (Spark's
+    double→int cast truncates, DuckDB's rounds), decimal-token and
+    control-padded returnflag strings (Spark's string parser trims
+    exactly ASCII x00-x20 and accepts integral tokens only)."""
+    d = tmp_path_factory.mktemp("synth_dirty_cast")
+    import duckdb as _duck
+
+    rows = [
+        (1, 1, 1, 1, 10.5, 1000.0, 0.05, 0.02, "N", "O", "1997-03-02"),
+        (2, 2, 2, 2, -3.7, 2000.0, 0.10, 0.04, "3.7", "F", "1997-04-02"),
+        (3, 3, 3, 4, 20.0, 3000.0, 0.00, 0.00, "\t8\t", "O", "1997-05-02"),
+        (4, 4, 4, 5, 0.49, 4000.0, 0.01, 0.01, "\x00 14", "O", "1997-06-02"),
+        (5, 5, 5, 6, 1e15, 5000.0, 0.02, 0.00, "+5", "F", "1997-07-02"),
+        (6, 6, 6, 7, 2.5e9, 6000.0, 0.03, 0.00, " 7 ", "O", "1997-08-02"),
+    ]
+    con = _duck.connect()
+    con.execute(
+        "CREATE TABLE li (l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT,"
+        " l_linenumber INTEGER, l_quantity DOUBLE, l_extendedprice DOUBLE,"
+        " l_discount DOUBLE, l_tax DOUBLE, l_returnflag VARCHAR,"
+        " l_linestatus VARCHAR, l_shipdate TIMESTAMP)"
+    )
+    con.executemany("INSERT INTO li VALUES (?,?,?,?,?,?,?,?,?,?,?)", rows)
+    con.execute(f"COPY li TO '{d}/lineitem.parquet' (FORMAT PARQUET)")
+    con.close()
+    return str(d)
+
+
+def test_try_cast_family_survives_dirty_inputs(spark, synth_dirty_cast_lineitem_dir):
+    """fn_try on the dirty-cast lineitem: truncation vs rounding on
+    non-integral doubles (10.5 → 10, -3.7 → -3), int32 overflow
+    (2.5e9 → NULL), and string tokens Spark's trimAll accepts
+    ('\\t8\\t' → 8, '\\x00 14' → 14, '+5' → 5) or rejects ('3.7' →
+    NULL where a bare DuckDB TRY_CAST would round to 4)."""
+    con = _con_for(synth_dirty_cast_lineitem_dir, "lineitem")
+    compare(
+        QUERIES["fn_try"](spark, synth_dirty_cast_lineitem_dir),
+        con,
+        ORACLES["fn_try"],
+        key="fn_try@dirtycast",
+    )
+    out = {
+        r.l_orderkey: (r.flag_int, r.qty_int)
+        for r in QUERIES["fn_try"](spark, synth_dirty_cast_lineitem_dir).collect()
+    }
+    assert out[1] == (None, 10)
+    assert out[2] == (None, -3)
+    assert out[3] == (8, 20)
+    assert out[4] == (14, 0)
+    assert out[5] == (5, None)
+    assert out[6] == (7, None)
+    con.close()

@@ -784,3 +784,104 @@ def test_doc_ratio_oracles_survive_degenerate_corpora(spark, corpus_dir, corpus)
             assert sp == du, f"[{key}] diverged on degenerate corpus {rows!r}"
     finally:
         con.close()
+
+
+# --- JSON props fuzzing (round 10) ---------------------------------
+# Generalizes the badjson world's fixed rows: the r9/r10 advice cycle
+# showed the JSON cast surface diverges VALUE-BY-VALUE (DuckDB
+# TRY_CAST parses '7' and rounds '3.7' where Spark's typed from_json
+# NULLs both; the variant int cast truncates doubles and accepts '+5'
+# strings), so hypothesis searches the scalar space instead of
+# pinning instances. Generator bounds mirror the documented contract:
+# ints inside int64, floats non-integral in [1e-3, 1e6) (integral-
+# double and sci-notation LEXEMES are out of the canonical contract —
+# JCS vs source-preserving rendering), no duplicate keys, flat
+# objects (nesting is the badjson world's job).
+
+import json as _json
+
+_JSON_SCALARS = st.one_of(
+    st.integers(min_value=-(2**63) + 1, max_value=2**63 - 1),
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False).filter(
+        lambda f: f != int(f) and abs(f) >= 1e-3
+    ),
+    st.booleans(),
+    st.none(),
+    st.sampled_from(
+        ["7", "3.7", "+5", " 8 ", "-12", "abc", "", "０７", "x y", "1e3",
+         # ASCII-control padding: Spark's cast trims exactly \x00-\x20
+         # before parsing (NOT unicode spaces) — the oracle's explicit
+         # padding class must agree on all of these
+         "\t8\t", "\x00 14", "16\x1f", "\x0b12", " 7", "7 "]
+    ),
+)
+
+
+def _dump_props(v, extra, use_k):
+    # extra keys deliberately sort BEFORE and AFTER "k" (and include a
+    # '$'-prefixed and an NBSP-bearing key): Spark's variant sorts
+    # object members on re-serialization where DuckDB preserves source
+    # order, so the oracle's sorted rebuild must hold for any flat
+    # member arrangement, and '$'/quote keys must not bind as paths.
+    doc = {("k" if use_k else "x"): v}
+    for ek in extra:
+        doc[ek] = "s"
+    return _json.dumps(doc, ensure_ascii=False)
+
+
+_EXTRA_KEYS = st.lists(
+    st.sampled_from(["a0", "z2", "$weird", "k spaced", 'q"t']),
+    max_size=3,
+    unique=True,
+)
+
+_PROPS_DOC = st.one_of(
+    st.builds(_dump_props, _JSON_SCALARS, _EXTRA_KEYS, st.booleans()),
+    st.sampled_from(
+        ['{"x": 1}', "[1, 2]", "null", "", "not json", '{"k": 2', "{", None]
+    ),
+)
+_PROPS_LIST = st.lists(_PROPS_DOC, min_size=1, max_size=20)
+
+_JSON_KEYS = ["fn_json", "fn_map", "fn_variant"]
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(props=_PROPS_LIST)
+def test_json_cast_oracles_hold_on_generated_props(spark, corpus_dir, props):
+    """Typed JSON extraction must agree cross-engine for EVERY
+    in-contract scalar shape of props.k: integral/overflowing ints,
+    non-integral doubles (trunc-vs-round), numeric-ish strings
+    (signed, padded, full-width, decimal), bools, JSON null, missing
+    key, and malformed documents."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (i, base + dt.timedelta(hours=i), (i % 3) + 1,
+         ["click", "view", "purchase"][i % 3], 5.0 * (i + 1), p)
+        for i, p in enumerate(props)
+    ]
+    path = str(corpus_dir / "jsoncase")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+    queries, oracles = all_queries(), all_oracles()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{path}/events.parquet/*.parquet')"
+    )
+    try:
+        for key in _JSON_KEYS:
+            sp = canonical_rows(queries[key](spark, path).toPandas())
+            du = canonical_rows(con.execute(oracles[key]).df())
+            assert sp == du, f"[{key}] diverged on generated props {props!r}"
+    finally:
+        con.close()
