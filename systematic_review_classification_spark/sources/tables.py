@@ -51,6 +51,45 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
 _NS_MAGNITUDE_CUTOFF = 10**17
 
 
+# Canonical logical types for every SCALAR numeric column (TESTDATA.md
+# schema). At 100 TB the engine never owns its inputs: upstream
+# re-exports drift to narrower physical widths (pandas int64 → int32
+# when values fit, REAL instead of DOUBLE, smallint lengths). The
+# schema-drift world (tests/test_schemadrift_world.py, round 10)
+# showed width-sensitive code diverges or ABORTS on drifted parquet —
+# hll_sketch_agg rejects SMALLINT input outright, a float32 measure
+# makes round()/comparison semantics engine-dependent (DuckDB rounds
+# REAL in float space, and compares REAL to DECIMAL literals, where
+# Spark widens to double first) — so ``load`` widens any drifted
+# scalar to its canonical type AT INGEST. All widenings are exact
+# (int32 ⊂ int64, float32 ⊂ float64), so on a canonical corpus the
+# cast list is empty and the plan is byte-identical. Vector columns
+# (``embedding``) are deliberately NOT normalized: the whole
+# embedding family casts elements to double before arithmetic (r9
+# convention) and survived the drift world unmodified on a DOUBLE[]
+# column.
+_CANONICAL: dict[str, dict[str, str]] = {
+    "region": {"r_regionkey": "int"},
+    "nation": {"n_nationkey": "int", "n_regionkey": "int"},
+    "supplier": {"s_suppkey": "bigint", "s_nationkey": "int",
+                 "s_acctbal": "double"},
+    "part": {"p_partkey": "bigint", "p_size": "int",
+             "p_retailprice": "double"},
+    "customer": {"c_custkey": "bigint", "c_nationkey": "int",
+                 "c_acctbal": "double"},
+    "orders": {"o_orderkey": "bigint", "o_custkey": "bigint",
+               "o_totalprice": "double"},
+    "lineitem": {"l_orderkey": "bigint", "l_partkey": "bigint",
+                 "l_suppkey": "bigint", "l_linenumber": "int",
+                 "l_quantity": "double", "l_extendedprice": "double",
+                 "l_discount": "double", "l_tax": "double"},
+    "documents": {"doc_id": "bigint", "n_chars": "bigint"},
+    "embeddings": {"vec_id": "bigint", "label": "int"},
+    "events": {"event_id": "bigint", "user_id": "bigint",
+               "value": "double"},
+}
+
+
 def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     """Normalize an events timestamp column to ``timestamp_ntz`` (µs)
     whatever the reader delivered: timestamp/ntz pass through; bigint is
@@ -68,9 +107,22 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one test table; normalizes events.ts to timestamp_ntz(µs)."""
+    """Read one test table; normalizes events.ts to timestamp_ntz(µs)
+    and widens any width-drifted scalar column to its canonical
+    logical type (exact, no-op on a canonical corpus — see
+    ``_CANONICAL``)."""
     ensure_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = normalize_event_ts(df)
+    want = _CANONICAL.get(name)
+    if want:
+        dtypes = dict(df.dtypes)
+        casts = {
+            c: F.col(c).cast(t)
+            for c, t in want.items()
+            if c in dtypes and dtypes[c] != t
+        }
+        if casts:
+            df = df.withColumns(casts)
     return df

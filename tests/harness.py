@@ -91,7 +91,9 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, key: str = "?") 
         raise AssertionError(f"[{key}] value mismatch ({len(diffs)}+ rows differ):\n{msg}")
 
 
-def run_world(spark, world_dir: str, tables, excluded) -> list[tuple[str, str]]:
+def run_world(
+    spark, world_dir: str, tables, excluded, duck_casts=None
+) -> list[tuple[str, str]]:
     """World-sweep runner shared by the tests/test_*_world.py tier.
 
     Runs EVERY registered key against the world's parquet tables and
@@ -105,6 +107,13 @@ def run_world(spark, world_dir: str, tables, excluded) -> list[tuple[str, str]]:
     never been priced at all until round 7). One pass prices the full
     registry per pathological dataset; each world test owns only its
     fixture rows and its documented exclusions.
+
+    ``duck_casts`` — optional {table: {column: DUCK_TYPE}} applied to
+    the oracle views via SELECT * REPLACE, mirroring the ingest-time
+    width normalization the engine's ``load()`` performs (schema-drift
+    world): the driver's own corpus is canonical, so its plain views
+    and the engine agree without casts; a drifted world must present
+    BOTH engines the same widened logical types.
     """
     import duckdb as _duckdb
 
@@ -113,9 +122,16 @@ def run_world(spark, world_dir: str, tables, excluded) -> list[tuple[str, str]]:
     queries, oracles = all_queries(), all_oracles()
     con = _duckdb.connect()
     for t in tables:
+        casts = (duck_casts or {}).get(t)
+        proj = "*"
+        if casts:
+            repl = ", ".join(
+                f"CAST({c} AS {ty}) AS {c}" for c, ty in casts.items()
+            )
+            proj = f"* REPLACE ({repl})"
         con.execute(
             f"CREATE VIEW {t} AS"
-            f" SELECT * FROM read_parquet('{world_dir}/{t}.parquet/*.parquet')"
+            f" SELECT {proj} FROM read_parquet('{world_dir}/{t}.parquet/*.parquet')"
         )
     fails: list[tuple[str, str]] = []
     try:
