@@ -78,6 +78,12 @@ _PRIORITY: list[str] = [
     #   truncs, string→int gated on integral tokens with the ASCII
     #   [\x00-\x20] trim Spark's parser applies (dormant on the enum/
     #   integral corpus; real on any dirty feed).
+    # NOT re-headed (result-invariant by construction): the r10
+    # schema-drift ingest normalization (sources/tables.py _CANONICAL)
+    # touches every key's load() path, but on a canonical corpus the
+    # cast list is empty and the optimized plan is byte-identical
+    # (probe-verified: no Project node) — results can only differ on
+    # width/temporal-drifted parquet, which the driver corpus is not.
     # Also structural (no key semantics changed): the r9 duplicate-
     # entry bug that let fn_variant / wl_data_vault_keys /
     # agg_histogram keep their deep backlog rank (last-occurrence-wins

@@ -63,7 +63,12 @@ _NS_MAGNITUDE_CUTOFF = 10**17
 # Spark widens to double first) — so ``load`` widens any drifted
 # scalar to its canonical type AT INGEST. All widenings are exact
 # (int32 ⊂ int64, float32 ⊂ float64), so on a canonical corpus the
-# cast list is empty and the plan is byte-identical. Vector columns
+# cast list is empty and the plan is byte-identical. Temporal drift
+# is the same class (a DATE-typed order date from a warehouse export,
+# an ISO-string timestamp from a CSV relay): DATE/VARCHAR →
+# timestamp_ntz is deterministic on both engines (midnight / ISO
+# parse), and ``normalize_event_ts`` already owns the events.ts
+# variants (ns/µs bigint and any non-ntz dtype). Vector columns
 # (``embedding``) are deliberately NOT normalized: the whole
 # embedding family casts elements to double before arithmetic (r9
 # convention) and survived the drift world unmodified on a DOUBLE[]
@@ -78,11 +83,13 @@ _CANONICAL: dict[str, dict[str, str]] = {
     "customer": {"c_custkey": "bigint", "c_nationkey": "int",
                  "c_acctbal": "double"},
     "orders": {"o_orderkey": "bigint", "o_custkey": "bigint",
-               "o_totalprice": "double"},
+               "o_totalprice": "double",
+               "o_orderdate": "timestamp_ntz"},
     "lineitem": {"l_orderkey": "bigint", "l_partkey": "bigint",
                  "l_suppkey": "bigint", "l_linenumber": "int",
                  "l_quantity": "double", "l_extendedprice": "double",
-                 "l_discount": "double", "l_tax": "double"},
+                 "l_discount": "double", "l_tax": "double",
+                 "l_shipdate": "timestamp_ntz"},
     "documents": {"doc_id": "bigint", "n_chars": "bigint"},
     "embeddings": {"vec_id": "bigint", "label": "int"},
     "events": {"event_id": "bigint", "user_id": "bigint",

@@ -116,7 +116,8 @@ def world(spark, tmp_path_factory):
     return d
 
 
-_DUCK_TYPES = {"int": "INTEGER", "bigint": "BIGINT", "double": "DOUBLE"}
+_DUCK_TYPES = {"int": "INTEGER", "bigint": "BIGINT", "double": "DOUBLE",
+               "timestamp_ntz": "TIMESTAMP"}
 
 
 def _duck_casts():
@@ -134,3 +135,50 @@ def _duck_casts():
 def test_every_oracled_key_survives_the_schema_drift_world(spark, world):
     fails = run_world(spark, world, _TABLES, EXCLUDED, duck_casts=_duck_casts())
     assert not fails, f"{len(fails)} keys broke on the schema-drift world: {fails}"
+
+
+# --- temporal drift (world B) --------------------------------------
+# The temporal twin of width drift: a warehouse export ships
+# o_orderdate / l_shipdate as DATE (not timestamp) and a CSV relay
+# ships events.ts as ISO VARCHAR. load() widens DATE → timestamp_ntz
+# (midnight) via _CANONICAL and normalize_event_ts owns the ts
+# variants; the oracle views mirror with CAST AS TIMESTAMP.
+
+_TABLES_B = dict(_TABLES)
+_TABLES_B["orders"] = (
+    [(1, 1, "O", 1000.5, dt.date(1997, 3, 1), "1-URGENT"),
+     (2, 2, "F", 2000.5, dt.date(1997, 4, 1), "2-HIGH"),
+     (3, 1, "O", 1500.0, dt.date(1997, 5, 1), "3-MEDIUM")],
+    "o_orderkey int, o_custkey int, o_orderstatus string,"
+    " o_totalprice float, o_orderdate date, o_orderpriority string")
+_TABLES_B["lineitem"] = (
+    [(1, 1, 1, 1, 10.0, 1000.0, 0.05, 0.02, "N", "O", dt.date(1997, 3, 2)),
+     (2, 2, 2, 1, 20.0, 2000.0, 0.10, 0.04, "R", "F", dt.date(1997, 4, 2)),
+     (3, 1, 2, 2, 30.0, 3000.0, 0.00, 0.00, "N", "O", dt.date(1997, 5, 2))],
+    "l_orderkey int, l_partkey int, l_suppkey int, l_linenumber smallint,"
+    " l_quantity float, l_extendedprice float, l_discount float,"
+    " l_tax float, l_returnflag string, l_linestatus string,"
+    " l_shipdate date")
+_TABLES_B["events"] = (
+    [(i, f"2024-03-01 {i % 24:02d}:00:00", (i % 3) + 1,
+      ["click", "view", "purchase"][i % 3], 5.0 * (i + 1), f'{{"k": {i}}}')
+     for i in range(6)],
+    "event_id int, ts string, user_id smallint, event_type string,"
+    " value float, props string")
+
+
+@pytest.fixture(scope="module")
+def world_b(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("schemadrift_world_b"))
+    for t, (rows, schema) in _TABLES_B.items():
+        spark.createDataFrame(rows, schema).write.parquet(f"{d}/{t}.parquet")
+    return d
+
+
+def test_every_oracled_key_survives_the_temporal_drift_world(spark, world_b):
+    casts = _duck_casts()
+    casts.setdefault("orders", {})["o_orderdate"] = "TIMESTAMP"
+    casts.setdefault("lineitem", {})["l_shipdate"] = "TIMESTAMP"
+    casts.setdefault("events", {})["ts"] = "TIMESTAMP"
+    fails = run_world(spark, world_b, _TABLES_B, EXCLUDED, duck_casts=casts)
+    assert not fails, f"{len(fails)} keys broke on the temporal-drift world: {fails}"
