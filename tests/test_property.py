@@ -885,3 +885,63 @@ def test_json_cast_oracles_hold_on_generated_props(spark, corpus_dir, props):
             assert sp == du, f"[{key}] diverged on generated props {props!r}"
     finally:
         con.close()
+
+
+# --- try_cast family fuzzing (round 10) ----------------------------
+# Generalizes the dirty-cast fixture the same way the props fuzz
+# generalizes the badjson world: Spark's try_cast TRUNCATES doubles
+# and accepts only \x00-\x20-padded integral string tokens, and the
+# fn_try oracle claims to mirror both — so hypothesis searches the
+# numeric/token space (including non-finite doubles, int32-overflow
+# magnitudes, and x.5 truncation boundaries).
+
+_QTY = st.one_of(
+    st.floats(allow_nan=True, allow_infinity=True, width=64),
+    st.sampled_from([0.49, -3.7, 10.5, -10.5, 2.5e9, -2.5e9, 1e15,
+                     2147483647.0, 2147483648.0, -2147483649.0]),
+)
+_FLAG = st.sampled_from(
+    ["N", "R", "3.7", "\t8\t", "\x00 14", "+5", " 7 ", "16\x1f",
+     "-0", "007", "abc", "", "２", "1e3", "9999999999999"]
+)
+_LI_ROW = st.tuples(_QTY, _FLAG, st.integers(min_value=1, max_value=7))
+_LI_ROWS = st.lists(_LI_ROW, min_size=1, max_size=20)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(rows=_LI_ROWS)
+def test_try_cast_oracle_holds_on_generated_lineitem(spark, corpus_dir, rows):
+    """fn_try must agree cross-engine for ANY double quantity
+    (truncation, int32 overflow, NaN/inf → NULL) and ANY returnflag
+    token (integral-after-ASCII-trim or NULL)."""
+    import datetime as dt
+
+    li = [
+        (i, i, i, ln, q, 100.0 * (i + 1), 0.05, 0.02, flag, "O",
+         dt.datetime(1997, 3, 2))
+        for i, (q, flag, ln) in enumerate(rows)
+    ]
+    path = str(corpus_dir / "trycastcase")
+    spark.createDataFrame(
+        li,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp_ntz",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/lineitem.parquet")
+
+    queries, oracles = all_queries(), all_oracles()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{path}/lineitem.parquet/*.parquet')"
+    )
+    try:
+        sp = canonical_rows(queries["fn_try"](spark, path).toPandas())
+        du = canonical_rows(con.execute(oracles["fn_try"]).df())
+        assert sp == du, f"[fn_try] diverged on generated lineitem {rows!r}"
+    finally:
+        con.close()
