@@ -945,3 +945,58 @@ def test_try_cast_oracle_holds_on_generated_lineitem(spark, corpus_dir, rows):
         assert sp == du, f"[fn_try] diverged on generated lineitem {rows!r}"
     finally:
         con.close()
+
+
+# --- embedding-vector fuzzing (round 10) ---------------------------
+# The vector twin: fixed fixtures pin zero-norm / cancelling /
+# DBL_MAX-span instances, hypothesis searches the float space —
+# denormals, signed zeros, mixed magnitudes, NaN/inf/NULL elements,
+# ragged and empty vectors — against the row-local vector family
+# (norms, quantization) and the pairwise cosine path.
+
+_ELEM = st.one_of(
+    st.floats(allow_nan=True, allow_infinity=True, width=32),
+    st.sampled_from([0.0, -0.0, 5e-324, -5e-324, 1e38, -1e38, 1.0, -1.0]),
+    st.none(),
+)
+_VEC = st.one_of(
+    st.lists(_ELEM, min_size=0, max_size=8),
+    st.none(),
+)
+_VECS = st.lists(st.tuples(_VEC, st.integers(min_value=0, max_value=1)),
+                 min_size=1, max_size=10)
+
+_VEC_KEYS = ["mm_vector_norm", "mm_embed_quantize", "dedup_embed_cos",
+             "sim_bruteforce_topk"]
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(vecs=_VECS)
+def test_vector_oracles_hold_on_generated_embeddings(spark, corpus_dir, vecs):
+    """Norm / quantization / cosine keys must agree cross-engine for
+    ANY embedding column content: corrupt vectors (NULL, empty, NaN,
+    inf, NULL elements) are dropped identically by the finite_array ↔
+    CLEAN_VEC hygiene pair, and the survivors' math (including
+    denormals and signed zeros) hashes identically."""
+    rows = [(i, v, lbl) for i, (v, lbl) in enumerate(vecs)]
+    path = str(corpus_dir / "veccase")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
+
+    queries, oracles = all_queries(), all_oracles()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{path}/embeddings.parquet/*.parquet')"
+    )
+    try:
+        for key in _VEC_KEYS:
+            sp = canonical_rows(queries[key](spark, path).toPandas())
+            du = canonical_rows(con.execute(oracles[key]).df())
+            assert sp == du, f"[{key}] diverged on generated embeddings {rows!r}"
+    finally:
+        con.close()
