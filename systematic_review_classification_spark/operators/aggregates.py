@@ -347,7 +347,7 @@ SELECT l_returnflag,
                        > 1e-9 * avg(l_extendedprice * l_extendedprice)
                   THEN covar_pop(l_quantity, l_extendedprice)
                        / (stddev_pop(l_quantity) * stddev_pop(l_extendedprice))
-             END, 6)                                     AS corr_qty_price,
+             END, 6) + 0.0                               AS corr_qty_price,
        round(covar_samp(l_quantity, l_extendedprice), 4) + 0.0 AS cov_qty_price,
        round(covar_pop(l_quantity, l_discount), 6) + 0.0 AS covp_qty_disc
 FROM lineitem
@@ -366,7 +366,13 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly 0, and DuckDB's sum-of-products residue rounds to −0.0
     where Spark's central-moment form gives +0.0 (the standard
     signed-zero class; variance/stddev columns are mathematically
-    non-negative after round and need no normalizer)."""
+    non-negative after round and need no normalizer). The CORRELATION
+    column needs the same snap (multi-file scatter world, r10): on a
+    near-uncorrelated group, DuckDB's covar_pop sign flips with file
+    READ ORDER — a scattered 5-part layout summed to a −1e-16 residue
+    where the single-file fixture summed to +1e-16 — so round(,6)
+    minted −0.0 vs Spark's 0.0; order-independence requires the snap
+    wherever the true value can be a signed zero."""
     li = load(spark, sf_dir, "lineitem").filter(
         finite("l_quantity") & finite("l_extendedprice") & finite("l_discount")
     )
@@ -374,7 +380,7 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
         F.round(F.stddev_pop("l_quantity"), 4).alias("sdp_qty"),
         F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
-        F.round(_safe_corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        rnd(_safe_corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
         rnd(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_qty_price"),
         rnd(F.covar_pop("l_quantity", "l_discount"), 6).alias("covp_qty_disc"),
     )
@@ -618,11 +624,11 @@ def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_returnflag,
        CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
-       round(regr_slope(l_extendedprice, l_quantity), 4)      AS slope,
-       round(regr_intercept(l_extendedprice, l_quantity), 4)  AS intercept,
-       round(regr_r2(l_extendedprice, l_quantity), 6)         AS r2,
-       round(regr_avgx(l_extendedprice, l_quantity), 6)       AS avg_x,
-       round(regr_avgy(l_extendedprice, l_quantity), 4)       AS avg_y
+       round(regr_slope(l_extendedprice, l_quantity), 4) + 0.0     AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) + 0.0 AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) + 0.0        AS r2,
+       round(regr_avgx(l_extendedprice, l_quantity), 6) + 0.0      AS avg_x,
+       round(regr_avgy(l_extendedprice, l_quantity), 4) + 0.0      AS avg_y
 FROM lineitem
 WHERE isfinite(l_extendedprice) AND isfinite(l_quantity)
 GROUP BY l_returnflag
@@ -647,11 +653,16 @@ def agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     y, x = F.col("l_extendedprice"), F.col("l_quantity")
     return li.groupBy("l_returnflag").agg(
         F.regr_count(y, x).cast("bigint").alias("n"),
-        F.round(F.regr_slope(y, x), 4).alias("slope"),
-        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
-        F.round(F.regr_r2(y, x), 6).alias("r2"),
-        F.round(F.regr_avgx(y, x), 6).alias("avg_x"),
-        F.round(F.regr_avgy(y, x), 4).alias("avg_y"),
+        # rnd()/+0.0 on every fitted moment (multi-file scatter world,
+        # r10): the slope/intercept numerators are covariance-form
+        # sums whose ~1e-16 residue SIGN follows file read order —
+        # the scattered layout minted a DuckDB −0.0 slope on the
+        # near-flat N group where the single-file order gave +0.0.
+        rnd(F.regr_slope(y, x), 4).alias("slope"),
+        rnd(F.regr_intercept(y, x), 4).alias("intercept"),
+        rnd(F.regr_r2(y, x), 6).alias("r2"),
+        rnd(F.regr_avgx(y, x), 6).alias("avg_x"),
+        rnd(F.regr_avgy(y, x), 4).alias("avg_y"),
     )
 
 

@@ -1901,8 +1901,8 @@ edges AS (SELECT p1 AS src FROM ed UNION ALL SELECT p2 FROM ed),
 deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
 hist AS (SELECT d, CAST(count(*) AS DOUBLE) AS freq FROM deg GROUP BY d)
 SELECT CAST(count(*) AS BIGINT) AS n_degree_levels,
-       round(regr_slope(ln(freq), ln(CAST(d AS DOUBLE))), 6) AS powerlaw_exponent,
-       round(regr_r2(ln(freq), ln(CAST(d AS DOUBLE))), 6) AS r2
+       round(regr_slope(ln(freq), ln(CAST(d AS DOUBLE))), 6) + 0.0 AS powerlaw_exponent,
+       round(regr_r2(ln(freq), ln(CAST(d AS DOUBLE))), 6) + 0.0 AS r2
 FROM hist
 """,
 )
@@ -1932,10 +1932,10 @@ def graph_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = deg.groupBy("d").agg(F.count(F.lit(1)).cast("double").alias("freq"))
     return hist.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_degree_levels"),
-        F.round(F.regr_slope(F.log("freq"), F.log(F.col("d").cast("double"))), 6).alias(
+        rnd(F.regr_slope(F.log("freq"), F.log(F.col("d").cast("double"))), 6).alias(
             "powerlaw_exponent"
         ),
-        F.round(F.regr_r2(F.log("freq"), F.log(F.col("d").cast("double"))), 6).alias(
+        rnd(F.regr_r2(F.log("freq"), F.log(F.col("d").cast("double"))), 6).alias(
             "r2"
         ),
     )
@@ -2516,9 +2516,10 @@ per_grp AS (
   SELECT grp, regr_slope(y, t) AS gslope, CAST(count(*) AS BIGINT) AS n
   FROM x GROUP BY grp)
 SELECT g.grp, g.n,
-       round(g.gslope, 6) AS group_slope,
-       round(p.slope, 6) AS pooled_slope,
-       CASE WHEN sign(g.gslope) <> sign(p.slope) THEN 1 ELSE 0 END AS sign_flip
+       round(g.gslope, 6) + 0.0 AS group_slope,
+       round(p.slope, 6) + 0.0 AS pooled_slope,
+       CASE WHEN sign(round(g.gslope, 6)) <> sign(round(p.slope, 6))
+            THEN 1 ELSE 0 END AS sign_flip
 FROM per_grp g, pooled p
 """,
 )
@@ -2553,11 +2554,15 @@ def wl_simpson_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_grp.join(F.broadcast(pooled)).select(
         "grp",
         "n",
-        F.round("gslope", 6).alias("group_slope"),
-        F.round("slope", 6).alias("pooled_slope"),
-        F.when(F.signum("gslope") != F.signum("slope"), 1).otherwise(0).alias(
-            "sign_flip"
-        ),
+        rnd("gslope", 6).alias("group_slope"),
+        rnd("slope", 6).alias("pooled_slope"),
+        # flag on ROUNDED slopes (multi-file scatter world, r10): a
+        # near-flat group's raw-slope residue SIGN follows file read
+        # order, so signum on the raw value would flip the flag
+        # nondeterministically; ±0.0 compare equal after the round
+        F.when(
+            F.signum(F.round("gslope", 6)) != F.signum(F.round("slope", 6)), 1
+        ).otherwise(0).alias("sign_flip"),
     )
 
 
@@ -3266,8 +3271,8 @@ curve AS (
   SELECT k, CAST(active AS DOUBLE) / base.n0 AS rate
   FROM act, base WHERE k >= 1 AND active > 0)
 SELECT CAST(count(*) AS BIGINT) AS n_points,
-       round(regr_slope(ln(rate), CAST(k AS DOUBLE)), 6) AS decay_slope,
-       round(CASE WHEN regr_slope(ln(rate), CAST(k AS DOUBLE)) < 0
+       round(regr_slope(ln(rate), CAST(k AS DOUBLE)), 6) + 0.0 AS decay_slope,
+       round(CASE WHEN round(regr_slope(ln(rate), CAST(k AS DOUBLE)), 6) < 0
                   THEN ln(2.0) / (-regr_slope(ln(rate), CAST(k AS DOUBLE)))
              END, 6) AS half_life_weeks
 FROM curve
@@ -3303,9 +3308,13 @@ def wl_retention_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope = F.regr_slope(F.log("rate"), F.col("k").cast("double"))
     return curve.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_points"),
-        F.round(slope, 6).alias("decay_slope"),
+        rnd(slope, 6).alias("decay_slope"),
+        # gate on the ROUNDED slope (multi-file scatter world, r10): a
+        # flat curve's raw-slope residue sign follows file read order,
+        # and a −1e-16 residue would mint a ~7e15-week "half-life" on
+        # one engine and NULL on the other
         F.round(
-            F.when(slope < 0, F.log(F.lit(2.0)) / (-slope)), 6
+            F.when(F.round(slope, 6) < 0, F.log(F.lit(2.0)) / (-slope)), 6
         ).alias("half_life_weeks"),
     )
 

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from systematic_review_classification_spark.functions.predicates import (
     finite,
     money_round,
+    rnd,
 )
 from systematic_review_classification_spark.registry import query
 from systematic_review_classification_spark.sources.tables import load
@@ -334,13 +335,13 @@ m AS (SELECT count(*) AS n,
              stddev_pop(l_discount) AS s_d
       FROM f)
 SELECT 'qty_price' AS pair,
-       round(CASE WHEN ok_q AND ok_p THEN c_qp / (s_q * s_p) END, 6) AS r FROM m
+       round(CASE WHEN ok_q AND ok_p THEN c_qp / (s_q * s_p) END, 6) + 0.0 AS r FROM m
 UNION ALL
 SELECT 'qty_disc' AS pair,
-       round(CASE WHEN ok_q AND ok_d THEN c_qd / (s_q * s_d) END, 6) AS r FROM m
+       round(CASE WHEN ok_q AND ok_d THEN c_qd / (s_q * s_d) END, 6) + 0.0 AS r FROM m
 UNION ALL
 SELECT 'price_disc' AS pair,
-       round(CASE WHEN ok_p AND ok_d THEN c_pd / (s_p * s_d) END, 6) AS r FROM m
+       round(CASE WHEN ok_p AND ok_d THEN c_pd / (s_p * s_d) END, 6) + 0.0 AS r FROM m
 """,
 )
 def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -359,9 +360,9 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from systematic_review_classification_spark.operators.aggregates import _safe_corr
 
     row = li.agg(
-        F.round(_safe_corr("l_quantity", "l_extendedprice"), 6).alias("qty_price"),
-        F.round(_safe_corr("l_quantity", "l_discount"), 6).alias("qty_disc"),
-        F.round(_safe_corr("l_extendedprice", "l_discount"), 6).alias("price_disc"),
+        rnd(_safe_corr("l_quantity", "l_extendedprice"), 6).alias("qty_price"),
+        rnd(_safe_corr("l_quantity", "l_discount"), 6).alias("qty_disc"),
+        rnd(_safe_corr("l_extendedprice", "l_discount"), 6).alias("price_disc"),
     )
     return row.select(
         F.expr(

@@ -78,6 +78,18 @@ _PRIORITY: list[str] = [
     #   truncs, string→int gated on integral tokens with the ASCII
     #   [\x00-\x20] trim Spark's parser applies (dormant on the enum/
     #   integral corpus; real on any dirty feed).
+    # - agg_stats / agg_linreg / graph_powerlaw_fit / wl_simpson_check
+    #   / wl_retention_half_life / agg_corr_matrix — the READ-ORDER
+    #   signed-zero class (multi-file scatter world, r10): DuckDB's
+    #   covariance-form residue SIGN follows file enumeration order,
+    #   so a scattered 5-part layout minted −0.0 slopes/correlations
+    #   where the single-file fixture summed to +0.0 (agg_stats and
+    #   agg_linreg caught live, one per sweep run; the rest are the
+    #   same audit class). All fitted moments now snap via rnd()/+0.0,
+    #   and the two keys that BRANCH on a raw slope sign
+    #   (wl_simpson_check's sign_flip, wl_retention_half_life's
+    #   half-life gate) branch on the ROUNDED slope so the flag cannot
+    #   follow read order.
     # NOT re-headed (result-invariant by construction): the r10
     # schema-drift ingest normalization (sources/tables.py _CANONICAL)
     # touches every key's load() path, but on a canonical corpus the
@@ -100,6 +112,12 @@ _PRIORITY: list[str] = [
     "fn_variant",
     "mm_embed_quantize",
     "fn_try",
+    "agg_stats",
+    "agg_linreg",
+    "graph_powerlaw_fit",
+    "wl_simpson_check",
+    "wl_retention_half_life",
+    "agg_corr_matrix",
     "sample_seeded",
     "agg_hll_sketch",
     "wl_data_vault_keys",
@@ -117,7 +135,6 @@ _PRIORITY: list[str] = [
     "wl_interval_union",
     "txt_novelty_rate",
     "wl_periodogram",
-    "wl_retention_half_life",
     "wl_capture_recapture",
     "fn_bround",
     "wl_seasonal_index",
@@ -174,7 +191,6 @@ _PRIORITY: list[str] = [
     "wl_dau_wau",
     "wl_copurchase",
     "wl_q9_profit",
-    "agg_linreg",
     "txt_collocation",
     "txt_zipf",
     "fn_struct",
