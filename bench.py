@@ -80,6 +80,29 @@ def main() -> None:
     times = {k: round(sorted(v)[runs // 2], 4) for k, v in samples.items()}
     mins = {k: round(min(v), 4) for k, v in samples.items()}
 
+    # Host state in the JSON line itself (r10 verdict item 3): rounds
+    # 6-10 showed a same-code 9 s ↔ 17 s swing that follows the host's
+    # end-of-session decay curve, not any plan change — the recorded
+    # bench is only interpretable next to load/uptime. cpu_calib_sec
+    # is a fixed single-thread Python loop (~0.2 s on a quiet host):
+    # it scales with the same host slowdown the query timings absorb,
+    # so timings can be read relative to it when load alone is clean
+    # but the clock has decayed.
+    try:
+        load1, _, load15 = os.getloadavg()
+    except OSError:
+        load1 = load15 = -1.0
+    try:
+        with open("/proc/uptime") as fh:
+            uptime_sec = float(fh.read().split()[0])
+    except OSError:
+        uptime_sec = -1.0
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(5_000_000):
+        acc += i * i
+    cpu_calib_sec = time.perf_counter() - t0
+
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(times.values()), 4),
@@ -89,6 +112,10 @@ def main() -> None:
         "runs": runs,
         "value_basis": "sum of per-query medians (r1-r4: best-of-2 mins)",
         "sf": float(sf),
+        "load1": round(load1, 2),
+        "load15": round(load15, 2),
+        "uptime_sec": round(uptime_sec, 1),
+        "cpu_calib_sec": round(cpu_calib_sec, 4),
     }
     print(json.dumps(out))
 

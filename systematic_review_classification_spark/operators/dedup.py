@@ -714,8 +714,12 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     needed = graph diameter; near-dup clusters are dense (diameter ≤
     2-3), and 8 rounds covers any chain the corpus produces. Every
     round is two distributed joins — nothing driver-side grows with
-    data. The oracle computes the exact fixpoint via a recursive-CTE
-    transitive closure, so the test FAILS if 8 rounds were too few."""
+    data. An explicit convergence guard re-checks the final labels
+    against one more neighbor-min pass and RAISES if anything would
+    still shrink (a diameter-9 chain trips it — see
+    tests/test_dedup_convergence.py), and the oracle computes the
+    exact fixpoint via a recursive-CTE transitive closure, so an
+    under-iterated graph fails loudly on both axes."""
     d = load(spark, sf_dir, "documents")
     t = d.select(
         "doc_id", "source", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
@@ -736,7 +740,8 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     labels = d.select("doc_id", F.col("doc_id").alias("component"))
-    for i in range(8):
+    supersteps = 8
+    for i in range(supersteps):
         nbr_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
@@ -753,6 +758,31 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if i % 3 == 2:
             labels = labels.localCheckpoint(eager=False)
+    # Convergence guard (r10 verdict item 5): one more neighbor-min
+    # pass over the FINAL labels; if any label would still shrink, the
+    # graph diameter exceeded the superstep budget and the labels are
+    # NOT a fixpoint — fail loudly here rather than hand a silently
+    # under-merged clustering to the keep-one policy downstream. The
+    # eager localCheckpoint materializes the labels once so the guard
+    # count and the returned DataFrame share the same computed result
+    # (one bounded action; nothing driver-side grows with data).
+    labels = labels.localCheckpoint(eager=True)
+    residual = (
+        edges.join(labels, edges.dst == labels.doc_id)
+        .groupBy("src")
+        .agg(F.min("component").alias("nbr_component"))
+        .join(
+            labels.select(F.col("doc_id").alias("src"), "component"), "src"
+        )
+        .filter(F.col("nbr_component") < F.col("component"))
+        .count()
+    )
+    if residual:
+        raise RuntimeError(
+            f"dedup_components: not converged after {supersteps} supersteps"
+            f" ({residual} labels would still shrink) — graph diameter"
+            " exceeds the superstep budget; raise it for this corpus"
+        )
     return labels
 
 

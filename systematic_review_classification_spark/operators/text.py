@@ -207,19 +207,32 @@ def txt_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    # df as a count-window over tf — NOT a second aggregate branch off
-    # the token relation: column pruning makes the two tf exchanges
-    # non-identical, defeating ReuseExchange, so a join-based idf
-    # re-scans and re-explodes the whole corpus (measured ~25% slower
-    # at sf0.1). The window shuffles tf by token once; df cardinality
-    # per token is bounded by the corpus, never skewed beyond it.
-    wd = W.partitionBy("token")
+    # tf is persisted because BOTH branches below (per-doc tf rows and
+    # the token-keyed df aggregate) consume it: column pruning makes
+    # the two exchanges non-identical, defeating ReuseExchange, so
+    # without the cache a join-based idf would re-scan and re-explode
+    # the whole corpus (measured ~25% slower at sf0.1).
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    # df via hash aggregate over tf — NOT a count-window partitioned
+    # by token: a window partition gets no partial aggregation and no
+    # AQE skew split, so every tf row for a hot token (a stopword
+    # appears in essentially every document) lands in ONE task's
+    # window buffer — a single-task straggler proportional to corpus
+    # size at 100 TB. The hash agg combines map-side (one partial row
+    # per token per task), and the token join back gets AQE's
+    # skew-join handling on hot keys. tf is one row per (doc, token),
+    # so count(*) per token IS the document frequency.
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     idf = F.round(
-        F.log((F.col("n_docs") + 1) / (F.count(F.lit(1)).over(wd) + 1)) + 1, 6
+        F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1, 6
     )
     scored = (
-        tf.crossJoin(F.broadcast(n))
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
         .select("doc_id", "token", F.round(F.col("tf") * idf, 6).alias("tfidf"))
     )
     w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")

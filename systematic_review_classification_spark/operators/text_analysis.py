@@ -1006,26 +1006,29 @@ def txt_oov_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = global_rank(
         freq, F.col("n").desc(), F.col("token"), rank_col="rnk"
     ).select("n", "rnk")
-    tot = ranked.agg(F.sum("n").alias("nt"))
-    ks = spark.createDataFrame([(5,), (10,), (20,), (40,), (80,)], "k int")
-    return (
-        ks.crossJoin(ranked)
-        .join(F.broadcast(tot))
-        .groupBy(F.col("k").alias("vocab_size"), "nt")
-        .agg(
-            F.round(
-                F.sum(F.when(F.col("rnk") <= F.col("k"), F.col("n")).otherwise(0.0))
-                / F.max("nt"),
-                6,
-            ).alias("coverage"),
-            F.round(
-                1
-                - F.sum(F.when(F.col("rnk") <= F.col("k"), F.col("n")).otherwise(0.0))
-                / F.max("nt"),
-                6,
-            ).alias("oov_rate"),
-        )
-        .drop("nt")
+    # One aggregate pass with |k| conditional sums — the candidate
+    # sizes are compile-time literals, so replicating the ranked
+    # vocabulary ×5 via crossJoin (a BroadcastNestedLoopJoin at plan
+    # level) buys nothing: sum(when(rnk <= k, n)) per literal k reads
+    # the vocabulary ONCE with full map-side partial aggregation, then
+    # the 1-row result unpivots to the curve via stack().
+    ks = [5, 10, 20, 40, 80]
+    cover = ranked.agg(
+        F.sum("n").alias("nt"),
+        *[
+            F.sum(F.when(F.col("rnk") <= k, F.col("n")).otherwise(0.0)).alias(
+                f"c{k}"
+            )
+            for k in ks
+        ],
+    )
+    stack_args = ", ".join(f"{k}, c{k}" for k in ks)
+    return cover.select(
+        F.expr(f"stack({len(ks)}, {stack_args}) AS (vocab_size, ck)"), "nt"
+    ).select(
+        "vocab_size",
+        F.round(F.col("ck") / F.col("nt"), 6).alias("coverage"),
+        F.round(1 - F.col("ck") / F.col("nt"), 6).alias("oov_rate"),
     )
 
 

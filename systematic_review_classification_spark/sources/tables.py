@@ -73,6 +73,20 @@ _NS_MAGNITUDE_CUTOFF = 10**17
 # embedding family casts elements to double before arithmetic (r9
 # convention) and survived the drift world unmodified on a DOUBLE[]
 # column.
+# The ONLY drifts load() repairs: exact widenings (value-preserving by
+# construction) plus the deterministic temporal lifts documented above.
+# Anything else — a WIDER-than-canonical physical type (BIGINT where
+# canonical is INT, DECIMAL where canonical is DOUBLE) or a lossy
+# conversion — fails loudly at ingest: an ANSI narrowing cast can abort
+# mid-query on overflow and decimal→double silently loses precision,
+# so the pipeline refuses the feed instead of guessing (r10 ADVICE).
+_EXACT_WIDENINGS: dict[str, tuple[str, ...]] = {
+    "int": ("tinyint", "smallint"),
+    "bigint": ("tinyint", "smallint", "int"),
+    "double": ("float",),
+    "timestamp_ntz": ("date", "string", "timestamp"),
+}
+
 _CANONICAL: dict[str, dict[str, str]] = {
     "region": {"r_regionkey": "int"},
     "nation": {"n_nationkey": "int", "n_regionkey": "int"},
@@ -125,11 +139,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     want = _CANONICAL.get(name)
     if want:
         dtypes = dict(df.dtypes)
-        casts = {
-            c: F.col(c).cast(t)
-            for c, t in want.items()
-            if c in dtypes and dtypes[c] != t
-        }
+        casts: dict[str, F.Column] = {}
+        for c, t in want.items():
+            got = dtypes.get(c)
+            if got is None or got == t:
+                continue
+            if got not in _EXACT_WIDENINGS.get(t, ()):  # lossy / narrowing drift
+                raise ValueError(
+                    f"{name}.{c}: physical type {got!r} is not an exact widening"
+                    f" to canonical {t!r} — refusing to narrow silently at ingest"
+                    " (fix the upstream export or extend _EXACT_WIDENINGS if the"
+                    " conversion is provably exact)"
+                )
+            casts[c] = F.col(c).cast(t)
         if casts:
             df = df.withColumns(casts)
     return df

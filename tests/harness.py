@@ -125,8 +125,11 @@ def run_world(
         casts = (duck_casts or {}).get(t)
         proj = "*"
         if casts:
+            # Quote identifiers so a column name that collides with a
+            # reserved word (or ever carries odd characters) produces
+            # valid SQL instead of a confusing parse error.
             repl = ", ".join(
-                f"CAST({c} AS {ty}) AS {c}" for c, ty in casts.items()
+                f'CAST("{c}" AS {ty}) AS "{c}"' for c, ty in casts.items()
             )
             proj = f"* REPLACE ({repl})"
         con.execute(

@@ -103,3 +103,53 @@ def world(spark, tmp_path_factory):
 def test_every_oracled_key_survives_the_multifile_scatter(spark, world):
     fails = run_world(spark, world, _TABLES, EXCLUDED)
     assert not fails, f"{len(fails)} keys broke on the multi-file scatter: {fails}"
+
+
+# --- degenerate parts (world B) -------------------------------------
+# The physical-layout twin of the r6 empty-world bugs: at 100 TB a
+# table's parts are NOT uniform — compaction leaves zero-row files,
+# predicate-pushdown writers emit single-row tails, and a reader that
+# assumes "every split has rows" or "splits are comparable in size"
+# breaks exactly there. World B lays every table out as: one ZERO-ROW
+# parquet part + one 1-ROW part + the remaining rows scattered across
+# 3 shuffled parts (maximal scatter skew). Every oracled key must
+# still hash-match DuckDB reading the same parts via glob.
+
+
+@pytest.fixture(scope="module")
+def world_degenerate(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("multifile_degenerate_world"))
+    for t, (rows, schema) in _TABLES.items():
+        path = f"{d}/{t}.parquet"
+        # 1-row part
+        (spark.createDataFrame(rows[:1], schema)
+         .coalesce(1)
+         .write.mode("append").parquet(path))
+        # remaining rows scattered across 3 parts, shuffled order
+        (spark.createDataFrame(rows[1:], schema)
+         .repartition(3)
+         .write.mode("append").parquet(path))
+        # zero-row part: force a single empty task to commit a
+        # 0-row file (rows=[] with coalesce(1) writes one part file
+        # holding only schema metadata)
+        (spark.createDataFrame([], schema)
+         .coalesce(1)
+         .write.mode("append").parquet(path))
+    return d
+
+
+def test_every_oracled_key_survives_degenerate_parts(spark, world_degenerate):
+    import glob as _glob
+
+    # the layout must actually contain a 0-row part, or the world
+    # tests nothing — guard against Spark versions that skip the file
+    for t in _TABLES:
+        parts = _glob.glob(f"{world_degenerate}/{t}.parquet/*.parquet")
+        assert len(parts) >= 5, f"{t}: expected >=5 parts, got {len(parts)}"
+        import pyarrow.parquet as pq
+
+        sizes = sorted(pq.ParquetFile(p).metadata.num_rows for p in parts)
+        assert sizes[0] == 0, f"{t}: no zero-row part was written ({sizes})"
+        assert 1 in sizes, f"{t}: no single-row part was written ({sizes})"
+    fails = run_world(spark, world_degenerate, _TABLES, EXCLUDED)
+    assert not fails, f"{len(fails)} keys broke on degenerate parts: {fails}"

@@ -182,3 +182,46 @@ def test_every_oracled_key_survives_the_temporal_drift_world(spark, world_b):
     casts.setdefault("events", {})["ts"] = "TIMESTAMP"
     fails = run_world(spark, world_b, _TABLES_B, EXCLUDED, duck_casts=casts)
     assert not fails, f"{len(fails)} keys broke on the temporal-drift world: {fails}"
+
+
+# --- wider-than-canonical drift (world C) --------------------------
+# The inverse drift class (r10 ADVICE): an upstream export ships a
+# column WIDER than canonical — BIGINT l_linenumber where the engine's
+# canonical is INT, DECIMAL(12,2) prices where canonical is DOUBLE.
+# load() must NOT silently narrow (an ANSI narrowing cast can abort
+# mid-query on overflow; decimal→double is lossy): the contract is a
+# loud ValueError at ingest, before any query plan is built.
+
+
+def test_wider_than_canonical_drift_fails_loudly_at_ingest(spark, tmp_path):
+    from systematic_review_classification_spark.sources.tables import load
+
+    d = str(tmp_path / "wide_world")
+    spark.createDataFrame(
+        [(1, 1, 1, 1, 10.0, 1000.0, 0.05, 0.02, "N", "O",
+          dt.datetime(1997, 3, 2))],
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber bigint, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp_ntz",
+    ).write.parquet(f"{d}/lineitem.parquet")
+    with pytest.raises(ValueError, match="l_linenumber.*not an exact widening"):
+        load(spark, d, "lineitem")
+
+
+def test_lossy_decimal_drift_fails_loudly_at_ingest(spark, tmp_path):
+    from systematic_review_classification_spark.sources.tables import load
+
+    d = str(tmp_path / "decimal_world")
+    spark.createDataFrame(
+        [(1, 1, "O", 1000.50, dt.datetime(1997, 3, 1), "1-URGENT")],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp_ntz,"
+        " o_orderpriority string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    ).write.parquet(f"{d}/orders.parquet")
+    with pytest.raises(ValueError, match="o_totalprice.*not an exact widening"):
+        load(spark, d, "orders")
