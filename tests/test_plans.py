@@ -819,3 +819,27 @@ def test_semdedup_centroids_broadcast(spark, sf_dir):
     never shuffles for the cosine pass."""
     plan = plan_of(QUERIES["sim_semdedup_centroid"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_tfidf_df_is_hash_agg_not_token_window(spark, sf_dir):
+    """r11: document frequency must come from a hash aggregate over tf
+    (partial agg + AQE skew split on the token join), never a count
+    window partitioned by token — a window partition funnels every tf
+    row of a hot token into ONE task's buffer at scale."""
+    plan = plan_of(QUERIES["txt_tfidf_topk"](spark, sf_dir))
+    import re
+
+    for m in re.finditer(r"Window.*?\[(.*?)\]", plan):
+        assert "token" not in m.group(1) or "doc_id" in m.group(1), plan
+    # the only window is the per-doc top-5 (WindowGroupLimit engaged)
+    assert "WindowGroupLimit" in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_oov_curve_single_pass_no_replication(spark, sf_dir):
+    """r11: the coverage curve is one aggregate with |k| conditional
+    sums — replicating the ranked vocabulary per candidate size
+    (BroadcastNestedLoopJoin) is banned."""
+    plan = plan_of(QUERIES["txt_oov_curve"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
