@@ -1000,3 +1000,101 @@ def test_vector_oracles_hold_on_generated_embeddings(spark, corpus_dir, vecs):
             assert sp == du, f"[{key}] diverged on generated embeddings {rows!r}"
     finally:
         con.close()
+
+
+# --- scattered-layout moment fuzzing (round 11) ---------------------
+# The r10 multi-file scatter world caught the read-order signed-zero
+# class LIVE on the fitted-moment family (covariance-residue sign
+# following parquet file enumeration order). The static world pins one
+# layout; this tier lets hypothesis choose the rows, the row→part
+# permutation, AND the part count, so the combine order of the
+# per-part partial moments varies per example. Values live on the
+# cents grid at modest magnitude (sums exact in doubles, rounding far
+# from representation noise), so any divergence is a SEMANTIC class —
+# sign-of-zero, flat-series guards, n=1 sample variance — never ulp
+# lottery. Modes force the structures that make residues exactly
+# zero: exact collinearity, constant series, two-point alternation.
+
+_MOMENT_KEYS = ["agg_stats", "agg_linreg", "agg_corr_matrix"]
+
+_M_CASE = st.tuples(
+    st.sampled_from(["random", "collinear", "constant", "twopoint"]),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-10_000, max_value=10_000),  # qty cents
+            st.integers(min_value=-10_000, max_value=10_000),  # price cents
+            st.integers(min_value=0, max_value=99),            # discount %
+            st.sampled_from(["N", "R", "A"]),                  # group flag
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    st.integers(min_value=2, max_value=5),  # parquet part count
+    st.integers(min_value=0, max_value=2**31),  # shuffle seed
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(case=_M_CASE)
+def test_moment_oracles_hold_on_scattered_layouts(spark, corpus_dir, case):
+    """agg_stats / agg_linreg / agg_corr_matrix must agree cross-engine
+    for ANY row→part scatter of the same rows: DuckDB's glob order ≠
+    Spark's split order ≠ insertion order, so agreement proves the
+    fitted moments (and the SIGNS of their zero residues) are
+    read-order-independent."""
+    import datetime as dt
+    import random as _random
+
+    mode, rows, n_parts, seed = case
+    li = []
+    q0, p0 = rows[0][0], rows[0][1]
+    for i, (q, p, d, flag) in enumerate(rows):
+        qty = q / 100.0
+        if mode == "collinear":
+            price = 3.0 * qty + 7.0  # exact on the cents grid
+        elif mode == "constant":
+            qty, price = q0 / 100.0, p0 / 100.0
+        elif mode == "twopoint":
+            qty = (q0 if i % 2 == 0 else -q0) / 100.0
+            price = (p0 if i % 2 == 0 else -p0) / 100.0
+        else:
+            price = p / 100.0
+        li.append(
+            (i, i, i, 1 + i % 7, qty, price, d / 100.0, 0.02, flag, "O",
+             dt.datetime(1997, 3, 2))
+        )
+    _random.Random(seed).shuffle(li)
+    path = str(corpus_dir / "momentcase")
+    (
+        spark.createDataFrame(
+            li,
+            "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+            " l_quantity double, l_extendedprice double, l_discount double,"
+            " l_tax double, l_returnflag string, l_linestatus string,"
+            " l_shipdate timestamp_ntz",
+        )
+        .repartition(n_parts)
+        .write.mode("overwrite")
+        .parquet(f"{path}/lineitem.parquet")
+    )
+
+    queries, oracles = all_queries(), all_oracles()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT *"
+        f" FROM read_parquet('{path}/lineitem.parquet/*.parquet')"
+    )
+    try:
+        for key in _MOMENT_KEYS:
+            sp = canonical_rows(queries[key](spark, path).toPandas())
+            du = canonical_rows(con.execute(oracles[key]).df())
+            assert sp == du, (
+                f"[{key}] diverged on scattered layout"
+                f" mode={mode} parts={n_parts} seed={seed} rows={rows!r}"
+            )
+    finally:
+        con.close()
