@@ -145,7 +145,10 @@ def test_every_oracled_key_survives_degenerate_parts(spark, world_degenerate):
     # tests nothing — guard against Spark versions that skip the file
     for t in _TABLES:
         parts = _glob.glob(f"{world_degenerate}/{t}.parquet/*.parquet")
-        assert len(parts) >= 5, f"{t}: expected >=5 parts, got {len(parts)}"
+        # 1-row part + scattered remainder (repartition SKIPS empty
+        # partitions on write, so tiny tables emit <3 scatter files) +
+        # the explicit 0-row part
+        assert len(parts) >= 3, f"{t}: expected >=3 parts, got {len(parts)}"
         import pyarrow.parquet as pq
 
         sizes = sorted(pq.ParquetFile(p).metadata.num_rows for p in parts)
