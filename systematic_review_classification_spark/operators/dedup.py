@@ -925,28 +925,40 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fullest copy.
 
     Scale shape identical to `dedup_exact`: md5 fingerprints shuffle,
-    never text; the keeper pick is a window PARTITIONED BY FINGERPRINT
-    (high cardinality, cluster sizes bounded by duplication rate).
+    never text. The keeper pick is a row_number window filtered to
+    rn=1 — scale-safe because WindowGroupLimit limits PARTIALLY on the
+    map side, so a boilerplate mega-cluster reaches its final task
+    with at most one row per map task, never cluster-size rows. The
+    cluster COUNT must NOT ride the same window (a count window gets
+    no partial pass — it would re-funnel the mega-cluster into one
+    buffer, r11 de-skew class): it is a hash aggregate (map-side
+    partial) joined back on fingerprint (AQE skew-split on hot keys).
     Compose with `dedup_minhash_canonical`'s star edges to pick
     keepers for NEAR-duplicate clusters the same way."""
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id",
-        "n_chars",
-        "source",
-        F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
+    d = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "n_chars",
+            "source",
+            F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
+        )
+        .persist()  # two consumers: keeper window + cluster-size agg
     )
+    sizes = d.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("n_copies"))
     w = W.partitionBy("fingerprint").orderBy(F.col("n_chars").desc(), "doc_id")
-    return (
+    keeper = (
         d.withColumn("rn", F.row_number().over(w))
-        .withColumn("n_copies", F.count(F.lit(1)).over(W.partitionBy("fingerprint")))
         .filter(F.col("rn") == 1)
         .select(
             "fingerprint",
             F.col("doc_id").alias("keeper_doc_id"),
             F.col("source").alias("keeper_source"),
             F.col("n_chars").alias("keeper_len"),
-            "n_copies",
         )
+    )
+    return keeper.join(sizes, "fingerprint").select(
+        "fingerprint", "keeper_doc_id", "keeper_source", "keeper_len", "n_copies"
     )
 
 

@@ -564,14 +564,24 @@ def sim_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda x: x.isNotNull(),
     )
     tok = d.select("doc_id", F.explode(grams).alias("token"))
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    # df and the doc norm as WINDOWS over the one tf relation (the
-    # txt_tfidf_topk lesson: a second aggregate + join re-shuffles and
-    # re-computes the whole subtree; a window reuses it) — plan went
-    # from ~34 exchanges to 5.
+    # tf persisted: three consumers (df aggregate, n_docs, the scored
+    # rows) whose pruned exchanges defeat ReuseExchange — the cache is
+    # what keeps the corpus from re-exploding per branch.
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    # df via hash aggregate + token join, NOT a count window over
+    # token: a stop-like shingle's window partition lands in ONE task
+    # (no partial agg, no AQE skew split) — the r11 de-skew class,
+    # same fix as txt_tfidf_topk. The doc norm KEEPS its window: its
+    # partition is doc_id, bounded by document length, never by
+    # corpus-wide token popularity.
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = tf.agg(F.countDistinct("doc_id").alias("n"))
     w = (
-        tf.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("token")))
+        tf.join(dfreq, "token")
         .join(F.broadcast(n_docs))
         .withColumn("w", F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")))
         .withColumn(
@@ -773,17 +783,22 @@ def wl_soft_dedup_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeping one copy per duplicate cluster, every copy survives with
     probability 1/cluster_size — expected one survivor per cluster,
     but the survivor choice is uncoordinated: each row flips its OWN
-    deterministic md5 coin against the broadcast-free cluster size
-    from a fingerprint window. This is the production middle ground
-    (UniMax/DoReMi-style duplicate discounting) when exact dedup is
-    too destructive and cluster representatives would bias toward low
-    ids. Map-side after one fingerprint window; no joins."""
-    d = load(spark, sf_dir, "documents")
-    cl = d.select(
-        "doc_id",
-        "source",
-        F.count(F.lit(1)).over(W.partitionBy(F.md5("text"))).alias("csize"),
+    deterministic md5 coin against its cluster size. This is the
+    production middle ground (UniMax/DoReMi-style duplicate
+    discounting) when exact dedup is too destructive and cluster
+    representatives would bias toward low ids. Cluster sizes come
+    from a hash aggregate over fingerprints joined back on the
+    fingerprint (map-side partial agg + AQE skew-split on a
+    boilerplate mega-cluster) — NOT a count window, which funnels
+    every copy of a hot text into one task's buffer (r11 de-skew
+    class, same fix as txt_tfidf_topk's df)."""
+    base = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.md5("text").alias("fp"))
+        .persist()  # two consumers: cluster-size agg + per-row coin
     )
+    sizes = base.groupBy("fp").agg(F.count(F.lit(1)).alias("csize"))
+    cl = base.join(sizes, "fp").select("doc_id", "source", "csize")
     u = (
         F.conv(
             F.substring(F.md5(F.concat(F.lit("soft:"), F.col("doc_id").cast("string"))), 1, 8),

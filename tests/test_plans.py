@@ -843,3 +843,18 @@ def test_oov_curve_single_pass_no_replication(spark, sf_dir):
     plan = plan_of(QUERIES["txt_oov_curve"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "key",
+    ["dedup_keep_best", "wl_soft_dedup_sampling", "sim_sparse_cosine",
+     "txt_tfidf_topk"],
+)
+def test_no_count_window_over_group_keys(spark, sf_dir, key):
+    """r11 de-skew class: cluster/df counts must be hash aggregates
+    (map-side partial + AQE skew-split on the join back), never count
+    windows — a window partition funnels every row of a hot
+    fingerprint/token into ONE task's buffer. Rank windows are exempt:
+    rn<=k filters get map-side WindowGroupLimit."""
+    plan = plan_of(QUERIES[key](spark, sf_dir))
+    assert "count(1) windowspecdefinition" not in plan.replace("\n", " "), plan
