@@ -957,9 +957,13 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").alias("keeper_len"),
         )
     )
-    return keeper.join(sizes, "fingerprint").select(
-        "fingerprint", "keeper_doc_id", "keeper_source", "keeper_len", "n_copies"
-    )
+    # null-SAFE equi-join: a NULL text mints a NULL fingerprint, which
+    # the window form (and the oracle) treats as ONE cluster — a plain
+    # inner join would silently drop it (r11 sweep catch)
+    return keeper.join(
+        sizes.withColumnRenamed("fingerprint", "_fp"),
+        keeper["fingerprint"].eqNullSafe(F.col("_fp")),
+    ).select("fingerprint", "keeper_doc_id", "keeper_source", "keeper_len", "n_copies")
 
 
 @query(

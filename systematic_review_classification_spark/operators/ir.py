@@ -797,8 +797,13 @@ def wl_soft_dedup_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", F.md5("text").alias("fp"))
         .persist()  # two consumers: cluster-size agg + per-row coin
     )
+    # null-SAFE equi-join: NULL text → NULL fp, which the oracle's
+    # window groups as one cluster; a plain inner join would drop it
     sizes = base.groupBy("fp").agg(F.count(F.lit(1)).alias("csize"))
-    cl = base.join(sizes, "fp").select("doc_id", "source", "csize")
+    cl = base.join(
+        sizes.withColumnRenamed("fp", "_fp"),
+        base["fp"].eqNullSafe(F.col("_fp")),
+    ).select("doc_id", "source", "csize")
     u = (
         F.conv(
             F.substring(F.md5(F.concat(F.lit("soft:"), F.col("doc_id").cast("string"))), 1, 8),
