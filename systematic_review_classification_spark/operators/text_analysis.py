@@ -1023,7 +1023,11 @@ def txt_oov_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     stack_args = ", ".join(f"{k}, c{k}" for k in ks)
-    return cover.select(
+    # Empty-corpus guard: the global aggregate yields ONE all-NULL row
+    # on zero input (SQL semantics), but the oracle's CROSS JOIN over
+    # an empty vocabulary yields ZERO rows — drop the NULL-total row
+    # before unpivoting (1-row relation; free).
+    return cover.filter(F.col("nt").isNotNull()).select(
         F.expr(f"stack({len(ks)}, {stack_args}) AS (vocab_size, ck)"), "nt"
     ).select(
         "vocab_size",
