@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from systematic_review_classification_spark.functions.predicates import (
     clean_vec_sql,
     finite_array,
+    jaccard_ge,
 )
 from systematic_review_classification_spark.registry import query
 from systematic_review_classification_spark.sources.tables import load
@@ -96,9 +97,12 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("b.toks").alias("n2"),
     )
     jac = F.col("n_common").cast("double") / (F.col("n1") + F.col("n2") - F.col("n_common"))
-    return pairs.filter(jac >= 0.62).select(
-        "id1", "id2", F.round(jac, 6).alias("jaccard")
-    )
+    # threshold as jaccard_ge (0.62 = 31/50): the division form pushed
+    # into the join residual evaluates array_intersect twice per
+    # candidate pair (no CSE there) — measured 1.7× slower (r11)
+    return pairs.filter(
+        jaccard_ge(F.col("n_common"), F.col("n1") + F.col("n2"), 31, 50)
+    ).select("id1", "id2", F.round(jac, 6).alias("jaccard"))
 
 
 @query("dedup_minhash")  # rows-only: LSH banding layout is engine-specific
@@ -420,7 +424,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("b.grams").alias("n2"),
     )
     jac = F.col("nc").cast("double") / (F.col("n1") + F.col("n2") - F.col("nc"))
-    return pairs.filter(jac >= 0.08).select("id1", "id2", F.round(jac, 6).alias("jaccard"))
+    # 0.08 = 2/25 via jaccard_ge — one array_intersect per candidate
+    # pair instead of two in the pushed join residual (r11)
+    return pairs.filter(
+        jaccard_ge(F.col("nc"), F.col("n1") + F.col("n2"), 2, 25)
+    ).select("id1", "id2", F.round(jac, 6).alias("jaccard"))
 
 
 @query(
@@ -592,9 +600,11 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     jac = F.col("nc").cast("double") / (F.col("n1") + F.col("n2") - F.col("nc"))
-    return verified.filter(jac >= 0.8).select(
-        "id1", "id2", F.round(jac, 6).alias("jaccard")
-    )
+    # 0.8 = 4/5 via jaccard_ge — one array_intersect per candidate
+    # pair instead of two in the pushed join residual (r11)
+    return verified.filter(
+        jaccard_ge(F.col("nc"), F.col("n1") + F.col("n2"), 4, 5)
+    ).select("id1", "id2", F.round(jac, 6).alias("jaccard"))
 
 
 @query(
@@ -667,8 +677,13 @@ def dedup_minhash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("toks").alias("n2"),
         )
     )
-    jac = F.col("nc").cast("double") / (F.col("n1") + F.col("n2") - F.col("nc"))
-    dup = ver.filter(jac >= 0.8).groupBy("doc_id").agg(F.min("rep").alias("canonical"))
+    # 0.8 = 4/5 via jaccard_ge — one array_intersect per star edge
+    # instead of two in the pushed join residual (r11)
+    dup = (
+        ver.filter(jaccard_ge(F.col("nc"), F.col("n1") + F.col("n2"), 4, 5))
+        .groupBy("doc_id")
+        .agg(F.min("rep").alias("canonical"))
+    )
     return (
         d.select("doc_id")
         .join(dup, "doc_id", "left")
@@ -726,18 +741,38 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a, b = t.alias("a"), t.alias("b")
     nc = F.size(F.array_intersect("a.toks", "b.toks"))
-    jac = nc.cast("double") / (F.size("a.toks") + F.size("b.toks") - nc)
     pairs = (
         a.join(
             b,
             (F.col("a.source") == F.col("b.source"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .filter(jac >= 0.62)
+        # 0.62 = 31/50 via jaccard_ge — one array_intersect per
+        # candidate pair instead of two in the pushed join residual
+        # (measured 14.5 → 8.6 s on this pair stream at sf0.1, r11)
+        .filter(jaccard_ge(nc, F.size("a.toks") + F.size("b.toks"), 31, 50))
         .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
     )
-    edges = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # The symmetric edge list is the LOOP INVARIANT: it appears in all
+    # 8 supersteps AND the convergence guard, and each localCheckpoint
+    # segment executes as its own job — without a persist the blocked
+    # quadratic pair join above is re-evaluated once per segment
+    # (measured 53 s at sf0.1, ~4 evaluations of an ~11 s join; 15 s
+    # persisted). Same persist-the-invariant pattern as wl_pagerank3's
+    # weighted edge list; unpersisted before return — every consumer
+    # (supersteps, guard) has executed by then because the final
+    # labels are eagerly checkpointed.
+    # Partitioned on dst BEFORE the persist (wl_pagerank3's trick):
+    # every superstep joins on edges.dst == labels.doc_id, and
+    # InMemoryRelation preserves outputPartitioning, so the cached
+    # edge list never re-exchanges inside the loop — only the small
+    # label table shuffles per superstep.
+    edges = (
+        pairs.unionByName(
+            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition("dst")
+        .persist()
     )
     labels = d.select("doc_id", F.col("doc_id").alias("component"))
     supersteps = 8
@@ -777,6 +812,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nbr_component") < F.col("component"))
         .count()
     )
+    edges.unpersist()
     if residual:
         raise RuntimeError(
             f"dedup_components: not converged after {supersteps} supersteps"
@@ -1135,14 +1171,15 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ta, tb = t.alias("ta"), t.alias("tb")
     nc = F.size(F.array_intersect("ta.toks", "tb.toks"))
-    jac = nc.cast("double") / (F.size("ta.toks") + F.size("tb.toks") - nc)
     truth = (
         ta.join(
             tb,
             (F.col("ta.source") == F.col("tb.source"))
             & (F.col("ta.doc_id") < F.col("tb.doc_id")),
         )
-        .filter(jac >= 0.8)
+        # 0.8 = 4/5 via jaccard_ge — one array_intersect per candidate
+        # pair instead of two in the pushed join residual (r11)
+        .filter(jaccard_ge(nc, F.size("ta.toks") + F.size("tb.toks"), 4, 5))
         .select(F.col("ta.doc_id").alias("id1"), F.col("tb.doc_id").alias("id2"))
     )
     n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
