@@ -73,12 +73,36 @@ def main() -> None:
     samples: dict[str, list[float]] = {k: [] for k in keys}
     for _ in range(runs):
         for k in keys:
+            spark.sparkContext.setJobDescription(f"bench:{k}")
             t0 = time.perf_counter()
             queries[k](spark, sf_dir).count()
             samples[k].append(time.perf_counter() - t0)
+    spark.sparkContext.setJobDescription(None)
 
     times = {k: round(sorted(v)[runs // 2], 4) for k, v in samples.items()}
     mins = {k: round(min(v), 4) for k, v in samples.items()}
+
+    # Noop-sink timings ride along as a SEPARATE field (r11, guide
+    # §1.4): `.count()` lets the optimizer prune columns — on a final
+    # Aggregate it can drop the aggregate expressions themselves, so
+    # scan-agg shapes are under-timed. The noop sink materializes
+    # every column of every row. The `queries`/`value` fields keep the
+    # count-based methodology unchanged (comparable to BENCH_r01-r10
+    # and BASELINE.md, which all timed `.count()`); queries_noop is
+    # the honest-compute number for judging plan changes.
+    noop_samples: dict[str, list[float]] = {k: [] for k in keys}
+    for _ in range(runs):
+        for k in keys:
+            spark.sparkContext.setJobDescription(f"bench-noop:{k}")
+            t0 = time.perf_counter()
+            queries[k](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            noop_samples[k].append(time.perf_counter() - t0)
+    spark.sparkContext.setJobDescription(None)
+    noop_times = {
+        k: round(sorted(v)[runs // 2], 4) for k, v in noop_samples.items()
+    }
 
     # Host state in the JSON line itself (r10 verdict item 3): rounds
     # 6-10 showed a same-code 9 s ↔ 17 s swing that follows the host's
@@ -109,6 +133,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "queries_min": mins,
+        "queries_noop": noop_times,
         "runs": runs,
         "value_basis": "sum of per-query medians (r1-r4: best-of-2 mins)",
         "sf": float(sf),

@@ -32,6 +32,11 @@ def main() -> None:
             f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]"
         )
         .config("spark.sql.shuffle.partitions", "8")
+        # 446 keys in ONE JVM: several operators persist loop
+        # invariants; at the default 1 g driver heap the accumulated
+        # cache killed the JVM ~270 keys in (r11). Size the heap and
+        # drop each key's cache before moving on.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "12g"))
         .appName("registry-profile")
         .getOrCreate()
     )
@@ -48,6 +53,10 @@ def main() -> None:
             times[key] = round(time.perf_counter() - t0, 3)
         except Exception as e:  # noqa: BLE001 — profile must finish
             errors[key] = str(e).split("\n")[0][:160]
+        try:
+            spark.catalog.clearCache()
+        except Exception:  # noqa: BLE001 — cache state is best-effort
+            pass
     try:
         load1, _, load15 = os.getloadavg()
     except OSError:
