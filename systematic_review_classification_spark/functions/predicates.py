@@ -205,3 +205,23 @@ def jaccard_ge(nc: Column, n_sum: Column, p: int, q: int) -> Column:
     :func:`ratio_ge` for why the division form costs a second
     ``array_intersect`` per pair and why the rewrite is exact."""
     return nc.cast("bigint") * F.lit(p + q) >= F.lit(p) * n_sum.cast("bigint")
+
+
+def eval_once(c: Column, seed: int = 7) -> Column:
+    """Pin an expensive expression to ONE evaluation site.
+
+    Adds ``0 * rand(seed)`` cast to int — exactly zero, so the value
+    is unchanged row-for-row (int stays int, double stays double,
+    NULL stays NULL) — which marks the projection nondeterministic so
+    Catalyst can neither push a threshold filter through it into the
+    join residual (where the expression re-evaluates per candidate
+    pair, sometimes ordered ahead of the cheaper conjuncts) nor
+    substitute it into downstream projections. This is the
+    optimization guide's fix for duplicated evaluation of expensive
+    UDFs under pushed filters (mark nondeterministic), applied to
+    built-in expressions: every use site carries its own before/after
+    measurement (r11: dedup_biblio 27.2 → 12.2 s, dedup_ngram_jaccard
+    18.8 → 9.1 s at sf0.1, identical outputs). The cost is blocking
+    OTHER pushdowns through the same projection, so use it only on
+    measured hot expressions, never blanket."""
+    return c + (F.rand(seed) * 0).cast("int")

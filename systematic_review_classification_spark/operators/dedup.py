@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from systematic_review_classification_spark.functions.predicates import (
     clean_vec_sql,
+    eval_once,
     finite_array,
     jaccard_ge,
 )
@@ -92,7 +93,11 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("a.doc_id").alias("id1"),
         F.col("b.doc_id").alias("id2"),
-        F.size(F.array_intersect("a.toks", "b.toks")).alias("n_common"),
+        # eval_once pins the intersect to ONE evaluation: without it
+        # the jaccard threshold filter pushes through this projection
+        # into the join residual and the intersect re-runs per candidate
+        # (see functions/predicates.eval_once; measured per key, r11)
+        eval_once(F.size(F.array_intersect("a.toks", "b.toks"))).alias("n_common"),
         F.size("a.toks").alias("n1"),
         F.size("b.toks").alias("n2"),
     )
@@ -354,13 +359,19 @@ def dedup_simhash_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # hamming as bit_count(xor) over the two 32-bit halves parsed from
+    # hex — 4 integer ops per pair instead of the 16-step
+    # zip_with/instr/substring lambda chain (r11: 8.6 → 6.6 s at
+    # sf0.1, 0 value mismatches over every candidate pair). The
+    # nibble-lookup form stays in the ORACLE (DuckDB has no conv);
+    # equivalence: md5 hex is lowercase [0-9a-f], each 8-char half ≤
+    # 2³²−1 parses exactly into a bigint, and summing per-nibble XOR
+    # popcounts IS bit_count of the XORed halves.
     hamming = F.expr(
-        "aggregate("
-        "  zip_with(split(s1, ''), split(s2, ''),"
-        "    (x, y) -> CAST(substring('" + _POPCOUNT_NIBBLE + "',"
-        "      CAST((instr('0123456789abcdef', x) - 1) "
-        "           ^ (instr('0123456789abcdef', y) - 1) AS INT) + 1, 1) AS INT)),"
-        "  0, (acc, v) -> acc + v)"
+        "CAST(bit_count(CAST(conv(substring(s1, 1, 8), 16, 10) AS BIGINT)"
+        "             ^ CAST(conv(substring(s2, 1, 8), 16, 10) AS BIGINT))"
+        "   + bit_count(CAST(conv(substring(s1, 9, 8), 16, 10) AS BIGINT)"
+        "             ^ CAST(conv(substring(s2, 9, 8), 16, 10) AS BIGINT)) AS INT)"
     )
     return (
         cand.select("id1", "id2", hamming.alias("hamming"))
@@ -419,7 +430,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("a.doc_id").alias("id1"),
         F.col("b.doc_id").alias("id2"),
-        F.size(F.array_intersect("a.grams", "b.grams")).alias("nc"),
+        # eval_once pins the intersect to ONE evaluation: without it
+        # the jaccard threshold filter pushes through this projection
+        # into the join residual and the intersect re-runs per candidate
+        # (see functions/predicates.eval_once; measured per key, r11)
+        eval_once(F.size(F.array_intersect("a.grams", "b.grams"))).alias("nc"),
         F.size("a.grams").alias("n1"),
         F.size("b.grams").alias("n2"),
     )
@@ -594,7 +609,8 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "id1",
             "id2",
-            F.size(F.array_intersect("t1", "t2")).alias("nc"),
+            # eval_once: see functions/predicates.eval_once (r11)
+            eval_once(F.size(F.array_intersect("t1", "t2"))).alias("nc"),
             F.size("t1").alias("n1"),
             F.size("t2").alias("n2"),
         )
@@ -672,7 +688,8 @@ def dedup_minhash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "rep",
-            F.size(F.array_intersect("tr", "toks")).alias("nc"),
+            # eval_once: see functions/predicates.eval_once (r11)
+            eval_once(F.size(F.array_intersect("tr", "toks"))).alias("nc"),
             F.size("tr").alias("n1"),
             F.size("toks").alias("n2"),
         )
@@ -1452,7 +1469,14 @@ def dedup_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("f_len"),
         F.when(F.col("a.source") == F.col("b.source"), 1).otherwise(0).alias("f_src"),
-    )
+    ).persist()
+    # persisted: BOTH consumers below (the m/u aggregate and the final
+    # scored output) otherwise re-run the blocked pair join and its
+    # per-pair thresholded levenshtein. At sf0.1 the cache write costs
+    # about what the second evaluation saved (cold 6.1 s vs 5.8 s,
+    # r11), but the cached relation is bounded candidate rows while
+    # the re-evaluated work grows with block size squared — same
+    # loop-invariant discipline as dedup_components' edge list
     im, f = F.col("is_match"), lambda c: F.col(c)
     mu = pairs.agg(
         *[

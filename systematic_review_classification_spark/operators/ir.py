@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from systematic_review_classification_spark.functions.predicates import (
     clean_vec_sql,
+    eval_once,
     finite_array,
 )
 from systematic_review_classification_spark.functions.ranks import global_prefix_sum, global_rank
@@ -204,6 +205,10 @@ def txt_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("a.doc_id").alias("id1"),
         F.col("b.doc_id").alias("id2"),
+        # NOT eval_once-barriered (unlike the dedup jaccard family):
+        # measured a wash at sf0.1 — few survivors, so the pushed
+        # residual's per-candidate intersect is the whole cost either
+        # way (r11)
         (
             F.size(F.array_intersect("a.grams", "b.grams")).cast("double")
             / F.size("a.grams")
@@ -266,7 +271,14 @@ def dedup_biblio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     a, b = d.alias("a"), d.alias("b")
-    dist = F.levenshtein(F.col("a.text"), F.col("b.text"), 64)
+    # eval_once is an optimizer barrier, not math (adds exactly 0):
+    # without it the `dist >= 0` filter pushes through the projection
+    # into the join residual, where the duplicated levenshtein ran
+    # once per raw block pair (ahead of the cheap doc_id/length
+    # conjuncts) and again in the output projection — measured 27.2 s
+    # vs 12.2 s at sf0.1 (2.2×), identical rows. See
+    # functions/predicates.eval_once.
+    dist = eval_once(F.levenshtein(F.col("a.text"), F.col("b.text"), 64))
     return (
         a.join(
             b,

@@ -616,20 +616,34 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         subs.unpersist()
         return spark.createDataFrame([], "qid long, vec_id long, adc_d2 double")
 
-    codes = None
-    books = []
-    for m in range(M):
+    # The M codebook fits are INDEPENDENT seeded KMeans jobs on
+    # disjoint slices of the cached subvectors — submit them from a
+    # small driver thread pool so each fit's straggler tail
+    # back-fills with the next fit's tasks (guide §2.6 overlap
+    # pattern; 13.8 → 8.1 s at sf0.1, r11). Results are byte-identical
+    # to the sequential loop: every fit is seeded, slices are
+    # disjoint, and codes/books are reassembled in subspace order.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def fit_one(m: int):
         km = KMeans(k=K, seed=100 + m, maxIter=5, featuresCol="fv")
         part = subs.where(F.col("m") == m)
         model = km.fit(part)
         coded = model.transform(part).select(
             "vec_id", F.lit(m).alias("m"), F.col("prediction").alias("code")
         )
-        codes = coded if codes is None else codes.unionByName(coded)
         centers = spark.createDataFrame(
             [(m, i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
             "m int, code int, center array<double>",
         )
+        return coded, centers
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        fitted = list(pool.map(fit_one, range(M)))
+    codes = None
+    books = []
+    for coded, centers in fitted:
+        codes = coded if codes is None else codes.unionByName(coded)
         books.append(centers)
     codebook = books[0]
     for b in books[1:]:
