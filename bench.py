@@ -65,6 +65,23 @@ def main() -> None:
     for k in keys:
         queries[k](spark, sf_dir).count()
 
+    # Cold pass (r11 verdict item 1): the warm-cache convention lets a
+    # .persist() INSIDE a query (txt_tfidf_topk's tf, wl_pagerank3's
+    # edges) be pre-built by the untimed warm-up — all warm runs then
+    # reuse it, so the cache build silently drops out of the timed
+    # region. This pass clears the SQL cache before each key and times
+    # one run, so the cold column includes every cache build the query
+    # performs. JIT/codegen are already warm from the pass above, so
+    # cold-vs-warm isolates exactly the in-query cache work.
+    cold_times: dict[str, float] = {}
+    for k in keys:
+        spark.catalog.clearCache()
+        spark.sparkContext.setJobDescription(f"bench-cold:{k}")
+        t0 = time.perf_counter()
+        queries[k](spark, sf_dir).count()
+        cold_times[k] = round(time.perf_counter() - t0, 4)
+    spark.sparkContext.setJobDescription(None)
+
     # median-of-3 per query (r4 verdict): a warm single shot carries
     # GC / scheduler jitter at the ~0.3-0.6 s floor; the median is the
     # headline number, the min rides along so real plan regressions
@@ -90,6 +107,21 @@ def main() -> None:
     # count-based methodology unchanged (comparable to BENCH_r01-r10
     # and BASELINE.md, which all timed `.count()`); queries_noop is
     # the honest-compute number for judging plan changes.
+    # Cold noop pass: same honesty fix on the noop basis — the honest-
+    # compute number (queries_noop) is also measured warm-cache, so a
+    # query whose real work hides behind both count-pruning AND a
+    # persist needs this column to be visible at all.
+    noop_cold_times: dict[str, float] = {}
+    for k in keys:
+        spark.catalog.clearCache()
+        spark.sparkContext.setJobDescription(f"bench-noop-cold:{k}")
+        t0 = time.perf_counter()
+        queries[k](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        noop_cold_times[k] = round(time.perf_counter() - t0, 4)
+    spark.sparkContext.setJobDescription(None)
+
     noop_samples: dict[str, list[float]] = {k: [] for k in keys}
     for _ in range(runs):
         for k in keys:
@@ -134,6 +166,8 @@ def main() -> None:
         "queries": times,
         "queries_min": mins,
         "queries_noop": noop_times,
+        "queries_cold": cold_times,
+        "queries_noop_cold": noop_cold_times,
         "runs": runs,
         "value_basis": "sum of per-query medians (r1-r4: best-of-2 mins)",
         "sf": float(sf),

@@ -207,6 +207,57 @@ def jaccard_ge(nc: Column, n_sum: Column, p: int, q: int) -> Column:
     return nc.cast("bigint") * F.lit(p + q) >= F.lit(p) * n_sum.cast("bigint")
 
 
+def hashed_sets(df, col: str):
+    """Rewrite an ``array<string>`` token-set column to
+    ``array<bigint>`` hashed ids when ``xxhash64`` is injective on
+    this relation's vocabulary — verified at runtime by one exact
+    aggregate — else return ``df`` unchanged.
+
+    Why: every blocked near-dup verify stage spends its time in
+    ``size(array_intersect(a, b))`` per candidate pair, and
+    array_intersect over STRING arrays takes the slow generic path
+    (per-element UTF8String hashing/equality in an object hash set) —
+    measured ~155 µs/pair on 23-element arrays at sf0.1, 11.5 s of a
+    15 s query (r12). Over BIGINT arrays the same intersect takes the
+    primitive fast path: 2.5× faster end to end. Hashing each token
+    once per document (linear) buys back every per-pair comparison
+    (quadratic in candidates).
+
+    Exactness: all callers feed BOTH intersect sides from arrays of
+    this one relation's ``col``, so every element drawn during any
+    ``array_intersect``/``size`` lives in V = the distinct elements of
+    ``col`` across ``df``. The guard computes |V| and |xxhash64(V)| in
+    one aggregate; equality proves xxhash64 restricted to V is a
+    bijection, under which ``|h(A) ∩ h(B)| = |A ∩ B|`` and
+    ``|distinct(h(A))| = |distinct(A)|`` for all A, B ⊆ V — every
+    downstream size, Jaccard, containment and threshold is value-
+    identical. On a collision (birthday bound ~|V|²/2⁶⁵ — expected
+    well under 1 for vocabularies to ~10⁸ distinct tokens) the helper
+    returns the original string arrays: same results, pre-r12 speed.
+    The guard itself is one linear token-stream aggregate with partial
+    (map-side) distinct — no driver data transfer beyond two counts.
+
+    Preconditions (hold at every call site): array elements are
+    non-NULL (split()/filtered shingle outputs — countDistinct ignores
+    NULLs, xxhash64(NULL) does not, so a NULL element could evade the
+    guard); both intersect operands derive from THIS df's ``col``.
+    NULL arrays (NULL text) propagate NULL through transform exactly
+    as through the string path."""
+    probe = (
+        df.select(F.explode(col).alias("_t"))
+        .agg(
+            F.countDistinct("_t").alias("d"),
+            F.countDistinct(F.xxhash64("_t")).alias("h"),
+        )
+        .first()
+    )
+    if probe["d"] != probe["h"]:  # collision: keep exact strings
+        return df
+    return df.withColumn(
+        col, F.transform(F.col(col), lambda x: F.xxhash64(x))
+    )
+
+
 def eval_once(c: Column, seed: int = 7) -> Column:
     """Pin an expensive expression to ONE evaluation site.
 

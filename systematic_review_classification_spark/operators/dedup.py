@@ -29,6 +29,7 @@ from systematic_review_classification_spark.functions.predicates import (
     clean_vec_sql,
     eval_once,
     finite_array,
+    hashed_sets,
     jaccard_ge,
 )
 from systematic_review_classification_spark.registry import query
@@ -83,8 +84,16 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Blocking key = source (the generic pattern: any cheap equality
     block — at 100 TB an LSH band hash). Jaccard is integer-ratio
     arithmetic, so both engines divide identical values."""
-    t = load(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
+    # hashed_sets: token-set intersects run on bigint arrays when the
+    # runtime injectivity guard passes — value-identical, 2.5× cheaper
+    # per pair, and the blocked self-join shuffles longs, not strings
+    # (see functions/predicates.hashed_sets; per-site A/B in
+    # OPTIMIZATION_r12.md)
+    t = hashed_sets(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", "source", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
+        ),
+        "toks",
     )
     a, b = t.alias("a"), t.alias("b")
     pairs = a.join(
@@ -423,6 +432,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = d.select("doc_id", "source", grams.alias("grams")).filter(
         F.size(F.col("grams")) > 0
     )
+    # hashed_sets: shingle intersects on bigint arrays when the
+    # injectivity guard passes (functions/predicates.hashed_sets, r12)
+    g = hashed_sets(g, "grams")
     a, b = g.alias("a"), g.alias("b")
     pairs = a.join(
         b,
@@ -600,8 +612,13 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
         .distinct()
     )
-    t = d.select(
-        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
+    # hashed_sets: exact-verify intersects on bigint arrays when the
+    # injectivity guard passes (functions/predicates.hashed_sets, r12)
+    t = hashed_sets(
+        d.select(
+            "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
+        ),
+        "toks",
     )
     verified = (
         cand.join(t.select(F.col("doc_id").alias("id1"), F.col("toks").alias("t1")), "id1")
@@ -679,6 +696,11 @@ def dedup_minhash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rep", "doc_id")
         .distinct()
     )
+    # NOT hashed_sets (r12, measured): star edges are ≤ n·bands, so the
+    # verify intersect volume is LINEAR — the injectivity guard's extra
+    # tokenize pass costs more than the cheap intersects save
+    # (1.65 → 1.91 s noop at sf0.1). The quadratic-pair family keeps
+    # the guard; this linear-output key keeps plain strings.
     t = d.select("doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks"))
     ver = (
         edges.join(
@@ -753,8 +775,13 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact fixpoint via a recursive-CTE transitive closure, so an
     under-iterated graph fails loudly on both axes."""
     d = load(spark, sf_dir, "documents")
-    t = d.select(
-        "doc_id", "source", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
+    # hashed_sets: pair-build intersects on bigint arrays when the
+    # injectivity guard passes (functions/predicates.hashed_sets, r12)
+    t = hashed_sets(
+        d.select(
+            "doc_id", "source", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
+        ),
+        "toks",
     )
     a, b = t.alias("a"), t.alias("b")
     nc = F.size(F.array_intersect("a.toks", "b.toks"))
@@ -1183,8 +1210,13 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id1", "id2")
         .distinct()
     )
-    t = d.select(
-        "doc_id", "source", F.array_distinct(F.split("text", " ")).alias("toks")
+    # hashed_sets: blocked-pair intersects on bigint arrays when the
+    # injectivity guard passes (functions/predicates.hashed_sets, r12)
+    t = hashed_sets(
+        d.select(
+            "doc_id", "source", F.array_distinct(F.split("text", " ")).alias("toks")
+        ),
+        "toks",
     )
     ta, tb = t.alias("ta"), t.alias("tb")
     nc = F.size(F.array_intersect("ta.toks", "tb.toks"))
@@ -1356,8 +1388,13 @@ def dedup_scurve_empirical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("c1"), F.col("b.doc_id").alias("c2"))
         .distinct()
     )
-    t = d.select(
-        "doc_id", "source", F.array_distinct(F.split("text", " ")).alias("toks")
+    # hashed_sets: blocked-pair intersects on bigint arrays when the
+    # injectivity guard passes (functions/predicates.hashed_sets, r12)
+    t = hashed_sets(
+        d.select(
+            "doc_id", "source", F.array_distinct(F.split("text", " ")).alias("toks")
+        ),
+        "toks",
     )
     ta, tb = t.alias("ta"), t.alias("tb")
     nc = F.size(F.array_intersect("ta.toks", "tb.toks"))
@@ -1534,8 +1571,13 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     explodes into the 5-row curve. Feeds the banding design
     dedup_scurve_empirical then validates."""
     d = load(spark, sf_dir, "documents")
-    t = d.select(
-        "doc_id", "source", F.array_distinct(F.split("text", " ")).alias("toks")
+    # hashed_sets: blocked-pair intersects on bigint arrays when the
+    # injectivity guard passes (functions/predicates.hashed_sets, r12)
+    t = hashed_sets(
+        d.select(
+            "doc_id", "source", F.array_distinct(F.split("text", " ")).alias("toks")
+        ),
+        "toks",
     )
     a, b = t.alias("a"), t.alias("b")
     nc = F.size(F.array_intersect("a.toks", "b.toks"))

@@ -20,6 +20,7 @@ from systematic_review_classification_spark.functions.predicates import (
     clean_vec_sql,
     eval_once,
     finite_array,
+    hashed_sets,
 )
 from systematic_review_classification_spark.functions.ranks import global_prefix_sum, global_rank
 from systematic_review_classification_spark.registry import query
@@ -197,6 +198,9 @@ def txt_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = d.select("doc_id", "source", grams.alias("grams")).filter(
         F.size(F.col("grams")) > 0
     )
+    # hashed_sets: shingle intersects on bigint arrays when the
+    # injectivity guard passes (functions/predicates.hashed_sets, r12)
+    g = hashed_sets(g, "grams")
     a, b = g.alias("a"), g.alias("b")
     pairs = a.join(
         b,

@@ -179,7 +179,14 @@ def make_decoder(real: bool):
                     rows.append((doc_id, *real_px(blob)))
                     continue
                 chars = bytes(blob).decode("utf-8")
-                px = np.array([ord(c) for c in chars], dtype=np.int64)
+                # vectorized codepoint extraction (guide §4.2): UTF-32LE
+                # code units ARE the codepoints, so one C-speed encode +
+                # frombuffer replaces a per-character Python ord() loop
+                # (~n_chars interpreter iterations per row); astype
+                # keeps the int64 dtype the mean was computed with
+                px = np.frombuffer(
+                    chars.encode("utf-32-le"), dtype="<u4"
+                ).astype(np.int64)
                 # a zero-byte asset decodes to 0 px / NULL mean — the
                 # same contract as the real branch and the oracle's
                 # len=0 CASE (DuckDB's string_split('', '') yields ['']
