@@ -171,11 +171,10 @@ def modal_dim_sql(col: str = "embedding", table: str = "embeddings") -> str:
     )
 
 
-def ratio_ge(num: Column, den: Column, p: int, q: int) -> Column:
-    """Single-evaluation threshold predicate ``num/den >= p/q`` as
-    cross-multiplied integer arithmetic: ``q*num >= p*den`` (requires
-    ``den > 0``, which every caller guarantees structurally — a
-    Jaccard/containment denominator is a non-empty union/set size).
+def jaccard_ge(nc: Column, n_sum: Column, p: int, q: int) -> Column:
+    """``nc/(n_sum - nc) >= p/q`` with the intersection size ``nc``
+    referenced ONCE: cross-multiplied to ``nc*(p+q) >= p*n_sum``,
+    guarded by ``n_sum > 0``.
 
     Why not the double-division form: Catalyst pushes a
     ``filter(nc/(n1+n2-nc) >= t)`` through projections into the JOIN
@@ -183,28 +182,31 @@ def ratio_ge(num: Column, den: Column, p: int, q: int) -> Column:
     elimination — an ``nc`` that is ``size(array_intersect(...))``
     referenced twice in the predicate evaluates the intersect TWICE
     per candidate pair (measured 14.5 s vs 8.6 s on the sf0.1 blocked
-    pair stream, r11). Cross-multiplying lets the caller reference the
-    expensive subexpression exactly once.
+    pair stream, r11). Cross-multiplying references the expensive
+    subexpression exactly once; the guard conjunct touches only the
+    CHEAP ``n_sum`` (projected array sizes), never ``nc``.
 
-    Exactness vs ``double(num)/double(den) >= double(p/q)``: both
+    The guard (r11 advice): at ``n_sum = 0`` (both sets empty — union
+    size 0) the division form yields NULL (row dropped by a filter)
+    while the bare cross-multiplied form yields ``0 >= 0`` TRUE (row
+    kept). Every r11 caller excluded that structurally (split() arrays
+    are never empty, ngram paths filter size > 0); folding
+    ``n_sum > 0`` into the helper makes the division semantics hold
+    for ANY future caller. For ``nc ≥ 0`` (an intersection size),
+    ``n_sum > 0`` ⟺ union > 0 exactly.
+
+    Exactness vs ``double(nc)/double(union) >= double(p/q)``: both
     sides are exact integers here (bigint products of array sizes —
     no overflow below 2^31 elements × q ≤ 10^6). The double form
-    could only disagree where the true rational num/den lies within
-    one rounding error (≤ 2⁻⁵³ relative) of double(p/q) while not
-    being exactly p/q; the nearest such distinct rational with
-    denominator d is ≥ 1/(q·d) away, so disagreement needs
-    d ≳ 2⁵³/q — array sizes beyond any physical corpus. NULL inputs
-    yield NULL on both forms (filter drops the row either way)."""
-    return num.cast("bigint") * F.lit(q) >= F.lit(p) * den.cast("bigint")
-
-
-def jaccard_ge(nc: Column, n_sum: Column, p: int, q: int) -> Column:
-    """``nc/(n_sum - nc) >= p/q`` with the intersection size ``nc``
-    referenced ONCE: cross-multiplied to ``nc*(p+q) >= p*n_sum``
-    (union size ``n_sum - nc`` > 0 for non-empty token sets). See
-    :func:`ratio_ge` for why the division form costs a second
-    ``array_intersect`` per pair and why the rewrite is exact."""
-    return nc.cast("bigint") * F.lit(p + q) >= F.lit(p) * n_sum.cast("bigint")
+    could only disagree where the true rational lies within one
+    rounding error (≤ 2⁻⁵³ relative) of double(p/q) while not being
+    exactly p/q; the nearest such distinct rational with denominator d
+    is ≥ 1/(q·d) away, so disagreement needs d ≳ 2⁵³/q — array sizes
+    beyond any physical corpus. NULL inputs yield NULL on both forms
+    (filter drops the row either way)."""
+    return (n_sum.cast("bigint") > 0) & (
+        nc.cast("bigint") * F.lit(p + q) >= F.lit(p) * n_sum.cast("bigint")
+    )
 
 
 def hashed_sets(df, col: str):

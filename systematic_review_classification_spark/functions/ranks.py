@@ -98,3 +98,32 @@ def global_prefix_sum(
     return tagged.withColumn(
         out_col, F.sum(F.col(value)).over(w_in) + F.col("_off")
     ).drop("_pid", "_off")
+
+
+def global_prefix_min_excl(
+    df: DataFrame, value: str, *order: Column, out_col: str = "pmin"
+) -> DataFrame:
+    """EXCLUSIVE running ``min(value)`` over the global ``*order`` —
+    for each row, the min of ``value`` across all STRICTLY-PRECEDING
+    rows (NULL for the global first row) — without the single-task
+    window, via the same two-pass range shape: per-partition mins
+    become cross-partition offsets (min over preceding partitions),
+    combined with an in-partition exclusive running min through
+    ``least`` (which skips the NULL offset of partition 0 and the NULL
+    in-partition min of each partition's first row). ``min``/``least``
+    ignore NULL values, so NULL ``value`` rows never pollute the
+    prefix, matching ``min() OVER`` semantics. Added r12 for the
+    skyline sweep (wl_pareto_frontier)."""
+    d = df.repartitionByRange(*order).withColumn("_pid", F.spark_partition_id())
+    pstats = d.groupBy("_pid").agg(F.min(F.col(value)).alias("_pmin"))
+    w_prev = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    offs = pstats.select("_pid", F.min("_pmin").over(w_prev).alias("_off"))
+    tagged = d.join(F.broadcast(offs), "_pid")
+    w_in = (
+        W.partitionBy("_pid")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return tagged.withColumn(
+        out_col, F.least(F.min(F.col(value)).over(w_in), F.col("_off"))
+    ).drop("_pid", "_off")

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from systematic_review_classification_spark.functions.ranks import (
+    global_prefix_min_excl,
     global_prefix_sum,
     global_rank,
 )
@@ -4375,22 +4376,32 @@ def wl_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part").select(
         "p_partkey", "p_brand", "p_retailprice", "p_size"
     )
-    a, b = p.alias("a"), p.alias("b")
-    dominated = (
-        a.join(
-            b,
-            (F.col("b.p_retailprice") <= F.col("a.p_retailprice"))
-            & (F.col("b.p_size") <= F.col("a.p_size"))
-            & (
-                (F.col("b.p_retailprice") < F.col("a.p_retailprice"))
-                | (F.col("b.p_size") < F.col("a.p_size"))
-            ),
-        )
-        .select(F.col("a.p_partkey").alias("dk"))
-        .distinct()
+    # r12: the dominance SELF-JOIN (inequality-only → BroadcastNested-
+    # LoopJoin, O(n²) comparisons over the whole catalog) is replaced
+    # by the classic 2-D skyline sweep, exactly equivalent row-for-row:
+    #   dominated(a) ⟺ ∃b: p_b ≤ p_a ∧ s_b ≤ s_a ∧ (p_b < p_a ∨ s_b < s_a)
+    #               ⟺ min{s : price < p_a} ≤ s_a        (strictly cheaper b)
+    #                 ∨ min{s : price = p_a} < s_a      (equal-price b)
+    # — the first term covers every p_b < p_a dominator (s_b ≤ s_a ⇔ the
+    # group min ≤ s_a), the second every p_b = p_a one (needs s_b < s_a;
+    # ties on BOTH axes dominate in neither form). min(size) per price
+    # is a hash aggregate; the strictly-cheaper min is a distributed
+    # exclusive prefix-min over the bounded distinct-price relation
+    # (functions/ranks.global_prefix_min_excl — never a single-task
+    # window); re-attach is one equi-join on price. NULL price/size
+    # rows: every comparison is NULL in both forms → never dominated,
+    # never dominating (min ignores NULLs; the NULL-price group never
+    # equi-joins; coalesce keeps the row). O(n²) → O(n) + sort shuffle.
+    g = p.groupBy(F.col("p_retailprice").alias("_pr")).agg(
+        F.min("p_size").alias("_m_eq")
+    )
+    g = global_prefix_min_excl(g, "_m_eq", F.col("_pr"), out_col="_m_lt")
+    dominated = (F.col("_m_lt") <= F.col("p_size")) | (
+        F.col("_m_eq") < F.col("p_size")
     )
     return (
-        p.join(dominated, p.p_partkey == dominated.dk, "left_anti")
+        p.join(g, p.p_retailprice == g._pr, "left")
+        .filter(~F.coalesce(dominated, F.lit(False)))
         .select(
             "p_partkey",
             "p_brand",

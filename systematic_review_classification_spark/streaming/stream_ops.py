@@ -724,6 +724,8 @@ def stream_stateful_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n += 1
 
     def track(key, pdfs, state):
+        import numpy as np
+
         out = []
         if state.hasTimedOut:
             s, last, cnt = state.get
@@ -733,16 +735,41 @@ def stream_stateful_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
             s, last, cnt = state.get if state.exists else (None, None, 0)
             rows = pd.concat(list(pdfs)) if pdfs else pd.DataFrame()
             if len(rows):
-                rows = rows.sort_values("ts")
-                for t in rows["ts"]:
-                    us = int(t.value // 1_000)  # pandas ns -> µs
-                    if s is None:
-                        s, last, cnt = us, us, 1
-                    elif us - last > _TTL_GAP_US:
-                        out.append((key[0], s, last, cnt, "gap"))
-                        s, last, cnt = us, us, 1
+                # vectorized gaps-islands (r12, guide §4.2): the
+                # profiled per-batch cost is this function's Python
+                # loop (allUpdatesTimeMs ≈ 7 s summed vs 0.26 s state
+                # commits per batch at sf0.1), so the per-event
+                # interpreter iteration becomes one sorted int64 array
+                # + diff: segment boundaries are gaps > TTL, every
+                # segment but the last closes inline ("gap"), the last
+                # stays open in state — step-for-step identical to the
+                # per-row state machine it replaces (ns -> µs floor
+                # division included)
+                arr = (
+                    rows["ts"].sort_values().to_numpy().astype("int64")
+                    // 1_000
+                )
+                bounds = np.flatnonzero(np.diff(arr) > _TTL_GAP_US) + 1
+                seg_starts = np.concatenate(([0], bounds))
+                seg_ends = np.concatenate((bounds, [len(arr)])) - 1
+                # a carried open session either extends segment 0 (first
+                # event within the gap) or closes on the first event
+                carried = s is not None and arr[0] - last <= _TTL_GAP_US
+                if s is not None and not carried:
+                    out.append((key[0], s, last, cnt, "gap"))
+                nseg = len(seg_starts)
+                for j in range(nseg):
+                    st, en = int(seg_starts[j]), int(seg_ends[j])
+                    seg_s = s if (j == 0 and carried) else int(arr[st])
+                    seg_cnt = (en - st + 1) + (
+                        cnt if (j == 0 and carried) else 0
+                    )
+                    if j < nseg - 1:
+                        out.append(
+                            (key[0], seg_s, int(arr[en]), seg_cnt, "gap")
+                        )
                     else:
-                        last, cnt = us, cnt + 1
+                        s, last, cnt = seg_s, int(arr[en]), seg_cnt
                 state.update((s, last, cnt))
                 # reclaim this user's state once the watermark passes
                 # the session gap horizon. applyInPandasWithState does

@@ -44,6 +44,8 @@ from __future__ import annotations
 
 import pytest
 
+pytestmark = pytest.mark.slow  # builder tier: full-registry sweep (see pytest.ini)
+
 from tests.harness import run_world
 from tests.test_extreme_ts_world import _TABLES as _XTS
 from tests.test_flat_world import _TABLES as _FLAT

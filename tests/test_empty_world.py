@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import pytest
 
+pytestmark = pytest.mark.slow  # builder tier: full-registry sweep (see pytest.ini)
+
 from tests.harness import run_world
 
 # Excluded, with reasons:

@@ -49,6 +49,8 @@ import datetime as dt
 
 import pytest
 
+pytestmark = pytest.mark.slow  # builder tier: full-registry sweep (see pytest.ini)
+
 from tests.harness import run_world
 
 # Excluded for the same physical-layout/staging reasons as the other

@@ -6,6 +6,10 @@ late-data actually dropped, seeded ML reproducible.
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # builder tier: full-registry sweep (see pytest.ini)
+
 from pyspark.sql import functions as F
 
 from systematic_review_classification_spark import all_queries

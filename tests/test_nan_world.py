@@ -39,6 +39,8 @@ import datetime as dt
 
 import pytest
 
+pytestmark = pytest.mark.slow  # builder tier: full-registry sweep (see pytest.ini)
+
 from tests.harness import run_world
 
 EXCLUDED = {

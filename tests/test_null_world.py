@@ -42,6 +42,8 @@ from __future__ import annotations
 
 import pytest
 
+pytestmark = pytest.mark.slow  # builder tier: full-registry sweep (see pytest.ini)
+
 from tests.harness import run_world
 
 # Excluded for the same physical-layout/staging reasons as

@@ -858,3 +858,20 @@ def test_no_count_window_over_group_keys(spark, sf_dir, key):
     rn<=k filters get map-side WindowGroupLimit."""
     plan = plan_of(QUERIES[key](spark, sf_dir))
     assert "count(1) windowspecdefinition" not in plan.replace("\n", " "), plan
+
+
+def test_eval_once_barrier_holds(spark, sf_dir):
+    """Plan-shape regression guard for predicates.eval_once (r11
+    advice): the 0*rand() pushdown barrier relies on Catalyst never
+    constant-folding a nondeterministic expression and never pushing
+    filters through a nondeterministic projection. If a future Spark
+    upgrade folds it away, the expensive expression silently
+    re-duplicates into the join residual (dedup_biblio measured 27.2 s
+    vs 12.2 s at sf0.1) with identical OUTPUT — only the plan shows
+    it. Assert the two r11/r12 barrier classes still pin exactly one
+    evaluation: one thresholded levenshtein in dedup_biblio, one
+    array_intersect in dedup_near_jaccard."""
+    plan = plan_of(QUERIES["dedup_biblio"](spark, sf_dir))
+    assert plan.count("levenshtein") == 1, plan
+    plan = plan_of(QUERIES["dedup_near_jaccard"](spark, sf_dir))
+    assert plan.count("array_intersect") == 1, plan

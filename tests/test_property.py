@@ -13,6 +13,8 @@ minimal corpus.
 from __future__ import annotations
 
 import pytest
+
+pytestmark = pytest.mark.slow  # builder tier: full-registry sweep (see pytest.ini)
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
