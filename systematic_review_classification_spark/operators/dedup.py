@@ -206,24 +206,29 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates - linear, shuffle-partitioned by doc, no pairwise work.
     Near-dup candidates then hamming-band on the signature."""
     d = load(spark, sf_dir, "documents")
+    # all 16 per-bit vote sums as aggregate expressions in ONE
+    # groupBy(doc_id) — no ×16 vote explode through the shuffle; same
+    # fused shape and integer math as _simhash64_sigs (r12, measured
+    # there 5.5 → 1.2 s; the oracle keeps the exploded CTE)
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("token")
+    ).select("doc_id", F.md5("token").alias("h"))
+    votes = [
+        F.sum(
+            F.expr(
+                f"CASE WHEN (instr('0123456789abcdef', substring(h, {pos}, 1)) - 1) % 2 = 1"
+                " THEN 1 ELSE -1 END"
+            )
+        ).alias(f"v{pos}")
+        for pos in range(1, 17)
+    ]
+    sig = F.expr(
+        "CAST("
+        + " + ".join(f"CAST(v{pos} >= 0 AS BIGINT) * {2 ** (pos - 1)}" for pos in range(1, 17))
+        + " AS BIGINT)"
     )
-    votes = tok.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.lit(16))).alias("pos"),
-        F.expr(
-            "CASE WHEN (instr('0123456789abcdef', substring(md5(token), pos, 1)) - 1) % 2 = 1 "
-            "THEN 1 ELSE -1 END"
-        ).alias("vote"),
-    )
-    bits = votes.groupBy("doc_id", "pos").agg(
-        (F.sum("vote") >= 0).cast("int").alias("bit")
-    )
-    return bits.groupBy("doc_id").agg(
-        F.sum(F.col("bit") * F.pow(F.lit(2), F.col("pos") - 1).cast("bigint"))
-        .cast("bigint")
-        .alias("simhash")
+    return (
+        tok.groupBy("doc_id").agg(*votes).select("doc_id", sig.alias("simhash"))
     )
 
 
@@ -256,39 +261,47 @@ sigs AS (
 
 
 def _simhash64_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, simhash64 hex string) — see dedup_simhash64."""
+    """(doc_id, simhash64 hex string) — see dedup_simhash64.
+
+    Scale shape (r12): all 64 per-bit vote sums are aggregate
+    expressions in ONE groupBy(doc_id) over the token relation — the
+    same discipline as ``_minhash_bands``. The previous form exploded
+    every token ×64 positions (a 64×-inflated vote stream through the
+    first shuffle: 7.4 M rows at sf0.1) and then re-aggregated twice
+    more (doc×pos, doc×nib); with partial (map-side) aggregation the
+    fused form shuffles ≤ one 64-column row per doc per map partition
+    and needs ONE exchange. Measured 5.5 → 1.2 s noop at sf0.1 —
+    which was the entire dominant stage of dedup_simhash_band. Vote
+    sums, sign bits and nibble packing are integer math identical to
+    the exploded form (the oracle keeps the exploded CTE; results
+    hash-match)."""
     d = load(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("token")
-    )
-    votes = tok.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("pos"),
+    ).select("doc_id", F.md5("token").alias("h"))
+    # vote(pos) = +1 iff bit `pos%4` of hex nibble `pos//4` of md5(token)
+    votes = [
+        F.sum(
+            F.expr(
+                f"CASE WHEN ((instr('0123456789abcdef', substring(h, {pos // 4 + 1}, 1)) - 1)"
+                f" div {2 ** (pos % 4)}) % 2 = 1 THEN 1 ELSE -1 END"
+            )
+        ).alias(f"v{pos}")
+        for pos in range(64)
+    ]
+    sigw = tok.groupBy("doc_id").agg(*votes)
+    nib_chars = [
         F.expr(
-            "CASE WHEN ((instr('0123456789abcdef', "
-            "substring(md5(token), CAST(pos / 4 AS INT) + 1, 1)) - 1) "
-            "div CAST(power(2, pos % 4) AS INT)) % 2 = 1 THEN 1 ELSE -1 END"
-        ).alias("vote"),
-    )
-    bits = votes.groupBy("doc_id", "pos").agg(
-        (F.sum("vote") >= 0).cast("int").alias("bit")
-    )
-    nibs = bits.groupBy(
-        "doc_id", (F.col("pos") / 4).cast("int").alias("nib")
-    ).agg(
-        F.sum(F.col("bit") * F.pow(F.lit(2), F.col("pos") % 4).cast("int"))
-        .cast("int")
-        .alias("nv")
-    )
-    return nibs.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("nib", "nv"))),
-                lambda x: F.substring(F.lit("0123456789abcdef"), x["nv"] + 1, F.lit(1)),
-            ),
-            "",
-        ).alias("simhash64")
-    )
+            "substring('0123456789abcdef', ("
+            + " + ".join(
+                f"CAST(v{4 * nib + bio} >= 0 AS INT) * {2 ** bio}"
+                for bio in range(4)
+            )
+            + ") + 1, 1)"
+        )
+        for nib in range(16)
+    ]
+    return sigw.select("doc_id", F.concat(*nib_chars).alias("simhash64"))
 
 
 @query("dedup_simhash64", oracle=f"WITH {_SIMHASH64_SQL} SELECT * FROM sigs")
@@ -819,6 +832,19 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     labels = d.select("doc_id", F.col("doc_id").alias("component"))
+
+    def _residual(lbl):
+        """Count of labels one more neighbor-min pass would still
+        shrink — 0 ⟺ lbl is the min-label fixpoint."""
+        return (
+            edges.join(lbl, edges.dst == lbl.doc_id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+            .join(lbl.select(F.col("doc_id").alias("src"), "component"), "src")
+            .filter(F.col("nbr_component") < F.col("component"))
+            .count()
+        )
+
     supersteps = 8
     for i in range(supersteps):
         nbr_min = (
@@ -837,6 +863,16 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if i % 3 == 2:
             labels = labels.localCheckpoint(eager=False)
+            # Early exit (r12): near-dup clusters are dense (diameter
+            # ≤ 2-3), so the fixpoint is normally reached inside the
+            # first segment and the remaining supersteps are no-op
+            # joins. One residual count at the segment boundary (the
+            # checkpoint is materialized by it anyway) skips them.
+            # Labels are IDENTICAL either way — min-label propagation
+            # is idempotent at the fixpoint — and the final guard
+            # below still re-verifies on the returned relation.
+            if _residual(labels) == 0:
+                break
     # Convergence guard (r10 verdict item 5): one more neighbor-min
     # pass over the FINAL labels; if any label would still shrink, the
     # graph diameter exceeded the superstep budget and the labels are
@@ -846,16 +882,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count and the returned DataFrame share the same computed result
     # (one bounded action; nothing driver-side grows with data).
     labels = labels.localCheckpoint(eager=True)
-    residual = (
-        edges.join(labels, edges.dst == labels.doc_id)
-        .groupBy("src")
-        .agg(F.min("component").alias("nbr_component"))
-        .join(
-            labels.select(F.col("doc_id").alias("src"), "component"), "src"
-        )
-        .filter(F.col("nbr_component") < F.col("component"))
-        .count()
-    )
+    residual = _residual(labels)
     edges.unpersist()
     if residual:
         raise RuntimeError(

@@ -34,6 +34,7 @@ _R12_TOUCHED = {
     "dedup_components", "dedup_scurve_empirical",
     "dedup_threshold_sweep", "txt_containment", "mm_decode_stub",
     "ml_screen_e2e", "wl_pareto_frontier",
+    "dedup_simhash", "dedup_simhash64", "dedup_simhash_band",
 }
 _SPREAD = {k for i, k in enumerate(sorted(ORACLES)) if i % 9 == 0}
 FAST_ORACLE = sorted((_HEADLINE | _R12_TOUCHED | _SPREAD) & set(ORACLES))
