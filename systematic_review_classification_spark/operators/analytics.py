@@ -2586,14 +2586,11 @@ w AS (
   JOIN reps r ON r.r = o.r),
 means AS (
   SELECT r, CASE WHEN sum(wt) > 0 THEN sum(wt * y) / sum(wt) END AS m
-  FROM w GROUP BY r),
-agg AS (
-  SELECT CAST(count(m) AS DOUBLE) AS k, sum(m) AS s1, sum(m * m) AS s2 FROM means)
-SELECT CAST(k AS BIGINT) AS n_replicates,
-       round(s1 / nullif(k, 0), 4) AS boot_mean,
-       round(sqrt(greatest((s2 - s1 * s1 / nullif(k, 0)) / nullif(k - 1, 0), 0)),
-             4) AS boot_se
-FROM agg
+  FROM w GROUP BY r)
+SELECT CAST(count(m) AS BIGINT) AS n_replicates,
+       round(avg(m), 4) AS boot_mean,
+       round(stddev_samp(m), 4) AS boot_se
+FROM means
 """,
 )
 def wl_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2655,25 +2652,22 @@ def wl_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("wt") > 0, F.sum(F.col("wt") * F.col("y")) / F.sum("wt")
         ).alias("m")
     )
-    agg = means.agg(
-        F.count("m").cast("double").alias("k"),
-        F.sum("m").alias("s1"),
-        F.sum(F.col("m") * F.col("m")).alias("s2"),
-    )
-    kn = F.nullif(F.col("k"), F.lit(0.0))
-    return agg.select(
-        F.col("k").cast("bigint").alias("n_replicates"),
-        F.round(F.col("s1") / kn, 4).alias("boot_mean"),
-        F.round(
-            F.sqrt(
-                F.greatest(
-                    (F.col("s2") - F.col("s1") * F.col("s1") / kn)
-                    / F.nullif(F.col("k") - 1, F.lit(0.0)),
-                    F.lit(0.0),
-                )
-            ),
-            4,
-        ).alias("boot_se"),
+    # SE via the engines' Welford-based stddev_samp, NOT the textbook
+    # sum-of-squares form (r12 property-fuzz catch): when every
+    # replicate mean is IDENTICAL (a 1-row corpus — each m is exactly
+    # y), `s2 - s1²/k` is catastrophic cancellation whose ±few-ulp
+    # residue is ulp(y²)-scale, and sqrt of that rounds to 1e-4-scale
+    # garbage that depends on SUMMATION ORDER — DuckDB's morsel
+    # scheduling made the oracle nondeterministically emit 0.0003 vs
+    # 0.0 for the same input. Welford keeps (x − mean) differences:
+    # exact 0.0 for identical values in ANY order on both engines, and
+    # far tighter rounding for real spreads. k = 0 → NULL mean/se,
+    # k = 1 → NULL se, matching the old nullif semantics; values on
+    # the canonical corpora verified identical to the old formula.
+    return means.agg(
+        F.count("m").cast("bigint").alias("n_replicates"),
+        F.round(F.avg("m"), 4).alias("boot_mean"),
+        F.round(F.stddev_samp("m"), 4).alias("boot_se"),
     )
 
 
